@@ -1,0 +1,94 @@
+"""Compression-table registry (CBOR-LD tag dispatch).
+
+Mirrors the reference registry (reference: src/tables/registry.rs:11-82,
+src/tables/mod.rs:11-102): registry id 1 = Default (empty tables), 100 =
+VC Barcodes (3 pinned context URLs + the cryptosuiteString value
+dictionary).  The CBOR-LD envelope tag is ``0x06 << 8 | registry_id``
+(reference: src/lib.rs:113-114, src/encode/mod.rs:55-63).
+
+These tables are tiny read-only dicts: on Spark they ride along in the
+UDF closure (equivalent to a broadcast variable for objects this small).
+"""
+
+from __future__ import annotations
+
+from .errors import DecodeError, EncodeError
+
+CBOR_LD_TAG_HIGH = 0x06
+
+CRYPTOSUITE_STRING = "https://w3id.org/security#cryptosuiteString"
+
+
+class Tables:
+    __slots__ = ("context_to_id", "id_to_context", "type_tables", "type_tables_rev")
+
+    def __init__(self,
+                 contexts: dict[str, int] | None = None,
+                 types: dict[str, dict[str, int]] | None = None):
+        self.context_to_id = dict(contexts or {})
+        self.id_to_context = {v: k for k, v in self.context_to_id.items()}
+        self.type_tables = {t: dict(m) for t, m in (types or {}).items()}
+        self.type_tables_rev = {
+            t: {v: k for k, v in m.items()} for t, m in self.type_tables.items()
+        }
+
+    # TypeTable::encode / decode (reference: src/tables/mod.rs:68-83)
+    def encode_typed(self, type_iri: str, value: str):
+        table = self.type_tables.get(type_iri)
+        if table is None:
+            return None  # no table for this type
+        tid = table.get(value)
+        return tid if tid is not None else value
+
+    def decode_typed(self, type_iri: str, value):
+        rev = self.type_tables_rev.get(type_iri)
+        if rev is None:
+            return None
+        if isinstance(value, bool) or not isinstance(value, int):
+            raise DecodeError("InvalidValue", f"type table expects integer, got {value!r}")
+        out = rev.get(value)
+        if out is None:
+            raise DecodeError("InvalidValue", f"unknown {type_iri} id {value}")
+        return out
+
+    def has_type_table(self, type_iri: str) -> bool:
+        return type_iri in self.type_tables
+
+
+DEFAULT_TABLES = Tables()
+
+VC_BARCODES_TABLES = Tables(
+    contexts={
+        "https://www.w3.org/ns/credentials/v2": 32768,
+        "https://w3id.org/vc-barcodes/v1": 32769,
+        "https://w3id.org/utopia/v2": 32770,
+    },
+    types={
+        CRYPTOSUITE_STRING: {
+            "ecdsa-rdfc-2019": 1,
+            "ecdsa-sd-2023": 2,
+            "eddsa-rdfc-2022": 3,
+            "ecdsa-xi-2023": 4,
+        }
+    },
+)
+
+REGISTRY: dict[int, Tables] = {
+    1: DEFAULT_TABLES,
+    100: VC_BARCODES_TABLES,
+}
+
+
+def tables_for_registry(registry_id: int) -> Tables:
+    try:
+        return REGISTRY[registry_id]
+    except KeyError:
+        raise EncodeError("UnknownCompressionTable", str(registry_id)) from None
+
+
+def registry_tag(registry_id: int) -> int:
+    if registry_id >= 128:
+        # Varint registry ids are unimplemented in the reference too
+        # (todo! at src/encode/mod.rs:62).
+        raise EncodeError("UnsupportedRegistryId", str(registry_id))
+    return (CBOR_LD_TAG_HIGH << 8) | registry_id
