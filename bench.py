@@ -1,0 +1,149 @@
+#!/usr/bin/env python3
+"""Benchmark driver: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Headline = the KG-construction pipeline (scan -> sniff -> encode/decode/
+verify/expand -> triples + metrics) over a corpus synthesized at bench
+scale, plus the dedup / similarity / relational operator suite.
+
+``--scaling`` runs the same KG job at two parallelism levels (N and 4N
+cores on the same input) and reports throughput at both plus scaling
+efficiency — the sandbox proxy for the north rule's N vs 4N executors
+criterion (no real cluster here).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# Corpus rows for the KG headline at bench scale: ~20 docs per lineitem-ksf
+# keeps runtime bounded while dominating Spark fixed overheads.
+KG_CORPUS_ROWS = int(os.environ.get("SPARK_GRAFT_KG_ROWS", "40000"))
+
+
+def make_spark(cores: int, shuffle_partitions: int | None = None):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(f"cbor_ld_spark-bench-{cores}")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def kg_pipeline_run(spark, n_rows: int) -> dict:
+    """The headline job: returns docs/triples counts (forces full exec)."""
+    from pyspark.sql import functions as F
+
+    from cbor_ld_spark.operators import process_corpus
+    from cbor_ld_spark.sources import synthesize_corpus
+
+    repos = synthesize_corpus(spark, n_rows)
+    processed = process_corpus(repos)
+    agg = processed.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(F.col("ok").cast("long")).alias("ok_docs"),
+        F.sum(F.coalesce(F.col("roundtrip_ok").cast("long"), F.lit(0)))
+        .alias("roundtrip_ok"),
+        F.sum("n_triples").alias("triples"),
+    ).collect()[0]
+    return {k: agg[k] for k in ("docs", "ok_docs", "roundtrip_ok", "triples")}
+
+
+def run_queries(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as entrymod
+
+    times: dict[str, float] = {}
+    for name, fn in entrymod.queries().items():
+        t0 = time.monotonic()
+        df = fn(spark, sf_dir)
+        df.collect()
+        times[name] = round(time.monotonic() - t0, 3)
+    return times
+
+
+def bench_once() -> dict:
+    spark = make_spark(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    t0 = time.monotonic()
+    kg = kg_pipeline_run(spark, KG_CORPUS_ROWS)
+    kg_secs = round(time.monotonic() - t0, 3)
+
+    qtimes = run_queries(spark, SF_DIR)
+    qtimes["kg_pipeline"] = kg_secs
+    total = round(sum(qtimes.values()), 3)
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    result = {
+        "metric": "kg_construct end-to-end + operator suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "kg_docs": kg["docs"],
+        "kg_triples": kg["triples"],
+        "kg_docs_per_sec": round(kg["docs"] / kg_secs, 1),
+        "kg_triples_per_sec": round(kg["triples"] / kg_secs, 1),
+        "cpus": CPUS,
+    }
+    spark.stop()
+    return result
+
+
+def bench_scaling(n_low: int, n_high: int, rows: int) -> dict:
+    out = {}
+    for cores in (n_low, n_high):
+        spark = make_spark(cores)
+        spark.sparkContext.setLogLevel("ERROR")
+        kg_pipeline_run(spark, min(rows, 2000))  # JIT/Arrow warmup
+        t0 = time.monotonic()
+        kg = kg_pipeline_run(spark, rows)
+        secs = time.monotonic() - t0
+        out[cores] = {
+            "secs": round(secs, 3),
+            "docs_per_sec": round(kg["docs"] / secs, 1),
+            "triples_per_sec": round(kg["triples"] / secs, 1),
+        }
+        spark.stop()
+    speedup = out[n_high]["docs_per_sec"] / out[n_low]["docs_per_sec"]
+    efficiency = speedup / (n_high / n_low)
+    return {
+        "metric": "kg_construct scaling efficiency (N vs 4N cores, same input)",
+        "rows": rows,
+        "low_cores": n_low,
+        "high_cores": n_high,
+        "low": out[n_low],
+        "high": out[n_high],
+        "speedup": round(speedup, 3),
+        "efficiency": round(efficiency, 3),
+    }
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true",
+                    help="run N vs 4N core scaling evidence instead")
+    ap.add_argument("--rows", type=int, default=KG_CORPUS_ROWS)
+    ap.add_argument("--low", type=int, default=8)
+    ap.add_argument("--high", type=int, default=32)
+    args = ap.parse_args()
+
+    if args.scaling:
+        print(json.dumps(bench_scaling(args.low, args.high, args.rows)))
+    else:
+        print(json.dumps(bench_once()))

@@ -1,0 +1,234 @@
+"""Deduplication operators over the ``documents`` table.
+
+Training-data-pipeline dedup at corpus scale, four tiers:
+
+* exact          — hash-groupBy on the normalized content hash; one
+                   shuffle on a uniform key (the hash), inherently
+                   skew-free.  SQL-oracle-able.
+* minhash + LSH  — shingle -> 64-bit hash -> k minima -> band buckets ->
+                   bucket join.  The only shuffle is on (band, bucket_sig)
+                   whose cardinality ~ corpus size / avg cluster, so the
+                   candidate join never goes quadratic.  Hashes are
+                   xxhash64 (JVM, whole-stage codegen) — no Python.
+* simhash        — 64-bit sign-aggregated token hashes; near-dup =
+                   identical simhash (0-distance buckets at scale;
+                   banded hamming for distance>0).
+* embedding      — cosine near-dup via exact normalized dot product over
+                   the ``embeddings`` table (self-join pruned by vec_id <
+                   vec_id2; at 10^12 scale the LSH variant in
+                   operators.similarity bounds candidates first).
+
+Everything is DataFrame ops; the minhash pipeline is ~6 narrow maps +
+1 groupBy, no UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .text import _norm
+
+
+def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def exact_duplicates(docs: DataFrame) -> DataFrame:
+    """Duplicate groups by normalized-content hash (size > 1)."""
+    return (
+        docs
+        .select("doc_id", F.md5(_norm(F.col("text"))).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.count("doc_id").alias("group_size"),
+             F.min("doc_id").alias("canonical_doc_id"))
+        .filter(F.col("group_size") > 1)
+        .orderBy("canonical_doc_id")
+    )
+
+
+def dedup_keep_first(docs: DataFrame) -> DataFrame:
+    """Corpus after exact dedup: keep the lowest doc_id per content hash."""
+    h = docs.select("doc_id", F.md5(_norm(F.col("text"))).alias("content_hash"))
+    keep = h.groupBy("content_hash").agg(F.min("doc_id").alias("doc_id"))
+    return keep.select("doc_id", "content_hash")
+
+
+def _shingles(col, n: int = 3):
+    """Word n-gram shingles of normalized text (array<string>)."""
+    toks = F.split(_norm(col), " ")
+    k = F.size(toks) - (n - 1)
+    idxs = F.sequence(F.lit(1), F.greatest(k, F.lit(1)))
+    return F.transform(
+        idxs,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j).cast("int"))
+                                     for j in range(n)]),
+    )
+
+
+def minhash_signatures(docs: DataFrame, num_hashes: int = 16,
+                       shingle_n: int = 3) -> DataFrame:
+    """MinHash signatures: k independent min-of-xxhash64 over shingles.
+
+    Seeded xxhash64 gives k independent permutation approximations with
+    zero Python; each signature element is one array fold (JVM).
+    """
+    sh = _shingles(F.col("text"), shingle_n).alias("shingles")
+    base = docs.select("doc_id", sh)
+    sig_cols = [
+        F.array_min(F.transform("shingles", lambda s: F.xxhash64(s, F.lit(i))))
+        .alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return base.select("doc_id", F.array(*sig_cols).alias("signature"))
+
+
+def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16, bands: int = 4,
+                      shingle_n: int = 3) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash LSH.
+
+    rows_per_band = num_hashes / bands; docs sharing any band bucket are
+    candidates.  Shuffle key = (band, bucket hash): uniform by
+    construction, so no salting needed here even on skewed corpora.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(docs, num_hashes, shingle_n)
+    band_rows = sigs.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(F.concat_ws(
+                    ",",
+                    *[F.element_at("signature", b * rows_per_band + r + 1)
+                      .cast("string") for r in range(rows_per_band)],
+                )).alias("bucket"),
+            )
+            for b in range(bands)
+        ])).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    left = band_rows.alias("l")
+    right = band_rows.alias("r")
+    pairs = (
+        left.join(right, on=["band", "bucket"])
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(F.col("l.doc_id").alias("doc_a"),
+                F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def minhash_jaccard_estimate(docs: DataFrame, num_hashes: int = 16,
+                             threshold: float = 0.5) -> DataFrame:
+    """LSH candidates refined by signature-overlap Jaccard estimate."""
+    sigs = minhash_signatures(docs, num_hashes)
+    pairs = minhash_lsh_pairs(docs, num_hashes)
+    a = sigs.select(F.col("doc_id").alias("doc_a"),
+                    F.col("signature").alias("sig_a"))
+    b = sigs.select(F.col("doc_id").alias("doc_b"),
+                    F.col("signature").alias("sig_b"))
+    est = (
+        pairs.join(a, "doc_a").join(b, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            (F.size(F.filter(F.zip_with("sig_a", "sig_b",
+                                        lambda x, y: x == y),
+                             lambda eq: eq)).cast("double")
+             / num_hashes).alias("jaccard_est"),
+        )
+        .filter(F.col("jaccard_est") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )
+    return est
+
+
+def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
+    """SimHash over tokens (sign of per-bit weighted sums).
+
+    Pure Column algebra: token -> xxhash64 once per row, then per bit
+    the popcount of set bits vs tokens decides the sign.  Identical
+    simhash = near-dup bucket.  ``bits`` is a compile-time constant so
+    every shift is a literal (whole-stage codegen friendly).
+    """
+    toks = F.split(_norm(F.col("text")), " ")
+    base = docs.select(
+        "doc_id",
+        F.transform(toks, lambda t: F.xxhash64(t)).alias("hashes"),
+        F.size(toks).alias("n"),
+    )
+    def _bit_pred(b: int):
+        # single-arg lambda factory: a default arg would make PySpark treat
+        # the lambda as the 2-arg (element, index) form
+        return lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1
+
+    sim = F.lit(0).cast("long")
+    for b in range(bits):
+        ones = F.size(F.filter("hashes", _bit_pred(b)))
+        bit = F.when(ones * 2 > F.col("n"),
+                     F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        sim = sim.bitwiseOR(bit)
+    return base.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_duplicate_groups(docs: DataFrame) -> DataFrame:
+    """Groups of documents sharing an identical simhash."""
+    return (
+        simhash(docs)
+        .groupBy("simhash")
+        .agg(F.count("doc_id").alias("group_size"),
+             F.min("doc_id").alias("canonical_doc_id"))
+        .filter(F.col("group_size") > 1)
+        .orderBy("canonical_doc_id")
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
+                        threshold: float = 0.8,
+                        max_candidates_per_bucket: int = 1000) -> DataFrame:
+    """Exact n-gram Jaccard over LSH-pruned candidates (verification tier)."""
+    sh = docs.select("doc_id", F.array_distinct(_shingles(F.col("text"), n))
+                     .alias("sh"))
+    cand = minhash_lsh_pairs(docs)
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(a, "doc_a").join(b, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def embedding_near_duplicates(spark: SparkSession, sf_dir: str,
+                              threshold: float = 0.95) -> DataFrame:
+    """Cosine near-duplicate pairs over the embeddings table.
+
+    Exact all-pairs with doc-id pruning; double-precision ordered fold so
+    the oracle (DuckDB) computes bit-identical scores.  The LSH-bucketed
+    variant for 10^12 scale lives in operators.similarity.
+    """
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double"))
+        .alias("v"))
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.transform("va", lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.transform("vb", lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b",
+                F.round(dot / (na * nb), 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .orderBy("vec_a", "vec_b")
+    )

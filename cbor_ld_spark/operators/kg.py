@@ -1,0 +1,83 @@
+"""KG-construction dataflow operators (stages 0-3 of the pipeline).
+
+Spark-first realization of SURVEY.md §3.4:
+
+  scan -> sniff filter -> [one Arrow pass: parse/encode/decode/verify/
+  expand] -> doc results + exploded triple rows -> metrics aggregates.
+
+Scale notes (the part the 100 TB design hangs on):
+
+* The sniff filter and column projection sit *before* mapInPandas, so
+  Catalyst prunes the scan to (repo, path, commit, lang, content) and
+  drops non-candidates inside the scan stage.
+* ``process_corpus`` keeps partitioning intact — no shuffle at all in
+  stages 0-3; the kernel is map-only.  Skewed repos don't matter here
+  because nothing is keyed yet; skew handling lives in the downstream
+  groupBy/join stages, which salt explicitly (see operators.linking).
+* Triples explode JVM-side from the nested column; a 1-doc -> N-triples
+  fan-out never materializes Python objects row-at-a-time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from cbor_ld_spark.functions.udfs import (
+    DOC_RESULT_SCHEMA,
+    jsonld_sniff,
+    kg_process_batches,
+)
+
+DOC_COLUMNS = [f.name for f in DOC_RESULT_SCHEMA.fields if f.name != "triples"]
+
+
+def process_corpus(repos: DataFrame, registry_id: int = 1,
+                   emit_triples: bool = True) -> DataFrame:
+    """repos(repo,path,commit,lang,content) -> per-document KG results."""
+    candidates = (
+        repos
+        .filter(jsonld_sniff(F.col("lang")))
+        .select("repo", "path", "commit", "content")
+    )
+    return candidates.mapInPandas(
+        kg_process_batches(registry_id=registry_id, emit_triples=emit_triples),
+        schema=DOC_RESULT_SCHEMA,
+    )
+
+
+def triples_table(processed: DataFrame) -> DataFrame:
+    """Explode per-doc triple arrays into the corpus-wide triples table."""
+    t = (
+        processed
+        .filter(F.col("ok") & (F.col("n_triples") > 0))
+        .select("repo", "path", "doc_sha",
+                F.explode("triples").alias("t"))
+    )
+    return t.select(
+        F.col("t.subj").alias("subj"),
+        F.col("t.pred").alias("pred"),
+        F.col("t.obj").alias("obj"),
+        F.col("t.obj_is_iri").alias("obj_is_iri"),
+        F.col("t.obj_datatype").alias("obj_datatype"),
+        F.col("t.obj_lang").alias("obj_lang"),
+        F.col("t.graph").alias("graph"),
+        "repo", "path", "doc_sha",
+    )
+
+
+def corpus_metrics(processed: DataFrame) -> DataFrame:
+    """Per-repo verification metrics (partial aggregation is automatic)."""
+    return (
+        processed
+        .groupBy("repo")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(F.col("ok").cast("long")).alias("ok_docs"),
+            F.sum(F.coalesce(F.col("roundtrip_ok").cast("long"), F.lit(0)))
+            .alias("roundtrip_ok_docs"),
+            F.sum("n_triples").alias("triples"),
+            F.sum(F.coalesce(F.col("cbor_len"), F.lit(0)).cast("long")).alias("cbor_bytes"),
+            F.sum(F.col("json_len").cast("long")).alias("json_bytes"),
+        )
+        .orderBy("repo")
+    )

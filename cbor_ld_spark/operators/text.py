@@ -1,0 +1,88 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Large-scale training-data pipeline primitives: token counting, quality
+scoring, language-ID heuristic, document fingerprinting.  All pure
+Column expressions (JVM-side, WholeStageCodegen, no Python) — at 100 TB
+these are scan-bound map stages with zero shuffle; aggregates get
+automatic partial (map-side) aggregation.
+
+Each operator is written so an equivalent ANSI-SQL form produces
+bit-identical results in DuckDB (the driver's correctness oracle):
+integer arithmetic and string ops only, float ratios rounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+# Tiny English stopword list for the language-ID heuristic / quality score.
+STOPWORDS = ("the", "and", "of", "to", "a", "in", "is", "it", "that", "for")
+
+
+def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _norm(col):
+    """Whitespace-normalized lowercase text."""
+    return F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Per-document token counts + corpus aggregate stats."""
+    toks = F.size(F.split(_norm(F.col("text")), " "))
+    per_doc = docs.select("doc_id", toks.alias("n_tokens"),
+                          F.length("text").alias("n_chars_actual"))
+    return (
+        per_doc
+        .agg(
+            F.count("doc_id").alias("docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.round(F.avg("n_tokens"), 3).alias("avg_tokens"),
+        )
+    )
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Per-document quality features (length, punctuation, stopword hits)."""
+    text = F.col("text")
+    norm = _norm(text)
+    n_chars = F.length(text)
+    n_punct = n_chars - F.length(F.regexp_replace(text, r"[.!?,;:]", ""))
+    n_tokens = F.size(F.split(norm, " "))
+    stop_hits = sum(
+        (F.size(F.split(F.concat(F.lit(" "), norm, F.lit(" ")),
+                        f" {w} ", -1)) - F.lit(1))
+        for w in STOPWORDS
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        n_punct.alias("n_punct"),
+        stop_hits.alias("stopword_hits"),
+        F.round(n_punct.cast("double") / n_chars, 6).alias("punct_ratio"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Heuristic language ID: English stopword density over tokens."""
+    q = quality_scores(docs)
+    score = F.col("stopword_hits").cast("double") / F.col("n_tokens")
+    return q.select(
+        "doc_id",
+        F.round(score, 6).alias("en_score"),
+        F.when(score >= 0.05, F.lit("en")).otherwise(F.lit("unknown"))
+        .alias("lang_pred"),
+    )
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """Deterministic document fingerprint (normalized-content hash)."""
+    return docs.select(
+        "doc_id",
+        F.md5(_norm(F.col("text"))).alias("fingerprint"),
+    )

@@ -1,0 +1,149 @@
+"""Corpus source: the driver-mandated repos table + deterministic synthesis.
+
+Input shape (BASELINE.json input_hint): ``repo string, path string,
+commit string, lang string, content string`` — an Iceberg table of
+source-code repositories; parquet is the sandbox stand-in (the reader
+falls back automatically).
+
+``synthesize_corpus`` stamps the vendored reference sample documents
+(plus distractor source files and mutated variants) across n rows,
+**entirely JVM-side**: content variants are a small literal array
+selected by ``id % k``, so generation never leaves Tungsten and scales
+linearly with cores.  One designated mega-repo receives ~50% of rows to
+exercise skew handling, mirroring real-world corpus skew (FIXTURES.md §1).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+_SAMPLES_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "fixtures", "samples",
+)
+
+# (class_name, file, lang, encodable)
+PAYLOAD_CLASSES: tuple[tuple[str, str, str, bool], ...] = (
+    ("note", "note.jsonld", "json", True),
+    ("prc", "prc.jsonld", "json", True),
+    ("truage", "truage.jsonld", "json", True),
+    ("cit", "cit.jsonld", "json", True),
+    ("uncompressible", "uncompressible.jsonld", "json", False),
+    ("didKey", "didKey.jsonld", "json", False),  # context not vendored
+)
+
+_DISTRACTORS: tuple[tuple[str, str, str], ...] = (
+    ("rustsrc", "rust", "fn main() { println!(\"hello\"); } // not json-ld\n"),
+    ("pysrc", "python", "def main():\n    return 42  # not json-ld\n"),
+    ("mddoc", "markdown", "# README\n\nThis file is prose, not JSON-LD.\n"),
+)
+
+
+def _load_payload_variants() -> list[tuple[str, str, str, bool]]:
+    """Returns [(class_name, lang, content, encodable)] incl. mutations."""
+    variants: list[tuple[str, str, str, bool]] = []
+    for name, fname, lang, encodable in PAYLOAD_CLASSES:
+        with open(os.path.join(_SAMPLES_DIR, fname), encoding="utf-8") as f:
+            raw = f.read()
+        variants.append((name, lang, raw, encodable))
+        if encodable:
+            doc = json.loads(raw)
+            # mutation 1: shuffled key order (decode oracle is order-insensitive)
+            shuffled = json.dumps(dict(reversed(list(doc.items()))), indent=2)
+            variants.append((f"{name}-shuffled", lang, shuffled, encodable))
+            # mutation 2: whitespace-free
+            compact = json.dumps(doc, separators=(",", ":"))
+            variants.append((f"{name}-compact", lang, compact, encodable))
+    for name, lang, content in _DISTRACTORS:
+        variants.append((name, lang, content, False))
+    # mutation 3: truncated JSON (parse-error path)
+    variants.append(("truncated", "json", '{"@context": "https://www.w3.org/ns/activitystreams", "type"', False))
+    return variants
+
+
+def payload_variants() -> list[tuple[str, str, str, bool]]:
+    return _load_payload_variants()
+
+
+def synthesize_corpus(spark: SparkSession, n_rows: int,
+                      n_orgs: int = 7, n_repos: int = 13,
+                      mega_share: int = 2) -> DataFrame:
+    """Deterministic repos-shaped corpus of ``n_rows`` rows, JVM-side.
+
+    Every ``mega_share``-th row lands in ``org0/mega`` (skew); content
+    cycles through the payload variant array.  Same n -> same bytes,
+    every run, any partitioning.
+    """
+    variants = _load_payload_variants()
+    names = F.array(*[F.lit(v[0]) for v in variants])
+    langs = F.array(*[F.lit(v[1]) for v in variants])
+    contents = F.array(*[F.lit(v[2]) for v in variants])
+    k = len(variants)
+
+    df = spark.range(0, n_rows)  # distributed generator
+    idx = (F.col("id") % k + 1).cast("int")  # element_at is 1-based
+    cls = F.element_at(names, idx)
+    repo = F.when(
+        F.col("id") % mega_share == 0, F.lit("org0/mega")
+    ).otherwise(
+        F.concat(F.lit("org"), (F.col("id") % n_orgs).cast("string"),
+                 F.lit("/repo"), (F.col("id") % n_repos).cast("string"))
+    )
+    path = F.concat(F.lit("creds/"), F.col("id").cast("string"),
+                    F.lit("/"), cls, F.lit(".jsonld"))
+    return df.select(
+        repo.alias("repo"),
+        path.alias("path"),
+        F.sha2(F.concat(repo, F.lit(":"), path, F.lit(":42")), 256)
+        .substr(1, 40).alias("commit"),
+        F.element_at(langs, idx).alias("lang"),
+        F.element_at(contents, idx).alias("content"),
+    )
+
+
+def corpus_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive the repos-shaped corpus from the testdata ``documents`` table.
+
+    Uses ``doc_id`` as the deterministic row index so the corpus is a pure
+    function of the driver-generated testdata (same variant cycling and
+    mega-repo skew as :func:`synthesize_corpus`).
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    variants = _load_payload_variants()
+    names = F.array(*[F.lit(v[0]) for v in variants])
+    langs = F.array(*[F.lit(v[1]) for v in variants])
+    contents = F.array(*[F.lit(v[2]) for v in variants])
+    k = len(variants)
+    idx = (F.col("doc_id") % k + 1).cast("int")
+    cls = F.element_at(names, idx)
+    repo = F.when(
+        F.col("doc_id") % 2 == 0, F.lit("org0/mega")
+    ).otherwise(
+        F.concat(F.lit("org"), (F.col("doc_id") % 7).cast("string"),
+                 F.lit("/repo"), (F.col("doc_id") % 13).cast("string"))
+    )
+    path = F.concat(F.lit("creds/"), F.col("doc_id").cast("string"),
+                    F.lit("/"), cls, F.lit(".jsonld"))
+    return docs.select(
+        repo.alias("repo"),
+        path.alias("path"),
+        F.sha2(F.concat(repo, F.lit(":"), path, F.lit(":42")), 256)
+        .substr(1, 40).alias("commit"),
+        F.element_at(langs, idx).alias("lang"),
+        F.element_at(contents, idx).alias("content"),
+    )
+
+
+def load_repos(spark: SparkSession, source: str) -> DataFrame:
+    """Read the repos corpus: Iceberg table name or parquet path.
+
+    At production scale this is an Iceberg scan (hidden partitioning on
+    ``bucket(N, repo)``); Catalyst pushes filters/pruning into the scan
+    either way.
+    """
+    if os.path.exists(source) or source.startswith(("file:", "s3:", "hdfs:")):
+        return spark.read.parquet(source)
+    return spark.read.table(source)
