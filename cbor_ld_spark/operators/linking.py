@@ -1,0 +1,138 @@
+"""Entity linking: distributed connected components over IRI equivalence.
+
+Cross-document entity identity comes from three signals: identical
+``@id`` IRIs (equality is free — same string), explicit equivalence
+predicates (``owl:sameAs``-style), and subject-object adjacency within
+documents.  Components over that graph group triples into entities for
+canonical labeling.
+
+Algorithm: label propagation (min-label flooding) as iterative DataFrame
+joins — the standard Spark-first CC formulation:
+
+* labels start as the node id; each round every node takes the min of
+  its neighbors' labels; converged when nothing changes.
+* **Shuffle/skew**: the per-round aggregation is ``groupBy(node).min``,
+  which gets map-side partial aggregation automatically — a hot node
+  (mega-entity) combines locally before the shuffle, so no salting is
+  needed for the agg.  The edges-to-labels join shuffles on the node
+  key; AQE skew-join splitting handles hot keys
+  (``spark.sql.adaptive.skewJoin.enabled``), and edges are pre-hash
+  partitioned once and reused across iterations.
+* **Lineage control**: every ``checkpoint_every`` rounds the label frame
+  is localCheckpoint()-ed (or persisted + materialized) to cut the plan;
+  otherwise 10 iterations of self-joins produce an exponential plan.
+* Convergence in O(graph diameter) rounds; credential graphs are
+  star-shaped (diameter <= 4), so 5-8 rounds at any corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+SAME_AS_PREDICATES = (
+    "http://www.w3.org/2002/07/owl#sameAs",
+    "https://schema.org/sameAs",
+)
+
+
+def equivalence_edges(triples: DataFrame,
+                      include_adjacency: bool = True) -> DataFrame:
+    """Edge list (src, dst) for entity linking from the triples table."""
+    same_as = (
+        triples
+        .filter(F.col("pred").isin(*SAME_AS_PREDICATES) & F.col("obj_is_iri"))
+        .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    )
+    if not include_adjacency:
+        return same_as.distinct()
+    adjacency = (
+        triples
+        .filter(F.col("obj_is_iri"))
+        .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    )
+    # named-graph membership: triples inside a (blank-node-named) graph
+    # belong to the entity that references the graph
+    membership = (
+        triples
+        .filter(F.col("graph").startswith("_:"))
+        .select(F.col("graph").alias("src"), F.col("subj").alias("dst"))
+    )
+    return same_as.unionByName(adjacency).unionByName(membership).distinct()
+
+
+def connected_components(edges: DataFrame, max_iter: int = 25,
+                         checkpoint_every: int = 3) -> DataFrame:
+    """(src, dst) edge list -> (id, component) with component = min node id.
+
+    Deterministic: labels are node-id strings, min is lexicographic.
+    """
+    spark = edges.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    # Symmetrize once; repartition by src so every iteration's join reuses
+    # the same partitioning (exchange reuse).
+    sym = (
+        edges.select("src", "dst")
+        .unionByName(edges.select(F.col("dst").alias("src"),
+                                  F.col("src").alias("dst")))
+        .distinct()
+        .repartition(n_part, "src")
+        .persist()
+    )
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .repartition(n_part, "id")
+        .persist()
+    )
+    labels.count()
+
+    for i in range(max_iter):
+        # neighbor-label messages + self label, min per node
+        msgs = (
+            sym.join(labels, sym.src == labels.id)
+            .select(F.col("dst").alias("id"),
+                    F.col("component"))
+        )
+        new_labels = (
+            msgs.unionByName(labels)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+        )
+        if (i + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint()
+
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        old = labels
+        labels = new_labels.persist()
+        labels.count()
+        old.unpersist()
+        if changed == 0:
+            break
+
+    sym.unpersist()
+    return labels
+
+
+def link_entities(triples: DataFrame, max_iter: int = 25) -> DataFrame:
+    """triples -> (id, component) for every IRI/bnode node in the graph."""
+    edges = equivalence_edges(triples)
+    comp = connected_components(edges, max_iter=max_iter)
+    # nodes that never appear in an edge are their own component
+    all_nodes = (
+        triples.select(F.col("subj").alias("id"))
+        .unionByName(
+            triples.filter(F.col("obj_is_iri")).select(F.col("obj").alias("id")))
+        .distinct()
+    )
+    return (
+        all_nodes.join(comp, "id", "left")
+        .select("id", F.coalesce("component", F.col("id")).alias("component"))
+    )

@@ -1,0 +1,186 @@
+"""End-to-end KG build: materialize nodes/edges with lineage + resume.
+
+Stage map (SURVEY.md §3.4):
+
+  0 scan+filter   corpus scan, sniff filter, bucket assignment
+  1-3 kernel      parse/encode/decode/verify/expand (one Arrow pass)
+  4 entity link   connected components over equivalence edges
+  5 canonicalize  per-component URDNA-style blank-node labels
+  6 materialize   nodes/edges/docs/lineage tables
+
+Checkpoint-resume contract (the 10^12-file requirement):
+
+* Work is keyed by ``bucket = pmod(xxhash64(repo, path), n_buckets)`` —
+  path-level hashing so a mega-repo spreads across buckets (skew
+  salting built into the unit of work).
+* The kernel stages write ``docs/`` and ``triples/`` partitioned BY
+  bucket with dynamic partition overwrite: re-running a bucket replaces
+  exactly its partition — idempotent under retry.
+* After each bucket set commits, one lineage row per bucket is appended:
+  ``(run_id, stage, bucket, rows_in, ok, err, triples, wall_ms)``.
+* On resume, completed buckets are skipped via ``left_anti`` join of the
+  input's bucket ids against the lineage table — only missing work runs.
+* Graph-global stages (4-6) run after all buckets are present; they are
+  deterministic functions of the triples table, so re-running them is
+  idempotent by construction (full overwrite).
+
+On a real deployment each parquet directory is an Iceberg table
+(``writeTo(...).overwritePartitions()``); the layout below mirrors that
+with plain parquet so the sandbox stays self-contained.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from cbor_ld_spark.operators.canonicalize import canonical_triples
+from cbor_ld_spark.operators.kg import process_corpus, triples_table
+from cbor_ld_spark.operators.linking import link_entities
+
+DOC_COLS = ["repo", "path", "commit", "doc_sha", "content_sha", "ok",
+            "error", "error_kind", "json_len", "cbor_len", "roundtrip_ok",
+            "n_triples"]
+
+# explicit read schemas: a run whose every row quarantines writes an
+# empty (schemaless) parquet dir; reads must still work for resume
+TRIPLES_SCHEMA = ("subj string, pred string, obj string, obj_is_iri boolean, "
+                  "obj_datatype string, obj_lang string, graph string, "
+                  "repo string, path string, doc_sha string, bucket int")
+DOCS_SCHEMA = ("repo string, path string, commit string, doc_sha string, "
+               "content_sha string, ok boolean, error string, "
+               "error_kind string, json_len int, cbor_len int, "
+               "roundtrip_ok boolean, n_triples int, bucket int")
+
+
+def _with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
+    return df.withColumn(
+        "bucket", F.pmod(F.xxhash64("repo", "path"), F.lit(n_buckets)).cast("int"))
+
+
+def _lineage_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "lineage")
+
+
+def read_lineage(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    p = _lineage_path(out_dir)
+    try:
+        return spark.read.parquet(p)
+    except Exception:
+        return None
+
+
+def build_kg(spark: SparkSession, repos: DataFrame, out_dir: str,
+             run_id: str, n_buckets: int = 64,
+             registry_id: int = 1) -> dict:
+    """Run (or resume) the full pipeline; returns summary metrics."""
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    bucketed = _with_bucket(repos, n_buckets)
+
+    # ---- resume: skip buckets already completed for this run ----
+    lineage = read_lineage(spark, out_dir)
+    if lineage is not None:
+        done = (lineage.filter((F.col("run_id") == run_id) &
+                               (F.col("stage") == "kernel"))
+                .select("bucket").distinct())
+        todo = bucketed.join(done, "bucket", "left_anti")
+        skipped = True
+    else:
+        todo = bucketed
+        skipped = False
+
+    t0 = time.monotonic()
+    processed = process_corpus(todo.drop("bucket"), registry_id=registry_id)
+    processed = _with_bucket(processed, n_buckets).persist()
+
+    n_todo_docs = processed.count()
+    # dynamic partition overwrite: only buckets present in this run's data
+    # are replaced; an empty run touches nothing but keeps the dirs readable
+    (processed.select(*DOC_COLS, "bucket")
+     .write.mode("overwrite").partitionBy("bucket")
+     .parquet(os.path.join(out_dir, "docs")))
+    (_with_bucket(triples_table(processed), n_buckets)
+     .write.mode("overwrite").partitionBy("bucket")
+     .parquet(os.path.join(out_dir, "triples")))
+
+    if n_todo_docs > 0:
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        lineage_rows = (
+            processed.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("rows_in"),
+                 F.sum(F.col("ok").cast("long")).alias("ok_rows"),
+                 F.sum((~F.col("ok")).cast("long")).alias("err_rows"),
+                 F.sum("n_triples").alias("triples"))
+            .withColumn("run_id", F.lit(run_id))
+            .withColumn("stage", F.lit("kernel"))
+            .withColumn("wall_ms", F.lit(wall_ms))
+            .withColumn("committed_at", F.current_timestamp())
+        )
+        lineage_rows.write.mode("append").parquet(_lineage_path(out_dir))
+    processed.unpersist()
+
+    # ---- graph-global stages over the complete triples table ----
+    all_triples = spark.read.schema(TRIPLES_SCHEMA).parquet(
+        os.path.join(out_dir, "triples"))
+    components = link_entities(all_triples)
+    canon = canonical_triples(all_triples, components)
+
+    edges = edges_table(canon)
+    nodes = nodes_table(canon)
+    edges.write.mode("overwrite").parquet(os.path.join(out_dir, "edges"))
+    nodes.write.mode("overwrite").parquet(os.path.join(out_dir, "nodes"))
+
+    docs = spark.read.schema(DOCS_SCHEMA).parquet(os.path.join(out_dir, "docs"))
+    summary = {
+        "run_id": run_id,
+        "resumed": skipped,
+        "docs_processed_this_run": n_todo_docs,
+        "docs_total": docs.count(),
+        "triples_total": all_triples.count(),
+        "nodes_total": spark.read.parquet(os.path.join(out_dir, "nodes")).count(),
+        "edges_total": spark.read.parquet(os.path.join(out_dir, "edges")).count(),
+    }
+    return summary
+
+
+def edges_table(canon_triples: DataFrame) -> DataFrame:
+    """Canonical edges: IRI->IRI triples (entity graph)."""
+    return (
+        canon_triples
+        .select(
+            F.col("subj").alias("subj_canon"),
+            "pred",
+            F.when(F.col("obj_is_iri"), F.col("obj")).alias("obj_canon"),
+            F.when(~F.col("obj_is_iri"), F.col("obj")).alias("obj_literal"),
+            "obj_datatype", "graph", "repo", "path",
+        )
+    )
+
+
+def nodes_table(canon_triples: DataFrame) -> DataFrame:
+    """Canonical nodes with kind + rdf:type labels, deduped corpus-wide."""
+    from cbor_ld_spark.kernel.expand import RDF_TYPE
+
+    subj_nodes = canon_triples.select(
+        F.col("subj").alias("canon_iri"), "repo",
+        F.when(F.col("pred") == RDF_TYPE, F.col("obj")).alias("label"))
+    obj_nodes = canon_triples.filter(F.col("obj_is_iri")).select(
+        F.col("obj").alias("canon_iri"), "repo",
+        F.lit(None).cast("string").alias("label"))
+    return (
+        subj_nodes.unionByName(obj_nodes)
+        .groupBy("canon_iri")
+        .agg(
+            F.sort_array(F.collect_set("label")).alias("labels"),
+            F.countDistinct("repo").alias("n_repos"),
+            F.min("repo").alias("first_repo"),
+        )
+        .withColumn(
+            "kind",
+            F.when(F.col("canon_iri").contains("#_:") |
+                   F.col("canon_iri").startswith("_:"), F.lit("bnode"))
+            .otherwise(F.lit("iri")))
+    )
