@@ -9,9 +9,12 @@ Design for 100 TB:
 * ``kg_process_batches`` is a single ``mapInPandas`` pass doing
   parse -> encode -> decode -> verify -> expand per document: the corpus
   content crosses Arrow exactly once, and every per-document product
-  (CBOR bytes length, sha invariant, triples) comes back in the same
-  batch.  Triples return as a nested array<struct> column; the explode to
-  triple rows happens JVM-side.
+  (CBOR length, sha invariant, triples) comes back in the same batch.
+* Triples return as **seven parallel flat arrays** rather than one
+  array<struct>: pandas->Arrow conversion of plain list columns is
+  several times cheaper than building struct children from Python
+  tuples, and the zip/explode to triple rows happens JVM-side
+  (``arrays_zip`` + ``explode`` in operators.kg).
 * Errors never throw: each row carries an ``error`` string (quarantine
   column, reference error taxonomy src/encode/error.rs / decode/error.rs)
   so one poison document cannot kill a partition of a million documents.
@@ -23,7 +26,6 @@ Design for 100 TB:
 from __future__ import annotations
 
 import hashlib
-import json
 from typing import Iterator
 
 import pandas as pd
@@ -37,31 +39,32 @@ from pyspark.sql.types import (
     StructType,
 )
 
-TRIPLE_STRUCT = StructType([
-    StructField("subj", StringType(), False),
-    StructField("pred", StringType(), False),
-    StructField("obj", StringType(), False),
-    StructField("obj_is_iri", BooleanType(), False),
-    StructField("obj_datatype", StringType(), True),
-    StructField("obj_lang", StringType(), True),
-    StructField("graph", StringType(), False),
-])
-
+_S = StringType()
 DOC_RESULT_SCHEMA = StructType([
-    StructField("repo", StringType(), False),
-    StructField("path", StringType(), False),
-    StructField("commit", StringType(), True),
-    StructField("doc_sha", StringType(), True),       # sha256(canonical(doc))
-    StructField("content_sha", StringType(), True),    # sha256(raw content)
+    StructField("repo", _S, False),
+    StructField("path", _S, False),
+    StructField("commit", _S, True),
+    StructField("doc_sha", _S, True),        # sha256(canonical(doc))
+    StructField("content_sha", _S, True),     # sha256(raw content)
     StructField("ok", BooleanType(), False),
-    StructField("error", StringType(), True),
-    StructField("error_kind", StringType(), True),
+    StructField("error", _S, True),
+    StructField("error_kind", _S, True),
     StructField("json_len", IntegerType(), False),
     StructField("cbor_len", IntegerType(), True),
     StructField("roundtrip_ok", BooleanType(), True),
     StructField("n_triples", IntegerType(), False),
-    StructField("triples", ArrayType(TRIPLE_STRUCT), True),
+    StructField("t_subj", ArrayType(_S), True),
+    StructField("t_pred", ArrayType(_S), True),
+    StructField("t_obj", ArrayType(_S), True),
+    StructField("t_is_iri", ArrayType(BooleanType()), True),
+    StructField("t_dt", ArrayType(_S), True),
+    StructField("t_lang", ArrayType(_S), True),
+    StructField("t_graph", ArrayType(_S), True),
 ])
+
+_COLS = [f.name for f in DOC_RESULT_SCHEMA.fields]
+_TRIPLE_COLS = ["t_subj", "t_pred", "t_obj", "t_is_iri", "t_dt", "t_lang",
+                "t_graph"]
 
 
 def jsonld_sniff(lang: Column | None = None) -> Column:
@@ -78,11 +81,12 @@ def jsonld_sniff(lang: Column | None = None) -> Column:
 
 
 def _process_one(content: str, registry_id: int, emit_triples: bool):
-    """Per-document kernel: returns dict of result fields (never raises)."""
-    # Imported lazily so the module ships to executors cheaply.
+    """Per-document kernel: returns a result tuple (never raises).
+
+    Tuple layout matches DOC_RESULT_SCHEMA from ``doc_sha`` onward.
+    """
     from cbor_ld_spark.kernel import (
         CborLdError,
-        canonical_json,
         content_sha256,
         decode_document,
         encode_document,
@@ -90,64 +94,70 @@ def _process_one(content: str, registry_id: int, emit_triples: bool):
     )
     from cbor_ld_spark.kernel.expand import expand_to_triples
 
-    out = {
-        "doc_sha": None, "ok": False, "error": None, "error_kind": None,
-        "json_len": len(content), "cbor_len": None, "roundtrip_ok": None,
-        "n_triples": 0, "triples": None,
-    }
+    doc_sha = None
+    cbor_len = None
+    roundtrip_ok = None
+    tcols = (None,) * 7
+    n_triples = 0
     try:
         doc = parse_json_document(content)
         if not isinstance(doc, dict):
             raise CborLdError("ExpectedObject", "root is not an object")
         doc_sha = content_sha256(doc)
-        out["doc_sha"] = doc_sha
         cbor = encode_document(doc, registry_id=registry_id)
-        out["cbor_len"] = len(cbor)
+        cbor_len = len(cbor)
         back = decode_document(cbor)
-        out["roundtrip_ok"] = content_sha256(back) == doc_sha
+        roundtrip_ok = content_sha256(back) == doc_sha
         if emit_triples:
             triples = expand_to_triples(doc)
             prefix = f"_:{doc_sha[:16]}_"
-            rows = []
+            subj, pred, obj, is_iri, dt, lang, graph = [], [], [], [], [], [], []
             for t in triples:
-                subj = prefix + t.subj[2:] if t.subj.startswith("_:b") else t.subj
-                obj = (prefix + t.obj[2:]
-                       if t.obj_is_iri and t.obj.startswith("_:b") else t.obj)
-                graph = (prefix + t.graph[2:]
-                         if t.graph.startswith("_:b") else t.graph)
-                rows.append((subj, t.pred, obj, t.obj_is_iri,
-                             t.obj_datatype, t.obj_lang, graph))
-            out["triples"] = rows
-            out["n_triples"] = len(rows)
-        out["ok"] = True
+                subj.append(prefix + t.subj[2:] if t.subj.startswith("_:b")
+                            else t.subj)
+                pred.append(t.pred)
+                obj.append(prefix + t.obj[2:]
+                           if t.obj_is_iri and t.obj.startswith("_:b")
+                           else t.obj)
+                is_iri.append(t.obj_is_iri)
+                dt.append(t.obj_datatype)
+                lang.append(t.obj_lang)
+                graph.append(prefix + t.graph[2:]
+                             if t.graph.startswith("_:b") else t.graph)
+            tcols = (subj, pred, obj, is_iri, dt, lang, graph)
+            n_triples = len(triples)
+        return (doc_sha, True, None, None, len(content), cbor_len,
+                roundtrip_ok, n_triples, *tcols)
     except CborLdError as e:
-        out["error"] = e.message or e.kind
-        out["error_kind"] = e.kind
+        return (doc_sha, False, e.message or e.kind, e.kind, len(content),
+                cbor_len, roundtrip_ok, 0, *((None,) * 7))
     except (ValueError, RecursionError, TypeError) as e:
-        out["error"] = str(e)[:500]
-        out["error_kind"] = type(e).__name__
-    return out
+        return (doc_sha, False, str(e)[:500], type(e).__name__, len(content),
+                cbor_len, roundtrip_ok, 0, *((None,) * 7))
 
 
 def kg_process_batches(registry_id: int = 1, emit_triples: bool = True):
     """Build the mapInPandas function for the KG kernel pass."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sha256 = hashlib.sha256
         for pdf in batches:
-            results = []
-            for repo, path, commit, content in zip(
-                pdf["repo"], pdf["path"], pdf["commit"], pdf["content"]
+            contents = pdf["content"]
+            results = [_process_one(c, registry_id, emit_triples)
+                       for c in contents]
+            data = {
+                "repo": pdf["repo"].values,
+                "path": pdf["path"].values,
+                "commit": pdf["commit"].values,
+                "content_sha": [sha256(c.encode("utf-8")).hexdigest()
+                                for c in contents],
+            }
+            # transpose result tuples column-wise (fast pandas construction)
+            for i, name in enumerate(
+                ["doc_sha", "ok", "error", "error_kind", "json_len",
+                 "cbor_len", "roundtrip_ok", "n_triples", *_TRIPLE_COLS]
             ):
-                r = _process_one(content, registry_id, emit_triples)
-                r["repo"] = repo
-                r["path"] = path
-                r["commit"] = commit
-                r["content_sha"] = hashlib.sha256(
-                    content.encode("utf-8")).hexdigest()
-                results.append(r)
-            yield pd.DataFrame(
-                results,
-                columns=[f.name for f in DOC_RESULT_SCHEMA.fields],
-            )
+                data[name] = [r[i] for r in results]
+            yield pd.DataFrame(data, columns=_COLS)
 
     return fn

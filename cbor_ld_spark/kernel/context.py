@@ -76,7 +76,7 @@ class ActiveContext:
 
     __slots__ = (
         "terms", "vocab", "base", "default_language", "default_direction",
-        "fingerprint", "sorted_terms",
+        "fingerprint", "sorted_terms", "alloc_terms",
     )
 
     def __init__(self) -> None:
@@ -87,6 +87,7 @@ class ActiveContext:
         self.default_direction: str | None = None
         self.fingerprint: tuple = ()
         self.sorted_terms: tuple[str, ...] = ()
+        self.alloc_terms: tuple[str, ...] = ()
 
     def copy(self) -> "ActiveContext":
         c = ActiveContext.__new__(ActiveContext)
@@ -97,6 +98,7 @@ class ActiveContext:
         c.default_direction = self.default_direction
         c.fingerprint = self.fingerprint
         c.sorted_terms = self.sorted_terms
+        c.alloc_terms = self.alloc_terms
         return c
 
     def get(self, term: str) -> TermDefinition | None:
@@ -104,16 +106,33 @@ class ActiveContext:
 
     def seal(self) -> None:
         self.sorted_terms = tuple(sorted(self.terms))
+        # precomputed once per (cached) context: the exact allocation
+        # sequence the CBOR-LD id allocator must see
+        self.alloc_terms = tuple(t for t in self.sorted_terms
+                                 if not is_keyword(t))
 
 
 EMPTY_CONTEXT = ActiveContext()
 
 
+# Identity-keyed memo for non-string context values.  Scoped contexts are
+# sub-objects of loader-cached documents, so the same dict object recurs
+# for every document sharing a context chain; keeping a strong reference
+# in the memo pins the id() so it can't be reused.
+_IDENTITY_KEYS: dict[int, tuple[Any, str]] = {}
+
+
 def _context_cache_key(value: Any) -> str:
     if isinstance(value, str):
         return "u:" + value
+    hit = _IDENTITY_KEYS.get(id(value))
+    if hit is not None and hit[0] is value:
+        return hit[1]
     blob = json.dumps(value, sort_keys=True, separators=(",", ":"))
-    return "h:" + hashlib.sha256(blob.encode()).hexdigest()[:24]
+    key = "h:" + hashlib.sha256(blob.encode()).hexdigest()[:24]
+    if len(_IDENTITY_KEYS) < 65536:
+        _IDENTITY_KEYS[id(value)] = (value, key)
+    return key
 
 
 # (parent fingerprint, context key, propagate) -> ActiveContext

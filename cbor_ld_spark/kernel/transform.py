@@ -82,9 +82,9 @@ class _TransformerBase:
         """Process one context (URL or inline syntax) + allocate term ids."""
         result = process_context(active, context_value, self.loader,
                                  base_url=base_url, propagate=propagate)
-        for term in result.sorted_terms:
-            if not is_keyword(term):
-                self.allocator.allocate(term)
+        allocate = self.allocator.allocate
+        for term in result.alloc_terms:
+            allocate(term)
         return result
 
     def _process_context_url(self, active: ActiveContext, url: str,

@@ -28,7 +28,8 @@ from cbor_ld_spark.functions.udfs import (
     kg_process_batches,
 )
 
-DOC_COLUMNS = [f.name for f in DOC_RESULT_SCHEMA.fields if f.name != "triples"]
+DOC_COLUMNS = [f.name for f in DOC_RESULT_SCHEMA.fields
+               if not f.name.startswith("t_")]
 
 
 def process_corpus(repos: DataFrame, registry_id: int = 1,
@@ -46,21 +47,27 @@ def process_corpus(repos: DataFrame, registry_id: int = 1,
 
 
 def triples_table(processed: DataFrame) -> DataFrame:
-    """Explode per-doc triple arrays into the corpus-wide triples table."""
+    """Explode per-doc triple arrays into the corpus-wide triples table.
+
+    The UDF returns seven parallel flat arrays; zipping them into structs
+    and exploding happens here, JVM-side (one generate node, no Python).
+    """
     t = (
         processed
         .filter(F.col("ok") & (F.col("n_triples") > 0))
         .select("repo", "path", "doc_sha",
-                F.explode("triples").alias("t"))
+                F.explode(F.arrays_zip(
+                    "t_subj", "t_pred", "t_obj", "t_is_iri",
+                    "t_dt", "t_lang", "t_graph")).alias("t"))
     )
     return t.select(
-        F.col("t.subj").alias("subj"),
-        F.col("t.pred").alias("pred"),
-        F.col("t.obj").alias("obj"),
-        F.col("t.obj_is_iri").alias("obj_is_iri"),
-        F.col("t.obj_datatype").alias("obj_datatype"),
-        F.col("t.obj_lang").alias("obj_lang"),
-        F.col("t.graph").alias("graph"),
+        F.col("t.t_subj").alias("subj"),
+        F.col("t.t_pred").alias("pred"),
+        F.col("t.t_obj").alias("obj"),
+        F.col("t.t_is_iri").alias("obj_is_iri"),
+        F.col("t.t_dt").alias("obj_datatype"),
+        F.col("t.t_lang").alias("obj_lang"),
+        F.col("t.t_graph").alias("graph"),
         "repo", "path", "doc_sha",
     )
 

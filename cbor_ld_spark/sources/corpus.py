@@ -70,12 +70,14 @@ def payload_variants() -> list[tuple[str, str, str, bool]]:
 
 def synthesize_corpus(spark: SparkSession, n_rows: int,
                       n_orgs: int = 7, n_repos: int = 13,
-                      mega_share: int = 2) -> DataFrame:
+                      mega_share: int = 2,
+                      partitions: int | None = None) -> DataFrame:
     """Deterministic repos-shaped corpus of ``n_rows`` rows, JVM-side.
 
     Every ``mega_share``-th row lands in ``org0/mega`` (skew); content
     cycles through the payload variant array.  Same n -> same bytes,
-    every run, any partitioning.
+    every run, any partitioning.  ``partitions`` defaults to 3x the
+    default parallelism so the Python kernel stage has a short tail.
     """
     variants = _load_payload_variants()
     names = F.array(*[F.lit(v[0]) for v in variants])
@@ -83,7 +85,9 @@ def synthesize_corpus(spark: SparkSession, n_rows: int,
     contents = F.array(*[F.lit(v[2]) for v in variants])
     k = len(variants)
 
-    df = spark.range(0, n_rows)  # distributed generator
+    if partitions is None:
+        partitions = spark.sparkContext.defaultParallelism * 3
+    df = spark.range(0, n_rows, numPartitions=partitions)
     idx = (F.col("id") % k + 1).cast("int")  # element_at is 1-based
     cls = F.element_at(names, idx)
     repo = F.when(

@@ -1,0 +1,54 @@
+#!/usr/bin/env python3
+"""spark-submit entrypoint: build the knowledge graph from a repos corpus.
+
+    spark-submit --py-files dist/cbor_ld_spark.zip jobs/build_kg.py \
+        --input <iceberg-table-or-parquet-path> \
+        --out /data/kg --run-id 2026-08-16a --buckets 4096
+
+Resumable: re-running with the same --run-id skips completed buckets via
+the lineage table.  On a cluster, size --buckets so one bucket's
+documents fit one executor comfortably (~1-4 GB of content each); at
+10^12 files that is O(10^5) buckets.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True,
+                    help="repos table: iceberg name or parquet path")
+    ap.add_argument("--out", required=True, help="output directory/namespace")
+    ap.add_argument("--run-id", required=True)
+    ap.add_argument("--buckets", type=int, default=256)
+    ap.add_argument("--registry-id", type=int, default=1)
+    ap.add_argument("--synthesize", type=int, default=0,
+                    help="generate an n-row synthetic corpus instead of --input")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from cbor_ld_spark.plans import build_kg
+    from cbor_ld_spark.sources import load_repos, synthesize_corpus
+
+    spark = (
+        SparkSession.builder.appName(f"build_kg-{args.run_id}")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .getOrCreate()
+    )
+    repos = (synthesize_corpus(spark, args.synthesize) if args.synthesize
+             else load_repos(spark, args.input))
+    summary = build_kg(spark, repos, args.out, run_id=args.run_id,
+                       n_buckets=args.buckets, registry_id=args.registry_id)
+    print(json.dumps(summary))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,94 @@
+"""Tier-2: multimodal column plumbing + Structured Streaming ingest."""
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_media_synthesis_and_image_features(spark):
+    from cbor_ld_spark.operators.multimodal import (
+        image_features,
+        synthesize_media,
+    )
+
+    media = synthesize_media(spark, 90)
+    kinds = {r["kind"]: r["n"] for r in
+             media.groupBy("kind").agg(F.count("*").alias("n")).collect()}
+    assert kinds == {"image": 30, "audio": 30, "video": 30}
+
+    feats = image_features(media).collect()
+    assert len(feats) == 30
+    assert all(r["ok"] == "ok" for r in feats)
+    assert all(r["format"] == "png" for r in feats)
+    assert all(64 <= r["width"] <= 2048 for r in feats)
+    # deterministic: same media -> same phash
+    feats2 = image_features(synthesize_media(spark, 90)).collect()
+    assert {r["media_id"]: r["phash"] for r in feats} == \
+           {r["media_id"]: r["phash"] for r in feats2}
+
+
+def test_image_features_strict_raises(spark):
+    from cbor_ld_spark.operators.multimodal import (
+        image_features,
+        synthesize_media,
+    )
+
+    media = synthesize_media(spark, 6)
+    with pytest.raises(Exception):  # NotImplementedError via Py4J
+        image_features(media, strict=True).collect()
+
+
+def test_corrupt_media_quarantined(spark):
+    from cbor_ld_spark.operators.multimodal import image_features
+
+    media = spark.createDataFrame(
+        [(1, "image", "image/x", b"NOTAFORMAT", "s"),
+         (2, "image", "image/x", None, "s")],
+        "media_id long, kind string, media_type string, payload binary, source string")
+    rows = {r["media_id"]: r["ok"] for r in image_features(media).collect()}
+    assert rows == {1: "ValueError", 2: "ValueError"}
+
+
+def test_frame_sampling_fanout(spark):
+    from cbor_ld_spark.operators.multimodal import (
+        sample_frames,
+        synthesize_media,
+    )
+
+    frames = sample_frames(synthesize_media(spark, 30))
+    per_video = frames.groupBy("media_id").agg(F.count("*").alias("n")).collect()
+    assert len(per_video) == 10  # 10 videos
+    assert all(1 <= r["n"] <= 8 for r in per_video)
+    ts = frames.filter(F.col("media_id") == per_video[0]["media_id"]) \
+        .orderBy("frame_idx").collect()
+    assert [r["ts_ms"] for r in ts] == [i * 1000 for i in range(len(ts))]
+
+
+def test_streaming_ingest_exactly_once(spark):
+    """File-stream the corpus through the kernel; drain twice -> no dupes."""
+    from cbor_ld_spark.sources import synthesize_corpus
+    from cbor_ld_spark.streaming import stream_kg_results
+
+    base = tempfile.mkdtemp(prefix="kgstream_")
+    inp, out, ckpt = (os.path.join(base, d) for d in ("in", "out", "ckpt"))
+    try:
+        synthesize_corpus(spark, 60).write.parquet(inp)
+        q = stream_kg_results(spark, inp, out, ckpt)
+        q.awaitTermination(120)
+        docs1 = spark.read.parquet(f"{out}/docs")
+        n1 = docs1.count()
+        assert n1 > 0
+        assert docs1.filter(F.col("ok") & ~F.col("roundtrip_ok")).count() == 0
+        triples1 = spark.read.parquet(f"{out}/triples").count()
+        assert triples1 > 0
+
+        # drain again with the same checkpoint: nothing new -> no duplicates
+        q2 = stream_kg_results(spark, inp, out, ckpt)
+        q2.awaitTermination(120)
+        assert spark.read.parquet(f"{out}/docs").count() == n1
+        assert spark.read.parquet(f"{out}/triples").count() == triples1
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
