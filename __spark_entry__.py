@@ -131,7 +131,16 @@ def _ann_cosine_topk(spark, sf_dir):
 def _emb_near_dup(spark, sf_dir):
     from cbor_ld_spark.operators.dedup import embedding_near_duplicates
 
-    return embedding_near_duplicates(spark, sf_dir, threshold=0.8)
+    return embedding_near_duplicates(spark, sf_dir, threshold=0.35,
+                                     max_vectors=600)
+
+
+def _emb_near_dup_blocked(spark, sf_dir):
+    from cbor_ld_spark.operators.dedup import (
+        embedding_near_duplicates_blocked,
+    )
+
+    return embedding_near_duplicates_blocked(spark, sf_dir, threshold=0.35)
 
 
 def _rel_pricing_summary(spark, sf_dir):
@@ -170,6 +179,67 @@ def _rel_top_customers(spark, sf_dir):
     )
 
 
+def _events_hourly(spark, sf_dir):
+    from cbor_ld_spark.operators.events import hourly_rollup, load_events
+
+    return hourly_rollup(load_events(spark, sf_dir))
+
+
+def _events_sessions(spark, sf_dir):
+    from cbor_ld_spark.operators.events import load_events, sessionize
+
+    return sessionize(load_events(spark, sf_dir))
+
+
+def _events_session_stats(spark, sf_dir):
+    from cbor_ld_spark.operators.events import load_events, session_stats
+
+    return session_stats(load_events(spark, sf_dir))
+
+
+def _rel_segment_revenue(spark, sf_dir):
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"),
+             F.count(F.lit(1)).alias("n_lineitems"),
+             F.countDistinct("o_orderkey").alias("n_orders"))
+        .orderBy("c_mktsegment")
+    )
+
+
+def _rel_nation_revenue(spark, sf_dir):
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    reg = spark.read.parquet(f"{sf_dir}/region.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+        .orderBy("r_name", "n_name")
+    )
+
+
+def _kg_hex_roundtrip(spark, sf_dir):
+    from cbor_ld_spark.operators.codec_ops import hex_roundtrip_check
+    from cbor_ld_spark.sources import corpus_from_documents
+
+    out = hex_roundtrip_check(
+        corpus_from_documents(spark, sf_dir, limit_ids=200))
+    return out.agg(
+        F.count(F.lit(1)).alias("encodable_docs"),
+        F.sum(F.col("hex_roundtrip_ok").cast("long")).alias("hex_roundtrip_ok"))
+
+
 def _events_by_type(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return (
@@ -196,9 +266,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_groups": _dedup_simhash_groups,
         "ann_cosine_topk": _ann_cosine_topk,
         "emb_near_dup": _emb_near_dup,
+        "emb_near_dup_blocked": _emb_near_dup_blocked,
         "rel_pricing_summary": _rel_pricing_summary,
         "rel_top_customers": _rel_top_customers,
+        "rel_segment_revenue": _rel_segment_revenue,
+        "rel_nation_revenue": _rel_nation_revenue,
         "events_by_type": _events_by_type,
+        "events_hourly": _events_hourly,
+        "events_sessions": _events_sessions,
+        "events_session_stats": _events_session_stats,
+        "kg_hex_roundtrip": _kg_hex_roundtrip,
     }
 
 
@@ -248,6 +325,48 @@ FROM documents
 _DOT_SQL = (
     "list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]))"
 )
+
+# Gap-based sessionization (30 min), integer-seconds arithmetic to match
+# Spark's ts.cast("long") truncation exactly.
+_SESSIONS_SQL_BODY = """
+  SELECT user_id, session_seq, count(*) AS n_events, min(ts) AS started_at,
+         max(tl) - min(tl) AS duration_secs,
+         round(sum(value), 2) AS session_value
+  FROM (
+    SELECT user_id, ts, value, tl,
+           sum(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_seq
+    FROM (
+      SELECT user_id, ts, value, floor(epoch(ts))::BIGINT AS tl,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  OR floor(epoch(ts))::BIGINT
+                     - lag(floor(epoch(ts))::BIGINT)
+                       OVER (PARTITION BY user_id ORDER BY ts) > 1800
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events))
+  GROUP BY user_id, session_seq
+"""
+_SESSIONS_SQL = ("SELECT user_id, session_seq, n_events, started_at, "
+                 "duration_secs, session_value FROM (" +
+                 _SESSIONS_SQL_BODY + ")")
+
+
+def _hex_roundtrip_oracle() -> str:
+    """Encodable-doc counts for doc_id < 200, derived from variant math."""
+    from cbor_ld_spark.sources import payload_variants
+
+    variants = payload_variants()
+    k = len(variants)
+    # rows surviving hex_roundtrip_check = exactly the encodable variants
+    # (parse/encode failures are quarantined out before decode)
+    enc_idx = [i for i, v in enumerate(variants) if v[3]]
+    return f"""
+        SELECT count(*) AS encodable_docs,
+               count(*) AS hex_roundtrip_ok
+        FROM documents
+        WHERE doc_id < 200
+          AND doc_id % {k} IN ({','.join(map(str, enc_idx))})
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -301,7 +420,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE rank <= 5 ORDER BY query_id, rank
         """,
         "emb_near_dup": f"""
-            WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+            WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                         FROM embeddings WHERE vec_id < 600)
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                    round({_DOT_SQL}
                          / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
@@ -311,7 +431,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.vec_id < b.vec_id
               AND {_DOT_SQL}
                   / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
-                     * sqrt(list_sum(list_transform(b.v, x -> x * x)))) >= 0.8
+                     * sqrt(list_sum(list_transform(b.v, x -> x * x)))) >= 0.35
             ORDER BY vec_a, vec_b
         """,
         "rel_pricing_summary": """
@@ -342,4 +462,38 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT user_id) AS users
             FROM events GROUP BY event_type ORDER BY event_type
         """,
+        "events_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*) AS n, round(sum(value), 2) AS total_value,
+                   count(DISTINCT user_id) AS users
+            FROM events GROUP BY 1, 2 ORDER BY hour, event_type
+        """,
+        "events_sessions": _SESSIONS_SQL + " ORDER BY user_id, session_seq",
+        "events_session_stats": f"""
+            SELECT count(*) AS sessions,
+                   count(DISTINCT user_id) AS users,
+                   round(avg(n_events), 3) AS avg_events_per_session,
+                   max(duration_secs) AS max_duration_secs
+            FROM ({_SESSIONS_SQL_BODY})
+        """,
+        "rel_segment_revenue": """
+            SELECT c_mktsegment,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_lineitems,
+                   count(DISTINCT o_orderkey) AS n_orders
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        "rel_nation_revenue": """
+            SELECT r_name, n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name ORDER BY r_name, n_name
+        """,
+        "kg_hex_roundtrip": _hex_roundtrip_oracle(),
     }

@@ -91,7 +91,9 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16, bands: int = 4,
     construction, so no salting needed here even on skewed corpora.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(docs, num_hashes, shingle_n)
+    # persist: the band table feeds both sides of the self-join; without
+    # it the whole shingle+signature lineage is recomputed per side
+    sigs = minhash_signatures(docs, num_hashes, shingle_n).persist()
     band_rows = sigs.select(
         "doc_id",
         F.explode(F.array(*[
@@ -105,7 +107,7 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16, bands: int = 4,
             )
             for b in range(bands)
         ])).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+    ).select("doc_id", "bb.band", "bb.bucket").persist()
     left = band_rows.alias("l")
     right = band_rows.alias("r")
     pairs = (
@@ -206,29 +208,85 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
 
 
 def embedding_near_duplicates(spark: SparkSession, sf_dir: str,
-                              threshold: float = 0.95) -> DataFrame:
-    """Cosine near-duplicate pairs over the embeddings table.
+                              threshold: float = 0.95,
+                              max_vectors: int | None = None) -> DataFrame:
+    """Cosine near-duplicate pairs over the embeddings table (exact).
 
-    Exact all-pairs with doc-id pruning; double-precision ordered fold so
-    the oracle (DuckDB) computes bit-identical scores.  The LSH-bucketed
-    variant for 10^12 scale lives in operators.similarity.
+    Exact all-pairs with id-ordering pruning; double-precision *ordered*
+    folds so the DuckDB oracle computes bit-identical scores.  Norms are
+    computed once per vector before the join (1 higher-order fold per
+    pair instead of 3 — Spark HOFs are interpreted, not codegen'd).
+    For corpora beyond ~10^4 vectors use
+    :func:`embedding_near_duplicates_blocked` (numpy block matmul) or
+    the LSH bucketing in operators.similarity to bound candidates.
     """
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double"))
-        .alias("v"))
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    if max_vectors is not None:
+        emb = emb.filter(F.col("vec_id") < max_vectors)
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    emb = emb.select(
+        "vec_id", v.alias("v"),
+        F.sqrt(F.aggregate(F.transform(v, lambda x: x * x),
+                           F.lit(0.0), lambda acc, x: acc + x)).alias("nrm"),
+    ).persist()
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+                   F.col("nrm").alias("na"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+                   F.col("nrm").alias("nb"))
     dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
                       F.lit(0.0), lambda acc, x: acc + x)
-    na = F.sqrt(F.aggregate(F.transform("va", lambda x: x * x),
-                            F.lit(0.0), lambda acc, x: acc + x))
-    nb = F.sqrt(F.aggregate(F.transform("vb", lambda x: x * x),
-                            F.lit(0.0), lambda acc, x: acc + x))
     return (
         a.crossJoin(b)
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b",
-                F.round(dot / (na * nb), 6).alias("cosine"))
+                F.round(dot / (F.col("na") * F.col("nb")), 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
         .orderBy("vec_a", "vec_b")
     )
+
+
+def embedding_near_duplicates_blocked(spark: SparkSession, sf_dir: str,
+                                      threshold: float = 0.95) -> DataFrame:
+    """Cosine near-dup at scale: numpy block matmul inside mapInPandas.
+
+    The full embedding matrix is broadcast (fine up to ~10^6 x few-hundred
+    dims ~ GBs; beyond that, IVF/LSH partitioning first); each Arrow
+    batch of rows multiplies against it with BLAS.  This is the 100 TB
+    shape: O(n/batch) tasks, no crossjoin rows ever materialized.
+    """
+    import numpy as np
+
+    pdf = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .select("vec_id", "embedding").toPandas())
+    ids = pdf["vec_id"].to_numpy()
+    mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    bids = spark.sparkContext.broadcast(ids)
+    bmat = spark.sparkContext.broadcast(mat)
+
+    def fn(batches):
+        import pandas as pd
+
+        all_ids = bids.value
+        all_mat = bmat.value
+        id_to_row = {int(i): k for k, i in enumerate(all_ids)}
+        for pdf_b in batches:
+            rows = [id_to_row[int(i)] for i in pdf_b["vec_id"]]
+            block = all_mat[rows]                       # (b, d)
+            sims = block @ all_mat.T                    # (b, n) BLAS
+            out_a, out_b, out_c = [], [], []
+            for r, i in zip(range(len(rows)), pdf_b["vec_id"]):
+                js = (sims[r] >= threshold).nonzero()[0]
+                for j in js:
+                    jid = int(all_ids[j])
+                    if int(i) < jid:
+                        out_a.append(int(i))
+                        out_b.append(jid)
+                        out_c.append(round(float(sims[r, j]), 6))
+            yield pd.DataFrame({"vec_a": out_a, "vec_b": out_b,
+                                "cosine": out_c})
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id")
+    return emb.mapInPandas(
+        fn, schema="vec_a long, vec_b long, cosine double"
+    ).orderBy("vec_a", "vec_b")

@@ -108,7 +108,8 @@ def synthesize_corpus(spark: SparkSession, n_rows: int,
     )
 
 
-def corpus_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+def corpus_from_documents(spark: SparkSession, sf_dir: str,
+                          limit_ids: int | None = None) -> DataFrame:
     """Derive the repos-shaped corpus from the testdata ``documents`` table.
 
     Uses ``doc_id`` as the deterministic row index so the corpus is a pure
@@ -116,6 +117,8 @@ def corpus_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     mega-repo skew as :func:`synthesize_corpus`).
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    if limit_ids is not None:
+        docs = docs.filter(F.col("doc_id") < limit_ids)
     variants = _load_payload_variants()
     names = F.array(*[F.lit(v[0]) for v in variants])
     langs = F.array(*[F.lit(v[1]) for v in variants])
