@@ -457,13 +457,45 @@ def parse_json_document(text: str | bytes) -> dict:
     return json.loads(text, object_pairs_hook=_reject_duplicates)
 
 
+def _json_to_plain_cbor(value):
+    """Uncompressed CBOR-LD payload: JSON tree -> CBOR verbatim (text keys)."""
+    if isinstance(value, dict):
+        return CborMap([(k, _json_to_plain_cbor(v)) for k, v in value.items()])
+    if isinstance(value, list):
+        return [_json_to_plain_cbor(v) for v in value]
+    return value
+
+
+def _plain_cbor_to_json(value):
+    if isinstance(value, CborMap):
+        out = {}
+        for k, v in value.entries:
+            if not isinstance(k, str):
+                raise DecodeError("InvalidValue", "uncompressed map key must be text")
+            out[k] = _plain_cbor_to_json(v)
+        return out
+    if isinstance(value, list):
+        return [_plain_cbor_to_json(v) for v in value]
+    if isinstance(value, bytes):
+        raise DecodeError("InvalidValue", "bytes not representable in JSON")
+    return value
+
+
 def encode_document(doc: dict | str | bytes, registry_id: int = 1,
                     loader: StaticLoader | None = None) -> bytes:
-    """JSON-LD document -> CBOR-LD bytes with the 0x06xx envelope tag."""
+    """JSON-LD document -> CBOR-LD bytes with the 0x06xx envelope tag.
+
+    ``registry_id=0`` is the uncompressed mode: the document is CBOR
+    encoded verbatim under tag 0x0600 (the reference leaves this
+    ``todo!()`` at src/encode/mod.rs:44-46; the CBOR-LD spec defines it,
+    so we support it).
+    """
     if not isinstance(doc, dict):
         doc = parse_json_document(doc)
         if not isinstance(doc, dict):
             raise expected_object()
+    if registry_id == 0:
+        return dumps(CborTag(CBOR_LD_TAG_HIGH << 8, _json_to_plain_cbor(doc)))
     loader = loader or StaticLoader.default()
     enc = CborLdEncoder(loader, tables_for_registry(registry_id))
     inner = enc.transform(EMPTY_CONTEXT, doc)
@@ -479,7 +511,10 @@ def decode_document(data: bytes, loader: StaticLoader | None = None) -> dict:
         raise not_cbor_ld()
     registry_id = value.tag & 0xFF
     if registry_id == 0:
-        raise DecodeError("Unsupported", "uncompressed mode")
+        out = _plain_cbor_to_json(value.value)
+        if not isinstance(out, dict):
+            raise expected_object()
+        return out
     loader = loader or StaticLoader.default()
     try:
         tables = tables_for_registry(registry_id)

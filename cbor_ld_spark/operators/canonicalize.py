@@ -1,56 +1,57 @@
 """URDNA2015-style deterministic blank-node canonicalization.
 
 Blank node labels minted during expansion are document-scoped
-(``_:{doc_sha}_bN``); after entity linking, each connected component gets
-canonical labels that are a pure function of the component's *structure*,
-not of document order, row order, or partitioning — so two documents with
-isomorphic graphs canonicalize identically.
+(``_:{doc_sha}_bN``).  Canonicalization rewrites them to labels that are
+a pure function of the blank node's *graph structure*:
 
-Algorithm (simplified URDNA2015 / Hogan-style iterative colour
-refinement, adequate for credential graphs which have no automorphic
-blank-node orbits):
+    canon id = _:g{structure_hash}#c{rank}
 
-1. initial colour of a bnode = hash of its ground (non-bnode) edge
+where ``structure_hash`` is the hash of the document's bnode-cluster
+after colour refinement and ``rank`` is the refined colour order.  Two
+isomorphic documents therefore produce **identical** canonical node ids
+— cross-document blank-node deduplication falls out of labeling, with
+no global coordination.
+
+Algorithm per document (simplified URDNA2015 / colour refinement,
+adequate for credential graphs which lack automorphic bnode orbits):
+
+1. initial colour = hash of the bnode's ground (non-bnode) edge
    signature,
-2. iterate: colour' = hash(sorted multiset of (direction, pred,
-   neighbor colour) + own colour) until stable or k rounds,
-3. canonical label = ``_:c{rank}`` by final colour order (ties broken by
-   the sorted full signature — deterministic).
+2. iterate colour' = hash(own colour + sorted multiset of (direction,
+   pred, neighbour colour)) until stable,
+3. rank by final colour (ties by full signature), hash the relabeled
+   triple set for the cluster id.
 
-Distribution: components are processed independently with
-``applyInPandas`` grouped by component.  Components are small (a
-credential graph is 5-50 nodes); the group-by key is the component id,
-so skew only appears if one component is huge — the pipeline caps
-per-component work and falls back to prefixed doc-scoped labels beyond
-``max_component_triples`` (graceful degradation, recorded in metrics).
+Distribution: ``applyInPandas`` grouped by ``doc_sha`` — documents are
+bounded (a credential is 5-50 nodes), so the grouping is skew-free by
+construction; no giant-component hazard exists because blank nodes are
+never shared across documents.  (Weakly-connected components over the
+*entity* graph are a separate analytics product — operators.linking.)
 """
 
 from __future__ import annotations
 
 import hashlib
-from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.types import (
-    StringType,
-    StructField,
-    StructType,
-)
+from pyspark.sql.types import StringType, StructField, StructType
 
 CANON_SCHEMA = StructType([
-    StructField("component", StringType(), False),
+    StructField("doc_sha", StringType(), False),
     StructField("node", StringType(), False),
     StructField("canon", StringType(), False),
 ])
-
-MAX_COMPONENT_TRIPLES = 100_000
 
 
 def _canonical_labels_for_component(
     triples: list[tuple[str, str, str, bool]],
 ) -> dict[str, str]:
-    """triples: (subj, pred, obj, obj_is_iri) within one component."""
+    """triples: (subj, pred, obj, obj_is_iri) of one bnode cluster/doc.
+
+    Returns bnode -> local canonical label ``_:c{rank}`` (structure hash
+    is applied by the caller).
+    """
     bnodes = {t[0] for t in triples if t[0].startswith("_:")}
     bnodes |= {t[2] for t in triples if t[3] and t[2].startswith("_:")}
     if not bnodes:
@@ -59,7 +60,6 @@ def _canonical_labels_for_component(
     def h(s: str) -> str:
         return hashlib.sha256(s.encode("utf-8")).hexdigest()
 
-    # adjacency with ground terms inline
     out_edges: dict[str, list[tuple[str, str, bool]]] = {b: [] for b in bnodes}
     in_edges: dict[str, list[tuple[str, str, bool]]] = {b: [] for b in bnodes}
     for s, p, o, is_iri in triples:
@@ -77,7 +77,6 @@ def _canonical_labels_for_component(
         for b in bnodes
     }
 
-    # colour refinement with neighbor colours
     nbr_out: dict[str, list[tuple[str, str]]] = {b: [] for b in bnodes}
     nbr_in: dict[str, list[tuple[str, str]]] = {b: [] for b in bnodes}
     for s, p, o, is_iri in triples:
@@ -94,75 +93,83 @@ def _canonical_labels_for_component(
             new[b] = h("|".join(sig))
         if new == colour:
             break
-        if len(set(new.values())) == len(set(colour.values())) and \
-                len(set(new.values())) == len(bnodes):
-            colour = new
-            break
         colour = new
+        if len(set(colour.values())) == len(bnodes):
+            break
 
     order = sorted(bnodes, key=lambda b: (colour[b], b))
     return {b: f"_:c{i}" for i, b in enumerate(order)}
 
 
-def canonicalize_components(triples_with_component: DataFrame) -> DataFrame:
-    """(component, subj, pred, obj, obj_is_iri) -> (component, node, canon)."""
+def _canonicalize_doc(triples: list[tuple[str, str, str, bool, str]]):
+    """One document's triples (subj,pred,obj,is_iri,graph) -> node mapping.
+
+    Returns {bnode -> canonical id} with the structure hash baked in.
+    """
+    flat = [(s, p, o, i) for s, p, o, i, _g in triples]
+    # graph names participate as first-class nodes
+    flat += [(g, "urn:x-cbor-ld:graph", s, True)
+             for s, _p, _o, _i, g in triples if g.startswith("_:")]
+    local = _canonical_labels_for_component(flat)
+    if not local:
+        return {}
+    relabeled = sorted(
+        (local.get(s, s), p, local.get(o, o) if i else o, str(i),
+         local.get(g, g))
+        for s, p, o, i, g in triples
+    )
+    structure = hashlib.sha256(
+        "\n".join("\x1f".join(t) for t in relabeled).encode()).hexdigest()[:16]
+    return {b: f"_:g{structure}#{c[2:]}" for b, c in local.items()}
+
+
+def canonicalize_bnodes(triples: DataFrame) -> DataFrame:
+    """triples (with doc_sha) -> (doc_sha, node, canon) mapping rows."""
 
     def fn(key, pdf):
-        comp = key[0]
-        if len(pdf) > MAX_COMPONENT_TRIPLES:
-            # graceful degradation: keep doc-scoped labels, prefixed
-            bn = set(pdf.loc[pdf["subj"].str.startswith("_:"), "subj"])
-            bn |= set(pdf.loc[pdf["obj_is_iri"] &
-                              pdf["obj"].str.startswith("_:"), "obj"])
-            rows = [(comp, b, b) for b in sorted(bn)]
-            return pd.DataFrame(rows, columns=["component", "node", "canon"])
-        tl = list(zip(pdf["subj"], pdf["pred"], pdf["obj"], pdf["obj_is_iri"]))
-        mapping = _canonical_labels_for_component(tl)
-        rows = [(comp, node, canon) for node, canon in mapping.items()]
-        return pd.DataFrame(rows, columns=["component", "node", "canon"])
+        doc_sha = key[0]
+        tl = list(zip(pdf["subj"], pdf["pred"], pdf["obj"],
+                      pdf["obj_is_iri"], pdf["graph"]))
+        mapping = _canonicalize_doc(tl)
+        return pd.DataFrame(
+            [(doc_sha, n, c) for n, c in mapping.items()],
+            columns=["doc_sha", "node", "canon"])
 
     return (
-        triples_with_component
-        .groupBy("component")
+        triples
+        .select("doc_sha", "subj", "pred", "obj", "obj_is_iri", "graph")
+        .groupBy("doc_sha")
         .applyInPandas(fn, schema=CANON_SCHEMA)
     )
 
 
-def canonical_triples(triples: DataFrame, components: DataFrame) -> DataFrame:
-    """Rewrite triple subject/object blank nodes to canonical labels.
+def canonical_triples(triples: DataFrame,
+                      components: DataFrame | None = None) -> DataFrame:
+    """Rewrite blank nodes to canonical structure-hash labels.
 
-    Canonical node id = ``{component}#{canon}`` for blank nodes (unique
-    corpus-wide because the component id is the min IRI/bnode of the
-    component), IRIs stay themselves.  Joins are plain equi-joins on the
-    node id; the components frame is usually much smaller than triples
-    (only bnodes) -> broadcastable at moderate scale, shuffle-join with
-    AQE beyond.
+    Joins are equi-joins on (doc_sha, node); the mapping frame contains
+    only bnodes (small relative to triples) and both sides share the
+    doc_sha key, so the join is local after one co-partitioning.  The
+    optional ``components`` frame (entity linking) annotates each triple
+    with its subject's entity component.
     """
-    comp_subj = components.select(
-        F.col("id").alias("subj"), F.col("component").alias("subj_component"))
+    bnode_map = canonicalize_bnodes(triples)
 
-    with_comp = (
-        triples.join(comp_subj, "subj", "left")
-        .withColumnRenamed("subj_component", "component")
-    )
-    bnode_map = canonicalize_components(
-        with_comp.select("component", "subj", "pred", "obj", "obj_is_iri")
-        .filter(F.col("component").isNotNull())
-    )
-
-    canon_id = F.concat(F.col("component"), F.lit("#"), F.col("canon"))
-    subj_map = bnode_map.select(F.col("node").alias("subj"),
-                                canon_id.alias("subj_canon"))
-    obj_map = bnode_map.select(F.col("node").alias("obj"),
-                               canon_id.alias("obj_canon"))
-    graph_map = bnode_map.select(F.col("node").alias("graph"),
-                                 canon_id.alias("graph_canon"))
+    subj_map = bnode_map.select(
+        F.col("doc_sha").alias("doc_sha"), F.col("node").alias("subj"),
+        F.col("canon").alias("subj_canon"))
+    obj_map = bnode_map.select(
+        F.col("doc_sha").alias("doc_sha"), F.col("node").alias("obj"),
+        F.col("canon").alias("obj_canon"))
+    graph_map = bnode_map.select(
+        F.col("doc_sha").alias("doc_sha"), F.col("node").alias("graph"),
+        F.col("canon").alias("graph_canon"))
 
     out = (
-        with_comp
-        .join(subj_map, "subj", "left")
-        .join(obj_map, "obj", "left")
-        .join(graph_map, "graph", "left")
+        triples
+        .join(subj_map, ["doc_sha", "subj"], "left")
+        .join(obj_map, ["doc_sha", "obj"], "left")
+        .join(graph_map, ["doc_sha", "graph"], "left")
         .select(
             F.coalesce("subj_canon", F.col("subj")).alias("subj"),
             "pred",
@@ -171,7 +178,13 @@ def canonical_triples(triples: DataFrame, components: DataFrame) -> DataFrame:
             .otherwise(F.col("obj")).alias("obj"),
             "obj_is_iri", "obj_datatype", "obj_lang",
             F.coalesce("graph_canon", F.col("graph")).alias("graph"),
-            "repo", "path", "doc_sha", "component",
+            "repo", "path", "doc_sha",
         )
     )
+    if components is not None:
+        comp = components.select(F.col("id").alias("subj"),
+                                 F.col("component"))
+        out = out.join(comp, "subj", "left")
+    else:
+        out = out.withColumn("component", F.lit(None).cast("string"))
     return out

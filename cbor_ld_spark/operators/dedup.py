@@ -69,17 +69,24 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 16,
                        shingle_n: int = 3) -> DataFrame:
     """MinHash signatures: k independent min-of-xxhash64 over shingles.
 
-    Seeded xxhash64 gives k independent permutation approximations with
-    zero Python; each signature element is one array fold (JVM).
+    Shape: explode shingles -> k seeded xxhash64 columns -> groupBy(doc)
+    with k ``min`` aggregates.  Everything stays in whole-stage codegen
+    (higher-order array folds would be interpreted row-at-a-time, ~5x
+    slower); the shuffle key is doc_id (uniform) and partial min
+    aggregation collapses each doc's shingles map-side.
     """
-    sh = _shingles(F.col("text"), shingle_n).alias("shingles")
-    base = docs.select("doc_id", sh)
-    sig_cols = [
-        F.array_min(F.transform("shingles", lambda s: F.xxhash64(s, F.lit(i))))
-        .alias(f"mh_{i}")
-        for i in range(num_hashes)
-    ]
-    return base.select("doc_id", F.array(*sig_cols).alias("signature"))
+    exploded = (
+        docs.select("doc_id",
+                    F.explode(_shingles(F.col("text"), shingle_n))
+                    .alias("shingle"))
+    )
+    aggs = [F.min(F.xxhash64("shingle", F.lit(i))).alias(f"mh_{i}")
+            for i in range(num_hashes)]
+    per_doc = exploded.groupBy("doc_id").agg(*aggs)
+    return per_doc.select(
+        "doc_id",
+        F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)])
+        .alias("signature"))
 
 
 def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16, bands: int = 4,

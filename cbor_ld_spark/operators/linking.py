@@ -45,9 +45,19 @@ def equivalence_edges(triples: DataFrame,
     )
     if not include_adjacency:
         return same_as.distinct()
+    # Adjacency only where a blank node is involved: shared *vocabulary*
+    # IRIs (rdf:type classes, proofPurpose values, ...) must not merge
+    # unrelated documents into one mega-component; plain IRI identity is
+    # already linkage (same IRI string = same node), and blank-node
+    # clusters must attach to their named subjects for canonical
+    # labeling.  rdf:type edges never carry identity.
+    from cbor_ld_spark.kernel.expand import RDF_TYPE
+
     adjacency = (
         triples
-        .filter(F.col("obj_is_iri"))
+        .filter(F.col("obj_is_iri") & (F.col("pred") != RDF_TYPE) &
+                (F.col("subj").startswith("_:") |
+                 F.col("obj").startswith("_:")))
         .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
     )
     # named-graph membership: triples inside a (blank-node-named) graph

@@ -125,8 +125,13 @@ def build_kg(spark: SparkSession, repos: DataFrame, out_dir: str,
     # ---- graph-global stages over the complete triples table ----
     all_triples = spark.read.schema(TRIPLES_SCHEMA).parquet(
         os.path.join(out_dir, "triples"))
-    components = link_entities(all_triples)
-    canon = canonical_triples(all_triples, components)
+    # canonical labels first (per-document, skew-free), then entity
+    # linking over the canonical graph so components name canonical ids
+    canon = canonical_triples(all_triples).persist()
+    components = link_entities(canon)
+    comp_by_subj = components.select(F.col("id").alias("subj"), "component")
+    canon = (canon.drop("component")
+             .join(comp_by_subj, "subj", "left"))
 
     edges = edges_table(canon)
     nodes = nodes_table(canon)

@@ -31,9 +31,30 @@ PAYLOAD_CLASSES: tuple[tuple[str, str, str, bool], ...] = (
     ("prc", "prc.jsonld", "json", True),
     ("truage", "truage.jsonld", "json", True),
     ("cit", "cit.jsonld", "json", True),
+    ("vcb", "vcb.jsonld", "json", True),
     ("uncompressible", "uncompressible.jsonld", "json", False),
     ("didKey", "didKey.jsonld", "json", False),  # context not vendored
 )
+
+# Entity-id templating: this UUID (shared by the truage/cit fixtures) is
+# rewritten per row to one of N_ENTITIES deterministic UUIDs, so the
+# corpus yields a real cross-document entity graph (entities recur
+# across repos/paths) instead of one mega-entity per payload class.
+_TEMPLATE_UUID = "188e8450-269e-11eb-b545-d3692cf35398"
+N_ENTITIES = 1024
+
+
+def _entity_uuid_col(id_col):
+    h = F.md5(F.concat(F.lit("ent:"), F.pmod(id_col, F.lit(N_ENTITIES))
+                       .cast("string")))
+    return F.concat_ws(
+        "-", h.substr(1, 8), h.substr(9, 4), h.substr(13, 4),
+        h.substr(17, 4), h.substr(21, 12))
+
+
+def _templated_content(content_col, id_col):
+    return F.regexp_replace(content_col, _TEMPLATE_UUID,
+                            _entity_uuid_col(id_col))
 
 _DISTRACTORS: tuple[tuple[str, str, str], ...] = (
     ("rustsrc", "rust", "fn main() { println!(\"hello\"); } // not json-ld\n"),
@@ -104,7 +125,8 @@ def synthesize_corpus(spark: SparkSession, n_rows: int,
         F.sha2(F.concat(repo, F.lit(":"), path, F.lit(":42")), 256)
         .substr(1, 40).alias("commit"),
         F.element_at(langs, idx).alias("lang"),
-        F.element_at(contents, idx).alias("content"),
+        _templated_content(F.element_at(contents, idx), F.col("id"))
+        .alias("content"),
     )
 
 
@@ -140,7 +162,8 @@ def corpus_from_documents(spark: SparkSession, sf_dir: str,
         F.sha2(F.concat(repo, F.lit(":"), path, F.lit(":42")), 256)
         .substr(1, 40).alias("commit"),
         F.element_at(langs, idx).alias("lang"),
-        F.element_at(contents, idx).alias("content"),
+        _templated_content(F.element_at(contents, idx), F.col("doc_id"))
+        .alias("content"),
     )
 
 
