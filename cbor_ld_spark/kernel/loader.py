@@ -18,10 +18,21 @@ from __future__ import annotations
 import json
 import os
 from functools import lru_cache
+from importlib import resources
 
 from .errors import ContextError
 
-_FIXTURES_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "fixtures")
+
+def fixtures_root():
+    """Traversable root of the packaged fixtures (zip-safe for --py-files)."""
+    return resources.files("cbor_ld_spark") / "fixtures"
+
+
+def read_fixture_text(*parts: str) -> str:
+    node = fixtures_root()
+    for p in parts:
+        node = node / p
+    return node.read_text(encoding="utf-8")
 
 # URL prefix -> path under fixtures/contexts (mirrors tests/common.rs:11-52)
 DEFAULT_MOUNTS: tuple[tuple[str, str], ...] = (
@@ -50,27 +61,35 @@ class StaticLoader:
             raise ContextError("LoadingDocumentFailed", url) from None
 
     @staticmethod
-    def from_mounts(contexts_dir: str,
+    def from_mounts(contexts_root,
                     mounts: tuple[tuple[str, str], ...] = DEFAULT_MOUNTS) -> "StaticLoader":
+        """``contexts_root``: filesystem path or importlib Traversable."""
+        if isinstance(contexts_root, (str, os.PathLike)):
+            from pathlib import Path
+
+            contexts_root = Path(contexts_root)
         docs: dict[str, object] = {}
+
+        def walk(node, url):
+            if node.is_file():
+                docs[url] = json.loads(node.read_text(encoding="utf-8"))
+            elif node.is_dir():
+                for child in node.iterdir():
+                    if child.name == "__init__.py":
+                        continue
+                    walk(child, f"{url}/{child.name}")
+
         for url_prefix, rel in mounts:
-            root = os.path.join(contexts_dir, rel)
-            if os.path.isfile(root):
-                docs[url_prefix] = _parse_file(root)
-            elif os.path.isdir(root):
-                for dirpath, _dirs, files in os.walk(root):
-                    for fname in files:
-                        fpath = os.path.join(dirpath, fname)
-                        suffix = os.path.relpath(fpath, root).replace(os.sep, "/")
-                        docs[f"{url_prefix}/{suffix}"] = _parse_file(fpath)
+            node = contexts_root
+            for part in rel.split("/"):
+                node = node / part
+            try:
+                walk(node, url_prefix)
+            except (FileNotFoundError, NotADirectoryError):
+                continue
         return StaticLoader(docs)
 
     @staticmethod
     @lru_cache(maxsize=1)
     def default() -> "StaticLoader":
-        return StaticLoader.from_mounts(os.path.join(_FIXTURES_DIR, "contexts"))
-
-
-def _parse_file(path: str):
-    with open(path, "r", encoding="utf-8") as f:
-        return json.load(f)
+        return StaticLoader.from_mounts(fixtures_root() / "contexts")

@@ -127,18 +127,41 @@ def build_kg(spark: SparkSession, repos: DataFrame, out_dir: str,
         os.path.join(out_dir, "triples"))
     # canonical labels first (per-document, skew-free), then entity
     # linking over the canonical graph so components name canonical ids
+    t1 = time.monotonic()
     canon = canonical_triples(all_triples).persist()
+    n_canon = canon.count()
+    _stage_lineage(spark, out_dir, run_id, "canonicalize", n_canon, t1)
+
+    t2 = time.monotonic()
     components = link_entities(canon)
-    comp_by_subj = components.select(F.col("id").alias("subj"), "component")
+    comp_by_subj = (components.select(F.col("id").alias("subj"), "component")
+                    .persist())
+    n_linked = comp_by_subj.count()
+    _stage_lineage(spark, out_dir, run_id, "link", n_linked, t2)
+
     canon = (canon.drop("component")
              .join(comp_by_subj, "subj", "left"))
 
+    t3 = time.monotonic()
     edges = edges_table(canon)
     nodes = nodes_table(canon)
     edges.write.mode("overwrite").parquet(os.path.join(out_dir, "edges"))
     nodes.write.mode("overwrite").parquet(os.path.join(out_dir, "nodes"))
 
     docs = spark.read.schema(DOCS_SCHEMA).parquet(os.path.join(out_dir, "docs"))
+    # per-repo metrics table (monitoring/reporting product)
+    (docs.groupBy("repo")
+     .agg(F.count(F.lit(1)).alias("docs"),
+          F.sum(F.col("ok").cast("long")).alias("ok_docs"),
+          F.sum(F.coalesce(F.col("roundtrip_ok").cast("long"), F.lit(0)))
+          .alias("roundtrip_ok_docs"),
+          F.sum("n_triples").alias("triples"),
+          F.sum(F.coalesce(F.col("cbor_len"), F.lit(0)).cast("long"))
+          .alias("cbor_bytes"),
+          F.sum(F.col("json_len").cast("long")).alias("json_bytes"))
+     .withColumn("run_id", F.lit(run_id))
+     .write.mode("overwrite").parquet(os.path.join(out_dir, "metrics")))
+
     summary = {
         "run_id": run_id,
         "resumed": skipped,
@@ -148,7 +171,24 @@ def build_kg(spark: SparkSession, repos: DataFrame, out_dir: str,
         "nodes_total": spark.read.parquet(os.path.join(out_dir, "nodes")).count(),
         "edges_total": spark.read.parquet(os.path.join(out_dir, "edges")).count(),
     }
+    _stage_lineage(spark, out_dir, run_id, "materialize",
+                   summary["edges_total"], t3)
+    canon.unpersist()
+    comp_by_subj.unpersist()
     return summary
+
+
+def _stage_lineage(spark: SparkSession, out_dir: str, run_id: str,
+                   stage: str, rows: int, t0: float) -> None:
+    """One lineage row for a graph-global stage (bucket = -1)."""
+    row = spark.createDataFrame(
+        [(-1, rows, rows, 0, 0)],
+        "bucket int, rows_in long, ok_rows long, err_rows long, triples long")
+    (row.withColumn("run_id", F.lit(run_id))
+        .withColumn("stage", F.lit(stage))
+        .withColumn("wall_ms", F.lit(int((time.monotonic() - t0) * 1000)))
+        .withColumn("committed_at", F.current_timestamp())
+        .write.mode("append").parquet(_lineage_path(out_dir)))
 
 
 def edges_table(canon_triples: DataFrame) -> DataFrame:

@@ -20,10 +20,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-_SAMPLES_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "fixtures", "samples",
-)
+from cbor_ld_spark.kernel.loader import read_fixture_text
 
 # (class_name, file, lang, encodable)
 PAYLOAD_CLASSES: tuple[tuple[str, str, str, bool], ...] = (
@@ -67,8 +64,7 @@ def _load_payload_variants() -> list[tuple[str, str, str, bool]]:
     """Returns [(class_name, lang, content, encodable)] incl. mutations."""
     variants: list[tuple[str, str, str, bool]] = []
     for name, fname, lang, encodable in PAYLOAD_CLASSES:
-        with open(os.path.join(_SAMPLES_DIR, fname), encoding="utf-8") as f:
-            raw = f.read()
+        raw = read_fixture_text("samples", fname)
         variants.append((name, lang, raw, encodable))
         if encodable:
             doc = json.loads(raw)

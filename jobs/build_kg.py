@@ -20,7 +20,7 @@ import sys
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--input", required=True,
+    ap.add_argument("--input", default=None,
                     help="repos table: iceberg name or parquet path")
     ap.add_argument("--out", required=True, help="output directory/namespace")
     ap.add_argument("--run-id", required=True)
@@ -29,6 +29,8 @@ def main(argv=None):
     ap.add_argument("--synthesize", type=int, default=0,
                     help="generate an n-row synthetic corpus instead of --input")
     args = ap.parse_args(argv)
+    if not args.input and not args.synthesize:
+        ap.error("provide --input or --synthesize N")
 
     from pyspark.sql import SparkSession
 
