@@ -128,6 +128,18 @@ def _ann_cosine_topk(spark, sf_dir):
     return cosine_topk(spark, sf_dir, n_queries=5, k=5)
 
 
+def _ann_lsh_topk(spark, sf_dir):
+    from cbor_ld_spark.operators.similarity import lsh_topk
+
+    return lsh_topk(spark, sf_dir, n_queries=5, k=5)
+
+
+def _ann_ivf_topk(spark, sf_dir):
+    from cbor_ld_spark.operators.similarity import ivf_topk
+
+    return ivf_topk(spark, sf_dir, n_queries=5, k=5)
+
+
 def _emb_near_dup(spark, sf_dir):
     from cbor_ld_spark.operators.dedup import embedding_near_duplicates
 
@@ -229,6 +241,40 @@ def _rel_nation_revenue(spark, sf_dir):
     )
 
 
+def _kg_entity_components(spark, sf_dir):
+    """Component-size histogram of the linked entity graph."""
+    from cbor_ld_spark.operators import process_corpus, triples_table
+    from cbor_ld_spark.operators.canonicalize import canonical_triples
+    from cbor_ld_spark.operators.linking import link_entities
+    from cbor_ld_spark.sources import corpus_from_documents
+
+    t = triples_table(process_corpus(corpus_from_documents(spark, sf_dir)))
+    comp = link_entities(canonical_triples(t))
+    return (
+        comp.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .groupBy("size")
+        .agg(F.count(F.lit(1)).alias("n_components"))
+        .orderBy("size")
+    )
+
+
+def _kg_canonical_dedup(spark, sf_dir):
+    """Raw vs canonically-deduplicated triple counts."""
+    from cbor_ld_spark.operators import process_corpus, triples_table
+    from cbor_ld_spark.operators.canonicalize import canonical_triples
+    from cbor_ld_spark.sources import corpus_from_documents
+
+    t = triples_table(process_corpus(corpus_from_documents(spark, sf_dir)))
+    c = canonical_triples(t)
+    return c.agg(
+        F.count(F.lit(1)).alias("raw_triples"),
+        F.countDistinct("subj", "pred", "obj", "obj_is_iri", "graph")
+        .alias("canonical_distinct_triples"),
+        F.countDistinct("subj").alias("canonical_subjects"),
+    )
+
+
 def _kg_hex_roundtrip(spark, sf_dir):
     from cbor_ld_spark.operators.codec_ops import hex_roundtrip_check
     from cbor_ld_spark.sources import corpus_from_documents
@@ -265,6 +311,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_pairs": _dedup_minhash_pairs,
         "dedup_simhash_groups": _dedup_simhash_groups,
         "ann_cosine_topk": _ann_cosine_topk,
+        "ann_lsh_topk": _ann_lsh_topk,
+        "ann_ivf_topk": _ann_ivf_topk,
         "emb_near_dup": _emb_near_dup,
         "emb_near_dup_blocked": _emb_near_dup_blocked,
         "rel_pricing_summary": _rel_pricing_summary,
@@ -276,6 +324,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": _events_sessions,
         "events_session_stats": _events_session_stats,
         "kg_hex_roundtrip": _kg_hex_roundtrip,
+        "kg_entity_components": _kg_entity_components,
+        "kg_canonical_dedup": _kg_canonical_dedup,
     }
 
 

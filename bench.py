@@ -39,7 +39,7 @@ def make_spark(cores: int, shuffle_partitions: int | None = None):
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cores))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
@@ -105,6 +105,45 @@ def bench_once() -> dict:
     return result
 
 
+def _hardware_ceiling(n_low: int, n_high: int) -> dict:
+    """Pure-multiprocessing kernel throughput at both worker counts.
+
+    Single-box caveat: cores share the turbo/memory budget, so per-core
+    throughput drops as workers increase — a real N vs 4N *cluster* does
+    not have this coupling.  This baseline separates pipeline scaling
+    losses (ours) from hardware scaling losses (the box's).
+    """
+    import multiprocessing as mp
+
+    from cbor_ld_spark.sources.corpus import payload_variants
+
+    variants = [v[2] for v in payload_variants()]
+
+    def run(workers: int) -> float:
+        with mp.Pool(workers) as p:
+            p.map(_mp_kernel_work, [(variants, 2)] * workers)  # warm
+            t0 = time.monotonic()
+            counts = p.map(_mp_kernel_work, [(variants, 60)] * workers)
+            dt = time.monotonic() - t0
+        return sum(counts) / dt
+
+    lo, hi = run(n_low), run(n_high)
+    return {"low_docs_per_sec": round(lo, 1), "high_docs_per_sec": round(hi, 1),
+            "speedup": round(hi / lo, 3)}
+
+
+def _mp_kernel_work(args):
+    contents, reps = args
+    from cbor_ld_spark.functions.udfs import _process_one
+
+    n = 0
+    for _ in range(reps):
+        for c in contents:
+            _process_one(c, 1, True)
+            n += 1
+    return n
+
+
 def bench_scaling(n_low: int, n_high: int, rows: int, trials: int = 3) -> dict:
     out = {}
     for cores in (n_low, n_high):
@@ -127,6 +166,7 @@ def bench_scaling(n_low: int, n_high: int, rows: int, trials: int = 3) -> dict:
         spark.stop()
     speedup = out[n_high]["docs_per_sec"] / out[n_low]["docs_per_sec"]
     efficiency = speedup / (n_high / n_low)
+    hw = _hardware_ceiling(n_low, n_high)
     return {
         "metric": "kg_construct scaling efficiency (N vs 4N cores, same input)",
         "rows": rows,
@@ -136,6 +176,8 @@ def bench_scaling(n_low: int, n_high: int, rows: int, trials: int = 3) -> dict:
         "high": out[n_high],
         "speedup": round(speedup, 3),
         "efficiency": round(efficiency, 3),
+        "hardware_ceiling": hw,
+        "efficiency_vs_hardware": round(speedup / hw["speedup"], 3),
     }
 
 

@@ -93,24 +93,110 @@ def _lsh_bucket(v, n_planes: int, dim: int, seed: int = 7):
     return out
 
 
-def lsh_topk(spark: SparkSession, sf_dir: str, n_queries: int = 5,
-             k: int = 5, n_planes: int = 6) -> DataFrame:
-    """Approximate top-k: hyperplane-LSH bucket join + exact rerank."""
+def ivf_topk(spark: SparkSession, sf_dir: str, n_queries: int = 5,
+             k: int = 5, n_cells: int = 16, n_probe: int = 4,
+             kmeans_iters: int = 5) -> DataFrame:
+    """IVF (inverted-file) approximate top-k cosine search.
+
+    Train: deterministic k-means on a driver-side sample (centroid seeds
+    = the first ``n_cells`` vectors, Lloyd iterations in numpy — at
+    corpus scale this is a fixed-size sample, not the corpus).
+    Index: assign every vector to its nearest centroid (one broadcast of
+    the tiny centroid matrix; assignment is a JVM-side argmax over
+    ``n_cells`` dot products).  Search: each query probes its ``n_probe``
+    nearest cells; the candidate scan is ~``n_probe/n_cells`` of the
+    corpus, and the shuffle key (cell) has bounded fan-in.
+    """
+    import numpy as np
+
     emb = load_embeddings(spark, sf_dir)
-    dim = len(emb.select("v").first()["v"])
-    bucketed = emb.select("vec_id", "v",
-                          _lsh_bucket(F.col("v"), n_planes, dim)
-                          .alias("bucket"))
-    queries = bucketed.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
-        F.col("bucket"))
+
+    sample = np.array(
+        [r["v"] for r in emb.orderBy("vec_id").limit(4096).collect()])
+    sample = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+    centroids = sample[:n_cells].copy()
+    for _ in range(kmeans_iters):
+        assign = np.argmax(sample @ centroids.T, axis=1)
+        for c in range(n_cells):
+            members = sample[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                centroids[c] = m / np.linalg.norm(m)
+
+    def cell_of(vcol):
+        # argmax over n_cells dot products via one scores array (a
+        # when-chain would duplicate subtrees exponentially)
+        scores = F.array(*[
+            _dot(vcol, F.array(*[F.lit(float(x)) for x in centroids[c]]))
+            for c in range(n_cells)
+        ])
+        return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+
+    indexed = emb.withColumn("cell", cell_of(F.col("v"))).persist()
+
+    queries = indexed.filter(F.col("vec_id") < n_queries).collect()
+    probe_rows = []
+    for q in queries:
+        qv = np.array(q["v"])
+        qv = qv / np.linalg.norm(qv)
+        order = np.argsort(-(centroids @ qv))[:n_probe]
+        for c in order:
+            probe_rows.append((q["vec_id"], int(c), q["v"]))
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, cell int, qv array<double>")
+
     scored = (
-        bucketed.join(F.broadcast(queries), on="bucket")
+        indexed.join(F.broadcast(probes), on="cell")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id",
                 F.round(_dot("qv", "v") / (_norm2("qv") * _norm2("v")), 6)
                 .alias("cosine"))
     )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine")
+        .orderBy("query_id", "rank")
+    )
+
+
+def lsh_topk(spark: SparkSession, sf_dir: str, n_queries: int = 5,
+             k: int = 5, n_planes: int = 4, n_tables: int = 8) -> DataFrame:
+    """Approximate top-k: multi-table hyperplane LSH + exact rerank.
+
+    L independent tables of b planes each; a corpus vector is a candidate
+    if it shares a bucket with the query in *any* table (standard
+    recall/cost dial: candidate fraction ~ L/2^b for near-random data,
+    sharply less for clustered data).  The join key (table, bucket) is
+    uniform; candidates dedupe before rerank so each pair scores once.
+    """
+    emb = load_embeddings(spark, sf_dir)
+    dim = len(emb.select("v").first()["v"])
+    tables = emb.select(
+        "vec_id", "v",
+        F.explode(F.array(*[
+            F.struct(F.lit(t).alias("tbl"),
+                     _lsh_bucket(F.col("v"), n_planes, dim, seed=7 + 13 * t)
+                     .alias("bucket"))
+            for t in range(n_tables)
+        ])).alias("tb"),
+    ).select("vec_id", "v", "tb.tbl", "tb.bucket")
+
+    queries = tables.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        "tbl", "bucket")
+    candidates = (
+        tables.join(F.broadcast(queries), on=["tbl", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "qv", "v")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    scored = candidates.select(
+        "query_id", "vec_id",
+        F.round(_dot("qv", "v") / (_norm2("qv") * _norm2("v")), 6)
+        .alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id"))
     return (

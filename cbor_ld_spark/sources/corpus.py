@@ -93,8 +93,9 @@ def synthesize_corpus(spark: SparkSession, n_rows: int,
 
     Every ``mega_share``-th row lands in ``org0/mega`` (skew); content
     cycles through the payload variant array.  Same n -> same bytes,
-    every run, any partitioning.  ``partitions`` defaults to 3x the
-    default parallelism so the Python kernel stage has a short tail.
+    every run, any partitioning.  ``partitions`` defaults to the default
+    parallelism — measured best at full machine width (more, smaller
+    Arrow batches cost more than the shorter tail buys).
     """
     variants = _load_payload_variants()
     names = F.array(*[F.lit(v[0]) for v in variants])
@@ -103,7 +104,7 @@ def synthesize_corpus(spark: SparkSession, n_rows: int,
     k = len(variants)
 
     if partitions is None:
-        partitions = spark.sparkContext.defaultParallelism * 3
+        partitions = spark.sparkContext.defaultParallelism
     df = spark.range(0, n_rows, numPartitions=partitions)
     idx = (F.col("id") % k + 1).cast("int")  # element_at is 1-based
     cls = F.element_at(names, idx)
