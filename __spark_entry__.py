@@ -100,6 +100,12 @@ def _text_fingerprints(spark, sf_dir):
     return fingerprints(load_documents(spark, sf_dir)).orderBy("doc_id")
 
 
+def _text_term_dictionary(spark, sf_dir):
+    from cbor_ld_spark.operators.text import load_documents, term_dictionary
+
+    return term_dictionary(load_documents(spark, sf_dir))
+
+
 def _dedup_exact(spark, sf_dir):
     from cbor_ld_spark.operators.dedup import exact_duplicates, load_documents
 
@@ -248,8 +254,9 @@ def _kg_entity_components(spark, sf_dir):
     from cbor_ld_spark.operators.linking import link_entities
     from cbor_ld_spark.sources import corpus_from_documents
 
-    t = triples_table(process_corpus(corpus_from_documents(spark, sf_dir)))
-    comp = link_entities(canonical_triples(t))
+    t = triples_table(process_corpus(corpus_from_documents(spark, sf_dir))) \
+        .persist()
+    comp = link_entities(canonical_triples(t).persist())
     return (
         comp.groupBy("component")
         .agg(F.count(F.lit(1)).alias("size"))
@@ -265,7 +272,8 @@ def _kg_canonical_dedup(spark, sf_dir):
     from cbor_ld_spark.operators.canonicalize import canonical_triples
     from cbor_ld_spark.sources import corpus_from_documents
 
-    t = triples_table(process_corpus(corpus_from_documents(spark, sf_dir)))
+    t = triples_table(process_corpus(corpus_from_documents(spark, sf_dir))) \
+        .persist()
     c = canonical_triples(t)
     return c.agg(
         F.count(F.lit(1)).alias("raw_triples"),
@@ -307,6 +315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _text_quality,
         "text_lang_id": _text_lang_id,
         "text_fingerprints": _text_fingerprints,
+        "text_term_dictionary": _text_term_dictionary,
         "dedup_exact": _dedup_exact,
         "dedup_minhash_pairs": _dedup_minhash_pairs,
         "dedup_simhash_groups": _dedup_simhash_groups,
@@ -443,6 +452,16 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprints": f"""
             SELECT doc_id, md5({_NORM_SQL}) AS fingerprint
             FROM documents ORDER BY doc_id
+        """,
+        "text_term_dictionary": f"""
+            SELECT term, occurrences,
+                   (row_number() OVER (ORDER BY term)) * 2 + 98 AS term_id
+            FROM (
+              SELECT term, count(*) AS occurrences
+              FROM (SELECT unnest(string_split({_NORM_SQL}, ' ')) AS term
+                    FROM documents)
+              GROUP BY term HAVING count(*) >= 2)
+            ORDER BY term
         """,
         "dedup_exact": f"""
             SELECT md5({_NORM_SQL}) AS content_hash,

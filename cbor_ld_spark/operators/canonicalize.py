@@ -153,7 +153,9 @@ def canonical_triples(triples: DataFrame,
     optional ``components`` frame (entity linking) annotates each triple
     with its subject's entity component.
     """
-    bnode_map = canonicalize_bnodes(triples)
+    # one applyInPandas pass feeds three joins — persist, or each join
+    # re-derives the whole upstream lineage (kernel included)
+    bnode_map = canonicalize_bnodes(triples).persist()
 
     subj_map = bnode_map.select(
         F.col("doc_sha").alias("doc_sha"), F.col("node").alias("subj"),

@@ -53,16 +53,28 @@ def dedup_keep_first(docs: DataFrame) -> DataFrame:
     return keep.select("doc_id", "content_hash")
 
 
-def _shingles(col, n: int = 3):
-    """Word n-gram shingles of normalized text (array<string>)."""
-    toks = F.split(_norm(col), " ")
-    k = F.size(toks) - (n - 1)
+def _shingles_of_tokens(toks_col, n: int = 3):
+    """Word n-gram shingles from a *materialized* token-array column.
+
+    The tokens must be a plain column reference: inlining the tokenize
+    expression here would re-evaluate the regex split once per
+    element_at (3n times per shingle) — measured 25x slowdown.
+    """
+    k = F.size(toks_col) - (n - 1)
     idxs = F.sequence(F.lit(1), F.greatest(k, F.lit(1)))
     return F.transform(
         idxs,
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j).cast("int"))
+        lambda i: F.concat_ws(" ", *[F.element_at(toks_col, (i + j).cast("int"))
                                      for j in range(n)]),
     )
+
+
+def _with_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """docs -> (doc_id, shingles) with tokenization evaluated once."""
+    toks = docs.select("doc_id", F.split(_norm(F.col("text")), " ")
+                       .alias("toks"))
+    return toks.select("doc_id",
+                       _shingles_of_tokens(F.col("toks"), n).alias("shingles"))
 
 
 def minhash_signatures(docs: DataFrame, num_hashes: int = 16,
@@ -76,9 +88,8 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 16,
     aggregation collapses each doc's shingles map-side.
     """
     exploded = (
-        docs.select("doc_id",
-                    F.explode(_shingles(F.col("text"), shingle_n))
-                    .alias("shingle"))
+        _with_shingles(docs, shingle_n)
+        .select("doc_id", F.explode("shingles").alias("shingle"))
     )
     aggs = [F.min(F.xxhash64("shingle", F.lit(i))).alias(f"mh_{i}")
             for i in range(num_hashes)]
@@ -195,8 +206,8 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
                         threshold: float = 0.8,
                         max_candidates_per_bucket: int = 1000) -> DataFrame:
     """Exact n-gram Jaccard over LSH-pruned candidates (verification tier)."""
-    sh = docs.select("doc_id", F.array_distinct(_shingles(F.col("text"), n))
-                     .alias("sh"))
+    sh = _with_shingles(docs, n).select(
+        "doc_id", F.array_distinct("shingles").alias("sh"))
     cand = minhash_lsh_pairs(docs)
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))

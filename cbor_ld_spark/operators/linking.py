@@ -70,13 +70,26 @@ def equivalence_edges(triples: DataFrame,
     return same_as.unionByName(adjacency).unionByName(membership).distinct()
 
 
+DRIVER_CC_THRESHOLD = 2_000_000
+
+
 def connected_components(edges: DataFrame, max_iter: int = 25,
-                         checkpoint_every: int = 3) -> DataFrame:
+                         checkpoint_every: int = 3,
+                         driver_threshold: int = DRIVER_CC_THRESHOLD) -> DataFrame:
     """(src, dst) edge list -> (id, component) with component = min node id.
 
     Deterministic: labels are node-id strings, min is lexicographic.
+
+    Hybrid execution: below ``driver_threshold`` edges the graph fits the
+    driver trivially and a union-find runs in milliseconds — iterative
+    Spark jobs would pay seconds of scheduling per round for nothing.
+    Above it, the distributed label-propagation loop runs (the path that
+    holds at 10^12 scale); both paths produce identical output.
     """
     spark = edges.sparkSession
+    n_edges = edges.count()
+    if n_edges <= driver_threshold:
+        return _driver_union_find(spark, edges)
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
     # Symmetrize once; repartition by src so every iteration's join reuses
@@ -112,6 +125,9 @@ def connected_components(edges: DataFrame, max_iter: int = 25,
         )
         if (i + 1) % checkpoint_every == 0:
             new_labels = new_labels.localCheckpoint()
+        else:
+            new_labels = new_labels.persist()
+        new_labels.count()  # materialize once; 'changed' then reuses it
 
         changed = (
             new_labels.alias("n")
@@ -121,14 +137,38 @@ def connected_components(edges: DataFrame, max_iter: int = 25,
             .count()
         )
         old = labels
-        labels = new_labels.persist()
-        labels.count()
+        labels = new_labels
         old.unpersist()
         if changed == 0:
             break
 
     sym.unpersist()
     return labels
+
+
+def _driver_union_find(spark, edges: DataFrame) -> DataFrame:
+    """Exact union-find on collected edges (small-graph fast path)."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for src, dst in edges.select("src", "dst").toLocalIterator():
+        parent.setdefault(src, src)
+        parent.setdefault(dst, dst)
+        rs, rd = find(src), find(dst)
+        if rs != rd:
+            parent[max(rs, rd)] = min(rs, rd)
+
+    rows = [(node, find(node)) for node in parent]
+    if not rows:
+        return spark.createDataFrame([], "id string, component string")
+    return spark.createDataFrame(rows, "id string, component string")
 
 
 def link_entities(triples: DataFrame, max_iter: int = 25) -> DataFrame:

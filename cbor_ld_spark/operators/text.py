@@ -80,6 +80,33 @@ def lang_id(docs: DataFrame) -> DataFrame:
     )
 
 
+def term_dictionary(docs: DataFrame, min_count: int = 2) -> DataFrame:
+    """Corpus-global term dictionary: deterministic dense ids per token.
+
+    The corpus-scale analog of the reference's per-document id allocator
+    (SURVEY D7): distinct tokens above ``min_count`` get even ids from
+    100 in sorted term order via a window — the same even-id convention
+    the CBOR-LD allocator uses (reference: src/id/alloc.rs:30-40), minted
+    once for the whole corpus.  distinct+window = two shuffles on the
+    term key (uniform); at 10^12 scale the orderBy window would become a
+    range-partitioned sort, which Spark plans automatically.
+    """
+    from pyspark.sql import Window
+
+    toks = (
+        docs.select(F.explode(F.split(_norm(F.col("text")), " "))
+                    .alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("occurrences"))
+        .filter(F.col("occurrences") >= min_count)
+    )
+    w = Window.orderBy("term")
+    return toks.select(
+        "term", "occurrences",
+        (F.row_number().over(w) * 2 + 98).alias("term_id"),
+    ).orderBy("term")
+
+
 def fingerprints(docs: DataFrame) -> DataFrame:
     """Deterministic document fingerprint (normalized-content hash)."""
     return docs.select(

@@ -100,9 +100,31 @@ def test_connected_components_basic(spark):
     edges = spark.createDataFrame(
         [("a", "b"), ("b", "c"), ("x", "y"), ("p", "p")],
         "src string, dst string")
+    expected = {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x", "p": "p"}
+    # driver union-find fast path
     got = {r["id"]: r["component"]
            for r in connected_components(edges).collect()}
-    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x", "p": "p"}
+    assert got == expected
+    # distributed label-propagation path (threshold forced to 0)
+    got_dist = {r["id"]: r["component"]
+                for r in connected_components(edges,
+                                              driver_threshold=0).collect()}
+    assert got_dist == expected
+
+
+def test_connected_components_paths_agree(spark):
+    import random
+
+    from cbor_ld_spark.operators.linking import connected_components
+
+    rng = random.Random(7)
+    rows = [(f"n{rng.randrange(200)}", f"n{rng.randrange(200)}")
+            for _ in range(400)]
+    edges = spark.createDataFrame(rows, "src string, dst string")
+    fast = sorted(map(tuple, connected_components(edges).collect()))
+    dist = sorted(map(tuple, connected_components(
+        edges, driver_threshold=0).collect()))
+    assert fast == dist
 
 
 def test_canonicalization_isomorphism_invariance():
