@@ -283,6 +283,24 @@ def _kg_canonical_dedup(spark, sf_dir):
     )
 
 
+def _kg_cardinality_sketch(spark, sf_dir):
+    """Node-cardinality sketches (approx_count_distinct; SURVEY §2B).
+
+    HLL sketches are the 10^12-scale way to size dictionaries and plan
+    bucket counts without an exact distinct shuffle.
+    """
+    from cbor_ld_spark.operators import process_corpus, triples_table
+    from cbor_ld_spark.sources import corpus_from_documents
+
+    t = triples_table(process_corpus(corpus_from_documents(spark, sf_dir)))
+    return t.agg(
+        F.approx_count_distinct("subj", 0.02).alias("approx_subjects"),
+        F.approx_count_distinct("pred", 0.02).alias("approx_predicates"),
+        F.approx_count_distinct("obj", 0.02).alias("approx_objects"),
+        F.count(F.lit(1)).alias("triples"),
+    )
+
+
 def _kg_hex_roundtrip(spark, sf_dir):
     from cbor_ld_spark.operators.codec_ops import hex_roundtrip_check
     from cbor_ld_spark.sources import corpus_from_documents
@@ -334,6 +352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_session_stats": _events_session_stats,
         "kg_hex_roundtrip": _kg_hex_roundtrip,
         "kg_entity_components": _kg_entity_components,
+        "kg_cardinality_sketch": _kg_cardinality_sketch,
         "kg_canonical_dedup": _kg_canonical_dedup,
     }
 

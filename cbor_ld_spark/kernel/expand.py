@@ -186,6 +186,16 @@ class _Expander:
 
             values = value if isinstance(value, list) else [value]
 
+            if "@language" in d.container and isinstance(value, dict):
+                # language map: {"en": "...", "fr": [...]}
+                for lang in sorted(value):
+                    for v in (value[lang] if isinstance(value[lang], list)
+                              else [value[lang]]):
+                        if isinstance(v, str):
+                            self.emit(subject, pred, v, False, None,
+                                      lang, graph)
+                continue
+
             if "@list" in d.container:
                 head = self._expand_list(prop_active, d, values, graph)
                 self.emit(subject, pred, head, True, None, None, graph)

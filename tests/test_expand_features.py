@@ -1,0 +1,95 @@
+"""Expansion edge cases: @list containers, language maps, value objects.
+
+Exercised against the vendored activitystreams context (the only one
+defining @container: @list / @language terms).
+"""
+
+import pytest
+
+from cbor_ld_spark.kernel import CborLdError, encode_document
+from cbor_ld_spark.kernel.expand import (
+    RDF_FIRST,
+    RDF_NIL,
+    RDF_REST,
+    RDF_TYPE,
+    XSD_BOOLEAN,
+    XSD_INTEGER,
+    expand_to_triples,
+)
+
+AS = "https://www.w3.org/ns/activitystreams"
+
+
+def test_list_container_builds_rdf_list():
+    doc = {
+        "@context": AS,
+        "type": "OrderedCollection",
+        "orderedItems": ["https://a.example/1", "https://a.example/2"],
+    }
+    ts = expand_to_triples(doc)
+    firsts = [t for t in ts if t.pred == RDF_FIRST]
+    rests = [t for t in ts if t.pred == RDF_REST]
+    assert [t.obj for t in firsts] == ["https://a.example/1",
+                                       "https://a.example/2"]
+    assert rests[0].obj.startswith("_:")
+    assert rests[-1].obj == RDF_NIL
+
+
+def test_empty_list_is_nil():
+    doc = {"@context": AS, "type": "OrderedCollection", "orderedItems": []}
+    ts = expand_to_triples(doc)
+    nil_edges = [t for t in ts if t.obj == RDF_NIL and t.pred != RDF_REST]
+    assert len(nil_edges) == 1
+
+
+def test_language_map_emits_tagged_literals():
+    doc = {
+        "@context": AS,
+        "type": "Note",
+        "contentMap": {"en": "hello", "fr": "bonjour"},
+    }
+    ts = expand_to_triples(doc)
+    tagged = {(t.obj, t.obj_lang) for t in ts if t.obj_lang}
+    assert tagged == {("hello", "en"), ("bonjour", "fr")}
+
+
+def test_language_map_uncompressible_like_reference():
+    # transform_node requires term definitions for every key; language
+    # tags are not terms, so CBOR-LD encoding fails (same as the
+    # reference's UndefinedTerm path, src/transform.rs:450).
+    doc = {
+        "@context": AS,
+        "type": "Note",
+        "contentMap": {"en": "hello"},
+    }
+    with pytest.raises(CborLdError):
+        encode_document(doc)
+
+
+def test_value_object_with_type_and_language():
+    doc = {
+        "@context": AS,
+        "type": "Note",
+        "summary": {"@value": "les notes", "@language": "fr"},
+        "totalItems": 4,
+    }
+    ts = expand_to_triples(doc)
+    by_pred = {t.pred.split("#")[-1]: t for t in ts if t.pred != RDF_TYPE}
+    assert by_pred["summary"].obj_lang == "fr"
+    assert by_pred["totalItems"].obj == "4"
+    assert by_pred["totalItems"].obj_datatype == XSD_INTEGER
+
+
+def test_scalar_typed_literals():
+    doc = {
+        "@context": "https://www.w3.org/2018/credentials/v1",
+        "type": "VerifiableCredential",
+        "issuer": "https://i.example/x",
+        "issuanceDate": "2020-01-01T00:00:00Z",
+        "credentialSubject": {"id": "https://s.example/y"},
+    }
+    ts = expand_to_triples(doc)
+    dt = {t.pred.split("#")[-1]: t.obj_datatype for t in ts
+          if not t.obj_is_iri}
+    assert dt["issuanceDate"].endswith("dateTime")
+    assert XSD_BOOLEAN  # imported symbols used
