@@ -37,6 +37,10 @@ _SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
 _IRI_BAD_CHARS = re.compile(r"[\x00-\x20<>\"{}|\\^`]")
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=16384)
 def is_absolute_iri(value: str) -> bool:
     """Approximation of ``iref::Iri::new`` validity: scheme + no forbidden chars."""
     return bool(_SCHEME_RE.match(value)) and not _IRI_BAD_CHARS.search(value)

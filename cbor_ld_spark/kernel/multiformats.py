@@ -16,11 +16,15 @@ prefixes raise ValueError which the codecs surface as per-row errors.
 from __future__ import annotations
 
 import base64
+from functools import lru_cache
 
 B58_ALPHABET = "123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz"
 _B58_INDEX = {c: i for i, c in enumerate(B58_ALPHABET)}
 
 
+# Corpus documents repeat the same did:key / proofValue strings heavily;
+# big-int base58 is ~10% of kernel time, so memoize both directions.
+@lru_cache(maxsize=8192)
 def base58btc_encode(data: bytes) -> str:
     n = int.from_bytes(data, "big")
     out = []
@@ -36,6 +40,7 @@ def base58btc_encode(data: bytes) -> str:
     return "1" * pad + "".join(reversed(out))
 
 
+@lru_cache(maxsize=8192)
 def base58btc_decode(s: str) -> bytes:
     n = 0
     for c in s:

@@ -73,6 +73,10 @@ class _TransformerBase:
         self.loader = loader
         self.tables = tables
         self.allocator = IdAllocator()
+        # context fingerprints whose allocation pass already ran for this
+        # document; re-applying (nested repeats of the same chain) is a
+        # no-op, so skip the whole term loop (~20% of kernel time)
+        self._applied: set = set()
 
     # -- context handling ----------------------------------------------------
 
@@ -82,9 +86,11 @@ class _TransformerBase:
         """Process one context (URL or inline syntax) + allocate term ids."""
         result = process_context(active, context_value, self.loader,
                                  base_url=base_url, propagate=propagate)
-        allocate = self.allocator.allocate
-        for term in result.alloc_terms:
-            allocate(term)
+        if result.fingerprint not in self._applied:
+            self._applied.add(result.fingerprint)
+            allocate = self.allocator.allocate
+            for term in result.alloc_terms:
+                allocate(term)
         return result
 
     def _process_context_url(self, active: ActiveContext, url: str,
