@@ -40,6 +40,29 @@ from pyspark.sql.types import (
 )
 
 _S = StringType()
+
+# kernel output keyed by content hash (no provenance columns): the
+# dedup-first dataflow processes each distinct content once and joins
+# provenance back JVM-side
+KERNEL_RESULT_SCHEMA = StructType([
+    StructField("content_sha", _S, False),
+    StructField("doc_sha", _S, True),
+    StructField("ok", BooleanType(), False),
+    StructField("error", _S, True),
+    StructField("error_kind", _S, True),
+    StructField("json_len", IntegerType(), False),
+    StructField("cbor_len", IntegerType(), True),
+    StructField("roundtrip_ok", BooleanType(), True),
+    StructField("n_triples", IntegerType(), False),
+    StructField("t_subj", ArrayType(_S), True),
+    StructField("t_pred", ArrayType(_S), True),
+    StructField("t_obj", ArrayType(_S), True),
+    StructField("t_is_iri", ArrayType(BooleanType()), True),
+    StructField("t_dt", ArrayType(_S), True),
+    StructField("t_lang", ArrayType(_S), True),
+    StructField("t_graph", ArrayType(_S), True),
+])
+
 DOC_RESULT_SCHEMA = StructType([
     StructField("repo", _S, False),
     StructField("path", _S, False),
@@ -136,28 +159,32 @@ def _process_one(content: str, registry_id: int, emit_triples: bool):
                 cbor_len, roundtrip_ok, 0, *((None,) * 7))
 
 
-def kg_process_batches(registry_id: int = 1, emit_triples: bool = True):
-    """Build the mapInPandas function for the KG kernel pass."""
+_RESULT_FIELDS = ["doc_sha", "ok", "error", "error_kind", "json_len",
+                  "cbor_len", "roundtrip_ok", "n_triples", *_TRIPLE_COLS]
+
+
+def kg_process_batches(registry_id: int = 1, emit_triples: bool = True,
+                       with_provenance: bool = False):
+    """mapInPandas kernel fn.
+
+    ``with_provenance=False``: input (content_sha, content) ->
+    KERNEL_RESULT_SCHEMA (the dedup-first dataflow).
+    ``with_provenance=True``: input additionally carries
+    (repo, path, commit) through -> DOC_RESULT_SCHEMA (per-row path).
+    """
+    out_schema = DOC_RESULT_SCHEMA if with_provenance else KERNEL_RESULT_SCHEMA
+    cols = [f.name for f in out_schema.fields]
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        sha256 = hashlib.sha256
         for pdf in batches:
-            contents = pdf["content"]
             results = [_process_one(c, registry_id, emit_triples)
-                       for c in contents]
-            data = {
-                "repo": pdf["repo"].values,
-                "path": pdf["path"].values,
-                "commit": pdf["commit"].values,
-                "content_sha": [sha256(c.encode("utf-8")).hexdigest()
-                                for c in contents],
-            }
-            # transpose result tuples column-wise (fast pandas construction)
-            for i, name in enumerate(
-                ["doc_sha", "ok", "error", "error_kind", "json_len",
-                 "cbor_len", "roundtrip_ok", "n_triples", *_TRIPLE_COLS]
-            ):
+                       for c in pdf["content"]]
+            data = {"content_sha": pdf["content_sha"].values}
+            if with_provenance:
+                for c in ("repo", "path", "commit"):
+                    data[c] = pdf[c].values
+            for i, name in enumerate(_RESULT_FIELDS):
                 data[name] = [r[i] for r in results]
-            yield pd.DataFrame(data, columns=_COLS)
+            yield pd.DataFrame(data, columns=cols)
 
     return fn

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from cbor_ld_spark.functions.udfs import (
     DOC_RESULT_SCHEMA,
+    KERNEL_RESULT_SCHEMA,
     jsonld_sniff,
     kg_process_batches,
 )
@@ -33,17 +34,36 @@ DOC_COLUMNS = [f.name for f in DOC_RESULT_SCHEMA.fields
 
 
 def process_corpus(repos: DataFrame, registry_id: int = 1,
-                   emit_triples: bool = True) -> DataFrame:
-    """repos(repo,path,commit,lang,content) -> per-document KG results."""
+                   emit_triples: bool = True,
+                   dedup_content: bool = True) -> DataFrame:
+    """repos(repo,path,commit,lang,content) -> per-document KG results.
+
+    ``dedup_content=True`` (default) runs the Python kernel once per
+    *distinct* content hash and joins provenance back — the Spark-first
+    answer to duplicate files (vendored deps, forks) dominating a source
+    corpus: work scales with unique documents, not rows.  The dropDup
+    is a partial-aggregated shuffle on the uniform hash key; the
+    join-back re-attaches (repo, path, commit) JVM-side, so results are
+    row-for-row identical to the per-row path (doc_sha, bnode labels and
+    triples are pure functions of content).
+    """
     candidates = (
         repos
         .filter(jsonld_sniff(F.col("lang")))
         .select("repo", "path", "commit", "content")
+        .withColumn("content_sha", F.sha2(F.col("content"), 256))
     )
-    return candidates.mapInPandas(
-        kg_process_batches(registry_id=registry_id, emit_triples=emit_triples),
-        schema=DOC_RESULT_SCHEMA,
-    )
+    if dedup_content:
+        fn = kg_process_batches(registry_id=registry_id,
+                                emit_triples=emit_triples)
+        distinct = (candidates.select("content_sha", "content")
+                    .dropDuplicates(["content_sha"]))
+        results = distinct.mapInPandas(fn, schema=KERNEL_RESULT_SCHEMA)
+        return candidates.drop("content").join(results, "content_sha") \
+            .select(*[f.name for f in DOC_RESULT_SCHEMA.fields])
+    fn = kg_process_batches(registry_id=registry_id,
+                            emit_triples=emit_triples, with_provenance=True)
+    return candidates.mapInPandas(fn, schema=DOC_RESULT_SCHEMA)
 
 
 def triples_table(processed: DataFrame) -> DataFrame:
