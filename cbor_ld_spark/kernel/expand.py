@@ -38,6 +38,7 @@ XSD_STRING = XSD + "string"
 XSD_INTEGER = XSD + "integer"
 XSD_DOUBLE = XSD + "double"
 XSD_BOOLEAN = XSD + "boolean"
+RDF_JSON = "http://www.w3.org/1999/02/22-rdf-syntax-ns#JSON"
 
 DEFAULT_GRAPH = ""
 
@@ -186,6 +187,21 @@ class _Expander:
 
             values = value if isinstance(value, list) else [value]
 
+            if d.reverse:
+                # @reverse property: object nodes point back at the subject
+                for v in values:
+                    if isinstance(v, dict):
+                        child = self.expand_node(prop_active, v, graph)
+                        if child is not None:
+                            self.emit(child, pred, subject, True, None, None,
+                                      graph)
+                    elif isinstance(v, str):
+                        iri = self._expand_id_value(prop_active, v)
+                        if iri and _is_absolute_iri_or_bnode(iri):
+                            self.emit(iri, pred, subject, True, None, None,
+                                      graph)
+                continue
+
             if "@language" in d.container and isinstance(value, dict):
                 # language map: {"en": "...", "fr": [...]}
                 for lang in sorted(value):
@@ -220,6 +236,14 @@ class _Expander:
 
     def _expand_property_value(self, active, d, subject, pred, v, graph):
         type_ = d.type_
+
+        if type_ == "@json":
+            # rdf:JSON literal: canonical JSON of the raw value
+            from .canonical import canonical_json
+
+            self.emit(subject, pred, canonical_json(v), False, RDF_JSON,
+                      None, graph)
+            return
 
         if isinstance(v, dict):
             value_key = None

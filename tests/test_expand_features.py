@@ -93,3 +93,36 @@ def test_scalar_typed_literals():
           if not t.obj_is_iri}
     assert dt["issuanceDate"].endswith("dateTime")
     assert XSD_BOOLEAN  # imported symbols used
+
+
+def test_reverse_property():
+    doc = {
+        "@context": {
+            "knownBy": {"@reverse": "https://x.example/knows"},
+            "id": "@id",
+        },
+        "id": "https://p.example/alice",
+        "knownBy": {"id": "https://p.example/bob"},
+    }
+    ts = expand_to_triples(doc)
+    rev = [t for t in ts if t.pred == "https://x.example/knows"]
+    assert len(rev) == 1
+    assert rev[0].subj == "https://p.example/bob"
+    assert rev[0].obj == "https://p.example/alice"
+
+
+def test_json_typed_literal():
+    from cbor_ld_spark.kernel.expand import RDF_JSON
+
+    doc = {
+        "@context": {
+            "blob": {"@id": "https://x.example/blob", "@type": "@json"},
+            "id": "@id",
+        },
+        "id": "https://p.example/x",
+        "blob": {"b": 1, "a": [True, None]},
+    }
+    ts = expand_to_triples(doc)
+    lit = [t for t in ts if t.obj_datatype == RDF_JSON]
+    assert len(lit) == 1
+    assert lit[0].obj == '{"a":[true,null],"b":1}'  # canonical JSON
