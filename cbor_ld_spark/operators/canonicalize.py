@@ -43,6 +43,10 @@ CANON_SCHEMA = StructType([
     StructField("canon", StringType(), False),
 ])
 
+# colour refinement is O(bnodes * edges) per doc; beyond this a document
+# is pathological and keeps doc-scoped labels (still globally unique)
+MAX_DOC_TRIPLES = 200_000
+
 
 def _canonical_labels_for_component(
     triples: list[tuple[str, str, str, bool]],
@@ -128,6 +132,15 @@ def canonicalize_bnodes(triples: DataFrame) -> DataFrame:
 
     def fn(key, pdf):
         doc_sha = key[0]
+        if len(pdf) > MAX_DOC_TRIPLES:
+            # graceful degradation: a pathological mega-document keeps
+            # its (already unique) doc-scoped labels; recorded via the
+            # identity mapping so downstream joins still resolve
+            bn = set(pdf.loc[pdf["subj"].str.startswith("_:"), "subj"])
+            bn |= set(pdf.loc[pdf["obj_is_iri"].astype(bool) &
+                              pdf["obj"].str.startswith("_:"), "obj"])
+            return pd.DataFrame([(doc_sha, b, b) for b in sorted(bn)],
+                                columns=["doc_sha", "node", "canon"])
         tl = list(zip(pdf["subj"], pdf["pred"], pdf["obj"],
                       pdf["obj_is_iri"], pdf["graph"]))
         mapping = _canonicalize_doc(tl)

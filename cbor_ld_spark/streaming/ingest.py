@@ -55,8 +55,11 @@ def stream_kg_results(spark: SparkSession, input_dir: str, out_dir: str,
     )
 
     stream = stream_corpus(spark, input_dir)
+    # dedup_content=False: the dedup-first path's dropDuplicates would be
+    # unbounded streaming state (no watermark on content hashes); the
+    # per-row kernel is stateless and exactly-once under the checkpoint
     processed = process_corpus(stream, registry_id=registry_id,
-                               emit_triples=True)
+                               emit_triples=True, dedup_content=False)
 
     def write_batch(batch_df, batch_id: int):
         batch_df = batch_df.persist()

@@ -92,3 +92,40 @@ def test_streaming_ingest_exactly_once(spark):
         assert spark.read.parquet(f"{out}/triples").count() == triples1
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_stateful_repo_stats_stream(spark):
+    """applyInPandasWithState: running per-repo counters across batches."""
+    import os
+    import shutil
+    import tempfile
+
+    from cbor_ld_spark.operators.kg import process_corpus
+    from cbor_ld_spark.sources import synthesize_corpus
+    from cbor_ld_spark.streaming import stream_corpus
+    from cbor_ld_spark.streaming.stateful import repo_stats_stream
+
+    base = tempfile.mkdtemp(prefix="kgstate_")
+    inp, out, ckpt = (os.path.join(base, d) for d in ("in", "out", "ckpt"))
+    try:
+        corpus = synthesize_corpus(spark, 80)
+        corpus.write.parquet(inp)
+        processed = process_corpus(stream_corpus(spark, inp),
+                                   dedup_content=False, emit_triples=True)
+        q = repo_stats_stream(processed, ckpt, out)
+        q.awaitTermination(120)
+
+        stats = spark.read.parquet(out)
+        latest = {r["repo"]: (r["docs"], r["ok_docs"], r["triples"])
+                  for r in stats.collect()}
+        # cross-check against the batch pipeline
+        batch = (process_corpus(corpus, dedup_content=False)
+                 .groupBy("repo")
+                 .agg(F.count(F.lit(1)).alias("docs"),
+                      F.sum(F.col("ok").cast("long")).alias("ok"),
+                      F.sum("n_triples").alias("t")))
+        expected = {r["repo"]: (r["docs"], r["ok"], r["t"])
+                    for r in batch.collect()}
+        assert latest == expected
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
