@@ -97,7 +97,10 @@ def jsonld_sniff(lang: Column | None = None) -> Column:
     the substring checks run in WholeStageCodegen.
     """
     c = F.col("content")
-    pred = c.isNotNull() & c.startswith("{") & c.contains("@context")
+    # rlike, not ltrim+startswith: Spark ltrim strips spaces only, while
+    # real files lead with newlines/tabs/BOM
+    pred = (c.isNotNull() & c.rlike(r"^[\s﻿]*\{")
+            & c.contains("@context"))
     if lang is not None:
         pred = (lang == "json") & pred
     return pred
@@ -136,17 +139,19 @@ def _process_one(content: str, registry_id: int, emit_triples: bool):
             prefix = f"_:{doc_sha[:16]}_"
             subj, pred, obj, is_iri, dt, lang, graph = [], [], [], [], [], [], []
             for t in triples:
-                subj.append(prefix + t.subj[2:] if t.subj.startswith("_:b")
+                # every blank label (minted _:bN and remapped user _:u_*)
+                # gets the doc-sha prefix: cross-document uniqueness
+                subj.append(prefix + t.subj[2:] if t.subj.startswith("_:")
                             else t.subj)
                 pred.append(t.pred)
                 obj.append(prefix + t.obj[2:]
-                           if t.obj_is_iri and t.obj.startswith("_:b")
+                           if t.obj_is_iri and t.obj.startswith("_:")
                            else t.obj)
                 is_iri.append(t.obj_is_iri)
                 dt.append(t.obj_datatype)
                 lang.append(t.obj_lang)
                 graph.append(prefix + t.graph[2:]
-                             if t.graph.startswith("_:b") else t.graph)
+                             if t.graph.startswith("_:") else t.graph)
             tcols = (subj, pred, obj, is_iri, dt, lang, graph)
             n_triples = len(triples)
         return (doc_sha, True, None, None, len(content), cbor_len,
@@ -154,7 +159,9 @@ def _process_one(content: str, registry_id: int, emit_triples: bool):
     except CborLdError as e:
         return (doc_sha, False, e.message or e.kind, e.kind, len(content),
                 cbor_len, roundtrip_ok, 0, *((None,) * 7))
-    except (ValueError, RecursionError, TypeError) as e:
+    except Exception as e:  # noqa: BLE001 — quarantine is the contract:
+        # no document may kill a partition (OverflowError from huge ints,
+        # UnicodeError, etc. all land here as typed rows)
         return (doc_sha, False, str(e)[:500], type(e).__name__, len(content),
                 cbor_len, roundtrip_ok, 0, *((None,) * 7))
 

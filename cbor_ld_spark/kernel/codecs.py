@@ -302,6 +302,9 @@ def decode_xsd_date_time(value) -> str:
     if isinstance(value, list):
         if len(value) != 2 or any(isinstance(v, bool) or not isinstance(v, int) for v in value):
             raise DecodeError("Codec", "xsd-date-time: expected [seconds, millis]")
+        if not 0 <= value[1] < 1000:
+            # reference: chrono timestamp_opt rejects >=1e9 ns
+            raise DecodeError("Codec", f"xsd-date-time: millis out of range {value[1]}")
         return _render_utc(value[0], value[1])
     raise DecodeError("Codec", "xsd-date-time: expected text/int/array")
 

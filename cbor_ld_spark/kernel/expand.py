@@ -99,6 +99,13 @@ class _Expander:
         self.bnode_counter += 1
         return b
 
+    @staticmethod
+    def remap_bnode(label: str) -> str:
+        """User-supplied blank ids go to a disjoint namespace (_:u_*),
+        so they can never collide with minted _:bN labels (the W3C toRDF
+        algorithm relabels document bnode ids for the same reason)."""
+        return "_:u_" + label[2:]
+
     def emit(self, subj, pred, obj, is_iri, datatype, lang, graph):
         self.triples.append(Triple(subj, pred, obj, is_iri, datatype, lang, graph))
 
@@ -119,7 +126,10 @@ class _Expander:
     def _expand_id_value(self, active: ActiveContext, value: str) -> str | None:
         from .context import expand_iri
 
-        return expand_iri(active, value, document_relative=True)
+        iri = expand_iri(active, value, document_relative=True)
+        if iri is not None and iri.startswith("_:"):
+            iri = self.remap_bnode(iri)
+        return iri
 
     # ---- node expansion ----------------------------------------------------
 

@@ -459,7 +459,15 @@ def _reject_duplicates(pairs):
 
 
 def parse_json_document(text: str | bytes) -> dict:
-    """JSON parse with duplicate-key rejection (reference: src/transform.rs:94)."""
+    """JSON parse with duplicate-key rejection (reference: src/transform.rs:94).
+
+    Tolerates a UTF-8 BOM (ubiquitous in real repositories even though
+    RFC 8259 forbids it).
+    """
+    if isinstance(text, bytes):
+        text = text.decode("utf-8-sig")
+    else:
+        text = text.lstrip("﻿")
     return json.loads(text, object_pairs_hook=_reject_duplicates)
 
 

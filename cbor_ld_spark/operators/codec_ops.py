@@ -111,16 +111,39 @@ def decode_column(df: DataFrame, cbor_col: str = "cbor") -> DataFrame:
     )
 
 
+def _canonical_source_udf():
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(StringType())
+    def canon(contents: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        from cbor_ld_spark.kernel import canonical_json, parse_json_document
+
+        for s in contents:
+            out = []
+            for c in s:
+                try:
+                    out.append(canonical_json(parse_json_document(c)))
+                except Exception:
+                    out.append(None)
+            yield pd.Series(out)
+
+    return canon
+
+
 def hex_roundtrip_check(df: DataFrame, content_col: str = "content",
                         registry_id: int = 1) -> DataFrame:
     """Full byte surface: encode -> hex -> unhex -> decode -> compare.
 
-    Returns one row per input with ``hex_roundtrip_ok``; exercises the
-    CLI's -x framing path (S2) via JVM hex/unhex.
+    ``hex_roundtrip_ok`` is true only when the decoded document is
+    canonically *equal* to the original source — the real invariant, not
+    just decode-didn't-error.  Exercises the CLI's -x framing path (S2)
+    via JVM hex/unhex.
     """
     enc = encode_column(df, content_col, registry_id)
     framed = enc.withColumn("cbor2", F.unhex("cbor_hex"))
     dec = decode_column(framed.filter(F.col("cbor").isNotNull()), "cbor2")
+    dec = dec.withColumn("canon_src", _canonical_source_udf()(F.col(content_col)))
     return dec.withColumn(
         "hex_roundtrip_ok",
-        F.col("decode_error").isNull() & (F.length("json") > 0))
+        F.col("decode_error").isNull() &
+        (F.col("json") == F.col("canon_src")))

@@ -102,17 +102,19 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 16,
 
 
 def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16, bands: int = 4,
-                      shingle_n: int = 3) -> DataFrame:
+                      shingle_n: int = 3,
+                      signatures: DataFrame | None = None) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH.
 
     rows_per_band = num_hashes / bands; docs sharing any band bucket are
     candidates.  Shuffle key = (band, bucket hash): uniform by
     construction, so no salting needed here even on skewed corpora.
+    Pass precomputed ``signatures`` to share the (dominant) signature
+    cost with other consumers.
     """
     rows_per_band = num_hashes // bands
-    # persist: the band table feeds both sides of the self-join; without
-    # it the whole shingle+signature lineage is recomputed per side
-    sigs = minhash_signatures(docs, num_hashes, shingle_n).persist()
+    sigs = (signatures if signatures is not None
+            else minhash_signatures(docs, num_hashes, shingle_n))
     band_rows = sigs.select(
         "doc_id",
         F.explode(F.array(*[
@@ -126,7 +128,11 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16, bands: int = 4,
             )
             for b in range(bands)
         ])).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket").persist()
+    ).select("doc_id", "bb.band", "bb.bucket")
+    # eager localCheckpoint: the band table feeds both self-join sides
+    # (alias plans defeat exchange reuse) and its blocks are released by
+    # the ContextCleaner when unreferenced, unlike a leaked persist
+    band_rows = band_rows.localCheckpoint()
     left = band_rows.alias("l")
     right = band_rows.alias("r")
     pairs = (
@@ -142,8 +148,9 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16, bands: int = 4,
 def minhash_jaccard_estimate(docs: DataFrame, num_hashes: int = 16,
                              threshold: float = 0.5) -> DataFrame:
     """LSH candidates refined by signature-overlap Jaccard estimate."""
-    sigs = minhash_signatures(docs, num_hashes)
-    pairs = minhash_lsh_pairs(docs, num_hashes)
+    # one signature computation shared by the LSH step and both joins
+    sigs = minhash_signatures(docs, num_hashes).localCheckpoint()
+    pairs = minhash_lsh_pairs(docs, num_hashes, signatures=sigs)
     a = sigs.select(F.col("doc_id").alias("doc_a"),
                     F.col("signature").alias("sig_a"))
     b = sigs.select(F.col("doc_id").alias("doc_b"),
@@ -204,8 +211,7 @@ def simhash_duplicate_groups(docs: DataFrame) -> DataFrame:
 
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
-                        threshold: float = 0.8,
-                        max_candidates_per_bucket: int = 1000) -> DataFrame:
+                        threshold: float = 0.8) -> DataFrame:
     """Exact n-gram Jaccard over LSH-pruned candidates (verification tier)."""
     sh = _with_shingles(docs, n).select(
         "doc_id", F.array_distinct("shingles").alias("sh"))
