@@ -74,9 +74,13 @@ def _load_payload_variants() -> list[tuple[str, str, str, bool]]:
             # mutation 2: whitespace-free
             compact = json.dumps(doc, separators=(",", ":"))
             variants.append((f"{name}-compact", lang, compact, encodable))
+    # mutation 3: real-world framing (leading whitespace, UTF-8 BOM)
+    note_raw = read_fixture_text("samples", "note.jsonld")
+    variants.append(("note-indented", "json", "\n\t  " + note_raw, True))
+    variants.append(("note-bom", "json", "﻿" + note_raw, True))
     for name, lang, content in _DISTRACTORS:
         variants.append((name, lang, content, False))
-    # mutation 3: truncated JSON (parse-error path)
+    # mutation 4: truncated JSON (parse-error path)
     variants.append(("truncated", "json", '{"@context": "https://www.w3.org/ns/activitystreams", "type"', False))
     return variants
 
