@@ -193,7 +193,7 @@ def canonical_triples(triples: DataFrame,
             .otherwise(F.col("obj")).alias("obj"),
             "obj_is_iri", "obj_datatype", "obj_lang",
             F.coalesce("graph_canon", F.col("graph")).alias("graph"),
-            "repo", "path", "doc_sha",
+            "repo", "path", "commit", "doc_sha",
         )
     )
     if components is not None:

@@ -75,7 +75,7 @@ def triples_table(processed: DataFrame) -> DataFrame:
     t = (
         processed
         .filter(F.col("ok") & (F.col("n_triples") > 0))
-        .select("repo", "path", "doc_sha",
+        .select("repo", "path", "commit", "doc_sha",
                 F.explode(F.arrays_zip(
                     "t_subj", "t_pred", "t_obj", "t_is_iri",
                     "t_dt", "t_lang", "t_graph")).alias("t"))
@@ -88,7 +88,7 @@ def triples_table(processed: DataFrame) -> DataFrame:
         F.col("t.t_dt").alias("obj_datatype"),
         F.col("t.t_lang").alias("obj_lang"),
         F.col("t.t_graph").alias("graph"),
-        "repo", "path", "doc_sha",
+        "repo", "path", "commit", "doc_sha",
     )
 
 

@@ -48,7 +48,8 @@ DOC_COLS = ["repo", "path", "commit", "doc_sha", "content_sha", "ok",
 # empty (schemaless) parquet dir; reads must still work for resume
 TRIPLES_SCHEMA = ("subj string, pred string, obj string, obj_is_iri boolean, "
                   "obj_datatype string, obj_lang string, graph string, "
-                  "repo string, path string, doc_sha string, bucket int")
+                  "repo string, path string, commit string, doc_sha string, "
+                  "bucket int")
 DOCS_SCHEMA = ("repo string, path string, commit string, doc_sha string, "
                "content_sha string, ok boolean, error string, "
                "error_kind string, json_len int, cbor_len int, "
@@ -210,10 +211,10 @@ def nodes_table(canon_triples: DataFrame) -> DataFrame:
     from cbor_ld_spark.kernel.expand import RDF_TYPE
 
     subj_nodes = canon_triples.select(
-        F.col("subj").alias("canon_iri"), "repo",
+        F.col("subj").alias("canon_iri"), "repo", "commit",
         F.when(F.col("pred") == RDF_TYPE, F.col("obj")).alias("label"))
     obj_nodes = canon_triples.filter(F.col("obj_is_iri")).select(
-        F.col("obj").alias("canon_iri"), "repo",
+        F.col("obj").alias("canon_iri"), "repo", "commit",
         F.lit(None).cast("string").alias("label"))
     return (
         subj_nodes.unionByName(obj_nodes)
@@ -222,6 +223,7 @@ def nodes_table(canon_triples: DataFrame) -> DataFrame:
             F.sort_array(F.collect_set("label")).alias("labels"),
             F.countDistinct("repo").alias("n_repos"),
             F.min("repo").alias("first_repo"),
+            F.min("commit").alias("first_seen_commit"),
         )
         .withColumn(
             "kind",
