@@ -49,10 +49,19 @@ def is_absolute_iri(value: str) -> bool:
 # --- IRI codecs -------------------------------------------------------------
 
 class HttpUrlCodec:
-    """reference: src/codecs/iri/http.rs:6-27 (assumes //authority)."""
+    """reference: src/codecs/iri/http.rs:6-27 (assumes //authority).
+
+    Divergence-as-fix: the reference blindly strips two chars (its own
+    FIXME) which corrupts authority-less IRIs like ``http:example``;
+    returning None here makes encode_iri fall back to verbatim text,
+    which is lossless.  Golden bytes unaffected (all fixture URLs have
+    an authority).
+    """
 
     @staticmethod
-    def encode(suffix: str) -> list:
+    def encode(suffix: str):
+        if not suffix.startswith("//"):
+            return None
         return [suffix[2:]]
 
     @staticmethod
@@ -170,10 +179,17 @@ IRI_CODECS_BY_ID = {cid: (prefix, codec) for prefix, cid, codec in IRI_CODECS}
 
 
 def encode_iri(iri: str):
-    """IRI -> [codec_id, *payload] or verbatim text."""
+    """IRI -> [codec_id, *payload] or verbatim text.
+
+    A codec returning None declines (unrepresentable shape) and the IRI
+    stays verbatim text — always lossless.
+    """
     for prefix, cid, codec in IRI_CODECS:
         if iri.startswith(prefix):
-            return [cid, *codec.encode(iri[len(prefix):])]
+            payload = codec.encode(iri[len(prefix):])
+            if payload is None:
+                return iri
+            return [cid, *payload]
     return iri
 
 
@@ -246,7 +262,10 @@ def decode_xsd_date(value) -> str:
     if isinstance(value, bool) or not isinstance(value, int):
         raise DecodeError("Codec", "xsd-date: expected text or integer")
     days, rem = divmod(value, 86400)
-    d = _date.fromordinal(days + _EPOCH_ORDINAL)
+    try:
+        d = _date.fromordinal(days + _EPOCH_ORDINAL)
+    except (ValueError, OverflowError):
+        raise DecodeError("Codec", "xsd-date: overflow") from None
     # Rendered with UTC offset, like the reference (src/codecs/xsd_date.rs:43-52).
     return f"{d.isoformat()}Z"
 
@@ -273,7 +292,10 @@ def encode_xsd_date_time(value: str):
         days += 1
     secs = days * 86400 + h * 3600 + mi * 60 + s - off
     frac = m.group(7)
-    micros = round(float(frac) * 1_000_000) if frac else 0
+    # truncate (never round) to microseconds, exactly like the
+    # reference's timestamp_micros: rounding could manufacture
+    # [secs, 1000] which no decoder accepts
+    micros = int((frac[1:] + "000000")[:6]) if frac else 0
     if micros == 0:
         return secs
     if micros % 1000 == 0:
@@ -283,7 +305,10 @@ def encode_xsd_date_time(value: str):
 
 def _render_utc(secs: int, millis: int = 0) -> str:
     days, rem = divmod(secs, 86400)
-    d = _date.fromordinal(days + _EPOCH_ORDINAL)
+    try:
+        d = _date.fromordinal(days + _EPOCH_ORDINAL)
+    except (ValueError, OverflowError):
+        raise DecodeError("Codec", "xsd-date-time: overflow") from None
     h, rem = divmod(rem, 3600)
     mi, s = divmod(rem, 60)
     if millis:

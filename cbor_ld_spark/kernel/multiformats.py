@@ -58,9 +58,20 @@ def base58btc_decode(s: str) -> bytes:
     return b"\x00" * pad + raw
 
 
+import re as _re
+
+_B64_RE = _re.compile(r"^[A-Za-z0-9+/]*$")
+_B64URL_RE = _re.compile(r"^[A-Za-z0-9\-_]*$")
+
+
 def _b64_decode_nopad(s: str, urlsafe: bool) -> bytes:
+    # strict: Python's b64decode silently drops invalid characters unless
+    # validated, which would corrupt values across a round trip (the
+    # reference's multibase crate rejects them)
     if "=" in s:
         raise ValueError("unexpected base64 padding")
+    if not (_B64URL_RE if urlsafe else _B64_RE).match(s):
+        raise ValueError("invalid base64 character")
     padded = s + "=" * (-len(s) % 4)
     fn = base64.urlsafe_b64decode if urlsafe else base64.b64decode
     return fn(padded.encode("ascii"))

@@ -44,6 +44,12 @@ class Tables:
         rev = self.type_tables_rev.get(type_iri)
         if rev is None:
             return None
+        if isinstance(value, str):
+            # encode emits out-of-table values as verbatim text
+            # (reference src/tables/mod.rs:72) but its decode then
+            # rejects them (reference asymmetry); a text passthrough
+            # keeps the encoder's own output decodable
+            return value
         if isinstance(value, bool) or not isinstance(value, int):
             raise DecodeError("InvalidValue", f"type table expects integer, got {value!r}")
         out = rev.get(value)

@@ -328,7 +328,14 @@ class CborLdEncoder(_TransformerBase):
     def transform_object(self, active: ActiveContext, value):
         if value is None or isinstance(value, bool):
             return value
-        if isinstance(value, (int, float, str)):
+        if isinstance(value, int):
+            # CBOR major 0/1 holds |n| < 2^64; the reference silently
+            # degrades larger ints to lossy f64 (src/encode/mod.rs:241) —
+            # a typed error keeps the round-trip invariant honest instead
+            if not -(2 ** 64) < value < 2 ** 64:
+                raise EncodeError("IntegerOverflow", str(value))
+            return value
+        if isinstance(value, (float, str)):
             return value
         if isinstance(value, list):
             return [self.transform(active, item) for item in value]
@@ -354,7 +361,15 @@ class CborLdDecoder(_TransformerBase):
 
     @staticmethod
     def _wrap_object(entries: list):
-        return dict(entries)
+        # dict() would silently collapse duplicate decoded keys (e.g. a
+        # crafted map carrying both singular id and plural id+1 of one
+        # term) — reject instead of losing data
+        out = {}
+        for k, v in entries:
+            if k in out:
+                raise duplicate_key(k)
+            out[k] = v
+        return out
 
     @staticmethod
     def _get_context_entry(entries: list):
@@ -443,7 +458,8 @@ class CborLdDecoder(_TransformerBase):
         if isinstance(value, list):
             return [self.transform(active, item) for item in value]
         if isinstance(value, CborMap):
-            return dict(self.transform_node(active, list(value.entries)))
+            return self._wrap_object(
+                self.transform_node(active, list(value.entries)))
         raise DecodeError("InvalidValue", repr(type(value)))
 
 
@@ -462,13 +478,20 @@ def parse_json_document(text: str | bytes) -> dict:
     """JSON parse with duplicate-key rejection (reference: src/transform.rs:94).
 
     Tolerates a UTF-8 BOM (ubiquitous in real repositories even though
-    RFC 8259 forbids it).
+    RFC 8259 forbids it); rejects the non-JSON literals NaN/Infinity
+    (the reference's serde_json rejects them at parse too — accepting
+    them would emit non-finite CBOR floats no decoder takes back).
     """
     if isinstance(text, bytes):
         text = text.decode("utf-8-sig")
     else:
         text = text.lstrip("﻿")
-    return json.loads(text, object_pairs_hook=_reject_duplicates)
+    return json.loads(text, object_pairs_hook=_reject_duplicates,
+                      parse_constant=_reject_constant)
+
+
+def _reject_constant(name: str):
+    raise CborLdError("InvalidValue", f"non-JSON literal {name}")
 
 
 def _json_to_plain_cbor(value):
@@ -481,6 +504,9 @@ def _json_to_plain_cbor(value):
 
 
 def _plain_cbor_to_json(value):
+    if isinstance(value, float) and (value != value or value in
+                                     (float("inf"), float("-inf"))):
+        raise DecodeError("NonFiniteFloat", repr(value))
     if isinstance(value, CborMap):
         out = {}
         for k, v in value.entries:
