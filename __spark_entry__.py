@@ -256,14 +256,21 @@ def _kg_entity_components(spark, sf_dir):
 
     t = triples_table(process_corpus(corpus_from_documents(spark, sf_dir))) \
         .persist()
-    comp = link_entities(canonical_triples(t).persist())
-    return (
+    c = canonical_triples(t).persist()
+    comp = link_entities(c)
+    # materialize the (tiny) histogram, then release the pinned frames so
+    # a long multi-query session doesn't accumulate storage pressure
+    rows = (
         comp.groupBy("component")
         .agg(F.count(F.lit(1)).alias("size"))
         .groupBy("size")
         .agg(F.count(F.lit(1)).alias("n_components"))
         .orderBy("size")
+        .collect()
     )
+    t.unpersist()
+    c.unpersist()
+    return spark.createDataFrame(rows, "size long, n_components long")
 
 
 def _kg_canonical_dedup(spark, sf_dir):
@@ -274,13 +281,16 @@ def _kg_canonical_dedup(spark, sf_dir):
 
     t = triples_table(process_corpus(corpus_from_documents(spark, sf_dir))) \
         .persist()
-    c = canonical_triples(t)
-    return c.agg(
+    rows = canonical_triples(t).agg(
         F.count(F.lit(1)).alias("raw_triples"),
         F.countDistinct("subj", "pred", "obj", "obj_is_iri", "graph")
         .alias("canonical_distinct_triples"),
         F.countDistinct("subj").alias("canonical_subjects"),
-    )
+    ).collect()
+    t.unpersist()
+    return spark.createDataFrame(
+        rows, "raw_triples long, canonical_distinct_triples long, "
+              "canonical_subjects long")
 
 
 def _kg_cardinality_sketch(spark, sf_dir):

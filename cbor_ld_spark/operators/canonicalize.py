@@ -166,9 +166,12 @@ def canonical_triples(triples: DataFrame,
     optional ``components`` frame (entity linking) annotates each triple
     with its subject's entity component.
     """
-    # one applyInPandas pass feeds three joins — persist, or each join
-    # re-derives the whole upstream lineage (kernel included)
-    bnode_map = canonicalize_bnodes(triples).persist()
+    # one applyInPandas pass feeds three joins — materialize once, or
+    # each join re-derives the whole upstream lineage (kernel included).
+    # localCheckpoint (not persist): its blocks are released by the
+    # ContextCleaner once unreferenced, so repeated calls in one session
+    # don't accumulate storage pressure
+    bnode_map = canonicalize_bnodes(triples).localCheckpoint()
 
     subj_map = bnode_map.select(
         F.col("doc_sha").alias("doc_sha"), F.col("node").alias("subj"),
