@@ -318,7 +318,8 @@ def _kg_hex_roundtrip(spark, sf_dir):
     out = hex_roundtrip_check(
         corpus_from_documents(spark, sf_dir, limit_ids=200))
     return out.agg(
-        F.count(F.lit(1)).alias("encodable_docs"),
+        F.sum(F.col("encode_error").isNull().cast("long"))
+        .alias("encodable_docs"),
         F.sum(F.col("hex_roundtrip_ok").cast("long")).alias("hex_roundtrip_ok"))
 
 

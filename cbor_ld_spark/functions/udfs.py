@@ -125,6 +125,12 @@ def _process_one(content: str, registry_id: int, emit_triples: bool):
     roundtrip_ok = None
     tcols = (None,) * 7
     n_triples = 0
+    # compute once, outside try: len() in an except handler would itself
+    # raise for null/non-str content and kill the partition
+    clen = len(content) if isinstance(content, str) else 0
+    if not isinstance(content, str):
+        return (None, False, f"content is {type(content).__name__}",
+                "InvalidContent", 0, None, None, 0, *((None,) * 7))
     try:
         doc = parse_json_document(content)
         if not isinstance(doc, dict):
@@ -154,15 +160,15 @@ def _process_one(content: str, registry_id: int, emit_triples: bool):
                              if t.graph.startswith("_:") else t.graph)
             tcols = (subj, pred, obj, is_iri, dt, lang, graph)
             n_triples = len(triples)
-        return (doc_sha, True, None, None, len(content), cbor_len,
+        return (doc_sha, True, None, None, clen, cbor_len,
                 roundtrip_ok, n_triples, *tcols)
     except CborLdError as e:
-        return (doc_sha, False, e.message or e.kind, e.kind, len(content),
+        return (doc_sha, False, e.message or e.kind, e.kind, clen,
                 cbor_len, roundtrip_ok, 0, *((None,) * 7))
     except Exception as e:  # noqa: BLE001 — quarantine is the contract:
         # no document may kill a partition (OverflowError from huge ints,
         # UnicodeError, etc. all land here as typed rows)
-        return (doc_sha, False, str(e)[:500], type(e).__name__, len(content),
+        return (doc_sha, False, str(e)[:500], type(e).__name__, clen,
                 cbor_len, roundtrip_ok, 0, *((None,) * 7))
 
 

@@ -151,6 +151,11 @@ def canonicalize_bnodes(triples: DataFrame) -> DataFrame:
     return (
         triples
         .select("doc_sha", "subj", "pred", "obj", "obj_is_iri", "graph")
+        # distinct: provenance join-back duplicates a doc's triples once
+        # per (repo, path) copy; without dedup the structure hash would
+        # depend on copy count (breaking isomorphic-doc convergence) and
+        # a widely-vendored doc would blow up its group N-fold (skew)
+        .distinct()
         .groupBy("doc_sha")
         .applyInPandas(fn, schema=CANON_SCHEMA)
     )

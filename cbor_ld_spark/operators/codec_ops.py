@@ -143,7 +143,15 @@ def hex_roundtrip_check(df: DataFrame, content_col: str = "content",
     framed = enc.withColumn("cbor2", F.unhex("cbor_hex"))
     dec = decode_column(framed.filter(F.col("cbor").isNotNull()), "cbor2")
     dec = dec.withColumn("canon_src", _canonical_source_udf()(F.col(content_col)))
-    return dec.withColumn(
+    ok_rows = dec.withColumn(
         "hex_roundtrip_ok",
         F.col("decode_error").isNull() &
         (F.col("json") == F.col("canon_src")))
+    # keep encode-failed rows (ok=false) instead of silently dropping
+    # them — otherwise aggregate health over the result over-reports
+    failed = (framed.filter(F.col("cbor").isNull())
+              .withColumn("json", F.lit(None).cast("string"))
+              .withColumn("decode_error", F.lit(None).cast("string"))
+              .withColumn("canon_src", F.lit(None).cast("string"))
+              .withColumn("hex_roundtrip_ok", F.lit(False)))
+    return ok_rows.unionByName(failed.select(*ok_rows.columns))

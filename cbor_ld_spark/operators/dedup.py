@@ -253,7 +253,7 @@ def embedding_near_duplicates(spark: SparkSession, sf_dir: str,
         "vec_id", v.alias("v"),
         F.sqrt(F.aggregate(F.transform(v, lambda x: x * x),
                            F.lit(0.0), lambda acc, x: acc + x)).alias("nrm"),
-    ).persist()
+    ).localCheckpoint()  # ContextCleaner-released, unlike a leaked persist
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
                    F.col("nrm").alias("na"))
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),

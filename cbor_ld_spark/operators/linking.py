@@ -143,7 +143,11 @@ def connected_components(edges: DataFrame, max_iter: int = 25,
             break
 
     sym.unpersist()
-    return labels
+    # hand the caller a ContextCleaner-managed frame and release the
+    # loop's pinned cache (callers can't unpersist an internal handle)
+    result = labels.localCheckpoint()
+    labels.unpersist()
+    return result
 
 
 def _driver_union_find(spark, edges: DataFrame) -> DataFrame:

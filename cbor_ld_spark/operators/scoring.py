@@ -51,7 +51,17 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
     S-fold; the join key becomes (key, salt).  Shuffle partitions for the
     hot key are split S ways.  ``small`` must actually be small (it is
     replicated S times).
+
+    Only join types that never emit unmatched *small*-side rows are
+    valid: right/full outer would surface each unmatched small key S
+    times (one per replica).
     """
+    valid = {"inner", "left", "left_outer", "leftouter", "left_semi",
+             "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in valid:
+        raise ValueError(
+            f"salted_join supports {sorted(valid)}; '{how}' would emit "
+            "unmatched small-side rows once per salt replica")
     big_s = big.withColumn(
         "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()),
                         F.lit(salt)).cast("int"))

@@ -113,7 +113,13 @@ def ivf_topk(spark: SparkSession, sf_dir: str, n_queries: int = 5,
 
     sample = np.array(
         [r["v"] for r in emb.orderBy("vec_id").limit(4096).collect()])
-    sample = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0  # zero vectors stay zero instead of NaN
+    sample = sample / norms
+    n_cells = min(n_cells, len(sample))  # tiny corpora: fewer cells
+    if n_cells == 0:
+        return spark.createDataFrame(
+            [], "query_id long, rank int, vec_id long, cosine double")
     centroids = sample[:n_cells].copy()
     for _ in range(kmeans_iters):
         assign = np.argmax(sample @ centroids.T, axis=1)
@@ -132,13 +138,16 @@ def ivf_topk(spark: SparkSession, sf_dir: str, n_queries: int = 5,
         ])
         return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
 
-    indexed = emb.withColumn("cell", cell_of(F.col("v"))).persist()
+    # localCheckpoint: blocks are ContextCleaner-released when the frame
+    # goes out of scope (a persist here would leak across a query suite)
+    indexed = emb.withColumn("cell", cell_of(F.col("v"))).localCheckpoint()
 
     queries = indexed.filter(F.col("vec_id") < n_queries).collect()
     probe_rows = []
     for q in queries:
         qv = np.array(q["v"])
-        qv = qv / np.linalg.norm(qv)
+        qn = np.linalg.norm(qv)
+        qv = qv / (qn if qn else 1.0)
         order = np.argsort(-(centroids @ qv))[:n_probe]
         for c in order:
             probe_rows.append((q["vec_id"], int(c), q["v"]))

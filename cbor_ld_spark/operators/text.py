@@ -85,11 +85,16 @@ def term_dictionary(docs: DataFrame, min_count: int = 2) -> DataFrame:
 
     The corpus-scale analog of the reference's per-document id allocator
     (SURVEY D7): distinct tokens above ``min_count`` get even ids from
-    100 in sorted term order via a window — the same even-id convention
-    the CBOR-LD allocator uses (reference: src/id/alloc.rs:30-40), minted
-    once for the whole corpus.  distinct+window = two shuffles on the
-    term key (uniform); at 10^12 scale the orderBy window would become a
-    range-partitioned sort, which Spark plans automatically.
+    100 in sorted term order — the same even-id convention the CBOR-LD
+    allocator uses (reference: src/id/alloc.rs:30-40), minted once for
+    the whole corpus.
+
+    Scale shape: a global ``row_number`` window would move *all* terms
+    to one partition (Spark warns 'No Partition Defined for Window').
+    Instead: range-partition by term (global order across partitions),
+    rank locally per partition, then add the per-partition cumulative
+    offsets (a tiny driver-side list) — the classic zipWithIndex shape,
+    fully parallel.
     """
     from pyspark.sql import Window
 
@@ -99,12 +104,29 @@ def term_dictionary(docs: DataFrame, min_count: int = 2) -> DataFrame:
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("occurrences"))
         .filter(F.col("occurrences") >= min_count)
+        .repartitionByRange("term")
+        .withColumn("_pid", F.spark_partition_id())
     )
-    w = Window.orderBy("term")
-    return toks.select(
-        "term", "occurrences",
-        (F.row_number().over(w) * 2 + 98).alias("term_id"),
-    ).orderBy("term")
+    w = Window.partitionBy("_pid").orderBy("term")
+    ranked = toks.withColumn("_local_rank", F.row_number().over(w))
+    counts = {r["_pid"]: r["n"] for r in
+              ranked.groupBy("_pid").agg(F.count(F.lit(1)).alias("n"))
+              .collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    offset_col = F.coalesce(*[
+        F.when(F.col("_pid") == pid, F.lit(off))
+        for pid, off in sorted(offsets.items())
+    ]) if offsets else F.lit(0)
+    return (
+        ranked
+        .select("term", "occurrences",
+                ((F.col("_local_rank") + offset_col) * 2 + 98)
+                .alias("term_id"))
+        .orderBy("term")
+    )
 
 
 def fingerprints(docs: DataFrame) -> DataFrame:

@@ -129,18 +129,18 @@ def build_kg(spark: SparkSession, repos: DataFrame, out_dir: str,
     # canonical labels first (per-document, skew-free), then entity
     # linking over the canonical graph so components name canonical ids
     t1 = time.monotonic()
-    canon = canonical_triples(all_triples).persist()
-    n_canon = canon.count()
+    canon_cached = canonical_triples(all_triples).persist()
+    n_canon = canon_cached.count()
     _stage_lineage(spark, out_dir, run_id, "canonicalize", n_canon, t1)
 
     t2 = time.monotonic()
-    components = link_entities(canon)
+    components = link_entities(canon_cached)
     comp_by_subj = (components.select(F.col("id").alias("subj"), "component")
                     .persist())
     n_linked = comp_by_subj.count()
     _stage_lineage(spark, out_dir, run_id, "link", n_linked, t2)
 
-    canon = (canon.drop("component")
+    canon = (canon_cached.drop("component")
              .join(comp_by_subj, "subj", "left"))
 
     t3 = time.monotonic()
@@ -174,7 +174,9 @@ def build_kg(spark: SparkSession, repos: DataFrame, out_dir: str,
     }
     _stage_lineage(spark, out_dir, run_id, "materialize",
                    summary["edges_total"], t3)
-    canon.unpersist()
+    # unpersist the handles that were actually cached (unpersisting the
+    # joined frame would be a no-op against the cache manager)
+    canon_cached.unpersist()
     comp_by_subj.unpersist()
     return summary
 

@@ -62,11 +62,22 @@ def stream_kg_results(spark: SparkSession, input_dir: str, out_dir: str,
                                emit_triples=True, dedup_content=False)
 
     def write_batch(batch_df, batch_id: int):
+        # idempotent by batch_id: a retried micro-batch overwrites its own
+        # partition instead of appending duplicates (plain append would be
+        # at-least-once; two sinks cannot share one atomic commit)
+        spark = batch_df.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        from pyspark.sql import functions as F
+
         batch_df = batch_df.persist()
         (batch_df.select(*DOC_COLUMNS)
-         .write.mode("append").parquet(f"{out_dir}/docs"))
+         .withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite").partitionBy("batch_id")
+         .parquet(f"{out_dir}/docs"))
         (triples_table(batch_df)
-         .write.mode("append").parquet(f"{out_dir}/triples"))
+         .withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite").partitionBy("batch_id")
+         .parquet(f"{out_dir}/triples"))
         batch_df.unpersist()
 
     writer = (
