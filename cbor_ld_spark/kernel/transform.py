@@ -77,6 +77,10 @@ class _TransformerBase:
         # document; re-applying (nested repeats of the same chain) is a
         # no-op, so skip the whole term loop (~20% of kernel time)
         self._applied: set = set()
+        # ordered sequence of first-applied fingerprints: allocator state
+        # is a pure function of this sequence, so it can be snapshot-
+        # cached process-wide and restored with two dict copies
+        self._fp_seq: tuple = ()
 
     # -- context handling ----------------------------------------------------
 
@@ -86,11 +90,26 @@ class _TransformerBase:
         """Process one context (URL or inline syntax) + allocate term ids."""
         result = process_context(active, context_value, self.loader,
                                  base_url=base_url, propagate=propagate)
-        if result.fingerprint not in self._applied:
-            self._applied.add(result.fingerprint)
-            allocate = self.allocator.allocate
-            for term in result.alloc_terms:
-                allocate(term)
+        fp = result.fingerprint
+        if fp not in self._applied:
+            self._applied.add(fp)
+            new_seq = (*self._fp_seq, fp)
+            snap = _ALLOC_SNAPSHOTS.get(new_seq)
+            alloc = self.allocator
+            if snap is not None:
+                alloc.term_to_id = dict(snap[0])
+                alloc.id_to_term = dict(snap[1])
+                alloc.next_id = snap[2]
+            else:
+                allocate = alloc.allocate
+                for term in result.alloc_terms:
+                    allocate(term)
+                if len(_ALLOC_SNAPSHOTS) >= 512:
+                    _ALLOC_SNAPSHOTS.clear()
+                _ALLOC_SNAPSHOTS[new_seq] = (dict(alloc.term_to_id),
+                                             dict(alloc.id_to_term),
+                                             alloc.next_id)
+            self._fp_seq = new_seq
         return result
 
     def _process_context_url(self, active: ActiveContext, url: str,
@@ -236,6 +255,12 @@ class _TransformerBase:
 
 
 _MISSING = object()
+
+# (sequence of first-applied context fingerprints) -> allocator snapshot.
+# Corpora reuse a handful of context chains, so after warmup every
+# document restores its allocation table with two dict copies instead of
+# replaying hundreds of idempotent allocations.
+_ALLOC_SNAPSHOTS: dict[tuple, tuple[dict, dict, int]] = {}
 
 
 class CborLdEncoder(_TransformerBase):
