@@ -435,9 +435,133 @@ _SESSIONS_SQL_BODY = """
       FROM events))
   GROUP BY user_id, session_seq
 """
-_SESSIONS_SQL = ("SELECT user_id, session_seq, n_events, started_at, "
+# session_seq is a windowed sum(INTEGER) -> HUGEINT in DuckDB, which Arrow
+# serializes as decimal128 and hash-diverges from Spark's int64; cast to BIGINT.
+_SESSIONS_SQL = ("SELECT user_id, session_seq::BIGINT AS session_seq, "
+                 "n_events, started_at, "
                  "duration_secs, session_value FROM (" +
                  _SESSIONS_SQL_BODY + ")")
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _variant_outcomes():
+    """Per-variant kernel outcomes, computed once driver-side.
+
+    The corpus is a pure function of ``doc_id % k`` (variant cycling) and
+    ``doc_id % 1024`` (entity-UUID templating), so every corpus-level KG
+    aggregate is derivable from the k single-document kernel runs below.
+    Each entry: (vidx, ok, error_kind, roundtrip_ok, triples) where
+    triples is a list of (subj_template, entity_dependent, pred) — the
+    subject with the fixture's template UUID in place, plus a flag for
+    whether the realized subject varies with the per-doc entity UUID
+    (IRI containing the UUID, or a doc-sha-prefixed blank label).
+    Only sniff-passing variants (lang == json, object-shaped, @context
+    present) appear — mirroring ``jsonld_sniff``.
+    """
+    import re
+
+    from cbor_ld_spark.functions.udfs import _process_one
+    from cbor_ld_spark.sources import payload_variants
+    from cbor_ld_spark.sources.corpus import _TEMPLATE_UUID
+
+    probe_uuid = "9e107d9d-372b-4c81-a634-5c91aa1edbe3"
+    out = []
+    for i, (_name, lang, content, _enc) in enumerate(payload_variants()):
+        if not (lang == "json" and re.match(r"^[\s﻿]*\{", content)
+                and "@context" in content):
+            continue
+        a = _process_one(content, 1, True)
+        b = _process_one(content.replace(_TEMPLATE_UUID, probe_uuid), 1, True)
+        ok, error_kind, rt = a[1], a[3], a[6]
+        assert (a[1], a[3], a[6], a[7]) == (b[1], b[3], b[6], b[7]), \
+            f"variant {i}: outcome depends on entity uuid"
+        triples = []
+        if ok and a[7] > 0:
+            subj_a, pred_a = a[8], a[9]
+            subj_b, pred_b = b[8], b[9]
+            assert pred_a == pred_b, f"variant {i}: predicate templated"
+            for sa, sb, p in zip(subj_a, subj_b, pred_a):
+                triples.append((sa, sa != sb, p))
+        out.append((i, ok, error_kind, rt, triples))
+    return out
+
+
+def _doc_results_oracle() -> str:
+    """(ok, error_kind) doc counts from variant cycling math."""
+    from cbor_ld_spark.sources import payload_variants
+
+    k = len(payload_variants())
+    vals = ", ".join(
+        f"({i}, {str(bool(ok)).upper()}, "
+        f"{_sql_str(ek) if ek is not None else 'NULL'}, {1 if rt else 0})"
+        for i, ok, ek, rt, _t in _variant_outcomes())
+    return f"""
+        WITH v(vidx, ok, error_kind, rt) AS (VALUES {vals}),
+        d AS (SELECT doc_id % {k} AS vidx FROM documents)
+        SELECT ok, error_kind, count(*)::BIGINT AS docs,
+               sum(rt)::BIGINT AS roundtrip_ok_docs
+        FROM d JOIN v USING (vidx)
+        GROUP BY ok, error_kind
+        ORDER BY ok, error_kind NULLS FIRST
+    """
+
+
+def _roundtrip_violations_oracle() -> str:
+    """Expected round-trip violations: the invariant says zero rows.
+
+    If a variant ever violates (ok but not roundtrip_ok), emit its
+    repo/path rows via cycling math with NULL doc_sha — the resulting
+    row/hash mismatch is exactly the loud failure the gate wants.
+    """
+    from cbor_ld_spark.sources import payload_variants
+
+    k = len(payload_variants())
+    bad = [i for i, ok, _ek, rt, _t in _variant_outcomes() if ok and not rt]
+    if not bad:
+        return ("SELECT ''::VARCHAR AS repo, ''::VARCHAR AS path, "
+                "''::VARCHAR AS doc_sha WHERE 1 = 0")
+    return f"""
+        SELECT CASE WHEN doc_id % 2 = 0 THEN 'org0/mega'
+                    ELSE 'org' || (doc_id % 7) || '/repo' || (doc_id % 13)
+               END AS repo,
+               'creds/' || doc_id || '/' AS path,
+               NULL::VARCHAR AS doc_sha
+        FROM documents WHERE doc_id % {k} IN ({','.join(map(str, bad))})
+    """
+
+
+def _triples_by_pred_oracle() -> str:
+    """Per-predicate triple + distinct-subject counts from cycling math.
+
+    Subjects realize as f(subject_template, entity) — the entity UUID is
+    md5('ent:' || doc_id % 1024) — and the template->realized map is
+    injective per entity (doc-sha blank prefixes and urn:uuid subjects
+    both hash the same inputs), so COUNT(DISTINCT template || entity_hash)
+    equals Spark's COUNT(DISTINCT realized_subj) exactly.
+    """
+    from cbor_ld_spark.sources import payload_variants
+
+    k = len(payload_variants())
+    rows = []
+    for i, ok, _ek, _rt, triples in _variant_outcomes():
+        for subj, dep, pred in triples:
+            rows.append(f"({i}, {_sql_str(subj)}, "
+                        f"{str(bool(dep)).upper()}, {_sql_str(pred)})")
+    vals = ", ".join(rows)
+    return f"""
+        WITH t(vidx, subj, dep, pred) AS (VALUES {vals}),
+        d AS (SELECT doc_id % {k} AS vidx,
+                     md5('ent:' || (doc_id % 1024)::VARCHAR) AS eh
+              FROM documents)
+        SELECT pred, count(*)::BIGINT AS triples,
+               count(DISTINCT subj || CASE WHEN dep THEN eh ELSE '' END)
+               ::BIGINT AS subjects
+        FROM d JOIN t USING (vidx)
+        GROUP BY pred ORDER BY pred
+    """
 
 
 def _hex_roundtrip_oracle() -> str:
@@ -461,9 +585,12 @@ def _hex_roundtrip_oracle() -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "kg_corpus_shape": _corpus_shape_oracle(),
+        "kg_doc_results": _doc_results_oracle(),
+        "kg_roundtrip_violations": _roundtrip_violations_oracle(),
+        "kg_triples_by_pred": _triples_by_pred_oracle(),
         "text_token_stats": f"""
             SELECT count(doc_id) AS docs,
-                   sum(n_tokens) AS total_tokens,
+                   sum(n_tokens)::BIGINT AS total_tokens,
                    min(n_tokens) AS min_tokens,
                    max(n_tokens) AS max_tokens,
                    round(avg(n_tokens), 3) AS avg_tokens

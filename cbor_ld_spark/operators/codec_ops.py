@@ -141,6 +141,12 @@ def hex_roundtrip_check(df: DataFrame, content_col: str = "content",
     """
     enc = encode_column(df, content_col, registry_id)
     framed = enc.withColumn("cbor2", F.unhex("cbor_hex"))
+    # framed feeds both the ok-branch and the failed-branch below; without a
+    # materialization barrier Spark recomputes the whole encode UDF once per
+    # branch (verified duplicate ArrowEvalPython subtrees in .explain()).
+    # localCheckpoint() runs the encode exactly once; ContextCleaner reclaims
+    # the blocks when the frame is GC'd, so callers need no unpersist.
+    framed = framed.localCheckpoint(eager=False)
     dec = decode_column(framed.filter(F.col("cbor").isNotNull()), "cbor2")
     dec = dec.withColumn("canon_src", _canonical_source_udf()(F.col(content_col)))
     ok_rows = dec.withColumn(

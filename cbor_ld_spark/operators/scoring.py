@@ -62,8 +62,13 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
         raise ValueError(
             f"salted_join supports {sorted(valid)}; '{how}' would emit "
             "unmatched small-side rows once per salt replica")
+    # Salt must be retry-deterministic: a task recompute after executor loss
+    # has to route each row to the same (key, salt) partition, or mid-query
+    # recovery silently changes row placement.  Derive it from the row's own
+    # content (every column), never from monotonically_increasing_id, which
+    # is recompute-unstable.
     big_s = big.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()),
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]),
                         F.lit(salt)).cast("int"))
     small_s = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))

@@ -26,6 +26,10 @@ SAMPLES = os.path.join(
     "cbor_ld_spark", "fixtures", "samples",
 )
 
+# (name, registry_id) — vcb-* pairs use the VcBarcodes registry (100),
+# matching reference tests/suite.rs:70-105; the other three use default (1).
+GOLDEN_REG = [("note", 1), ("prc", 1), ("truage", 1),
+              ("vcb-aamva", 100), ("vcb-mrz", 100)]
 GOLDEN = ["note", "prc", "truage"]
 
 
@@ -34,23 +38,23 @@ def _read(name: str) -> str:
         return f.read()
 
 
-@pytest.mark.parametrize("name", GOLDEN)
-def test_encode_byte_exact(name):
+@pytest.mark.parametrize("name,reg", GOLDEN_REG)
+def test_encode_byte_exact(name, reg):
     expected = bytes.fromhex(_read(f"{name}.cbor.hex").strip())
-    assert encode_document(_read(f"{name}.jsonld")) == expected
+    assert encode_document(_read(f"{name}.jsonld"), registry_id=reg) == expected
 
 
-@pytest.mark.parametrize("name", GOLDEN)
-def test_decode_matches_original(name):
+@pytest.mark.parametrize("name,reg", GOLDEN_REG)
+def test_decode_matches_original(name, reg):
     got = decode_document(bytes.fromhex(_read(f"{name}.cbor.hex").strip()))
     expected = json.loads(_read(f"{name}.jsonld"))
     assert canonical_json(got) == canonical_json(expected)
 
 
-@pytest.mark.parametrize("name", GOLDEN + ["cit"])
-def test_round_trip_sha_invariant(name):
+@pytest.mark.parametrize("name,reg", GOLDEN_REG + [("cit", 1)])
+def test_round_trip_sha_invariant(name, reg):
     doc = json.loads(_read(f"{name}.jsonld"))
-    back = decode_document(encode_document(doc))
+    back = decode_document(encode_document(doc, registry_id=reg))
     assert content_sha256(back) == content_sha256(doc)
 
 
