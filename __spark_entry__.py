@@ -128,6 +128,12 @@ def _dedup_simhash_groups(spark, sf_dir):
     return simhash_duplicate_groups(load_documents(spark, sf_dir))
 
 
+def _dedup_simhash_near(spark, sf_dir):
+    from cbor_ld_spark.operators.dedup import load_documents, simhash_near_pairs
+
+    return simhash_near_pairs(load_documents(spark, sf_dir), max_distance=3)
+
+
 def _ann_cosine_topk(spark, sf_dir):
     from cbor_ld_spark.operators.similarity import cosine_topk
 
@@ -348,6 +354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _dedup_exact,
         "dedup_minhash_pairs": _dedup_minhash_pairs,
         "dedup_simhash_groups": _dedup_simhash_groups,
+        "dedup_simhash_near": _dedup_simhash_near,
         "ann_cosine_topk": _ann_cosine_topk,
         "ann_lsh_topk": _ann_lsh_topk,
         "ann_ivf_topk": _ann_ivf_topk,

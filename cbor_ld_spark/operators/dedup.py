@@ -173,29 +173,29 @@ def minhash_jaccard_estimate(docs: DataFrame, num_hashes: int = 16,
 def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     """SimHash over tokens (sign of per-bit weighted sums).
 
-    Pure Column algebra: token -> xxhash64 once per row, then per bit
-    the popcount of set bits vs tokens decides the sign.  Identical
-    simhash = near-dup bucket.  ``bits`` is a compile-time constant so
-    every shift is a literal (whole-stage codegen friendly).
+    Shape: explode tokens -> xxhash64 once -> groupBy(doc_id) with one
+    ``sum`` per bit + a count, then compose the hash from the bit
+    majorities.  Everything stays in whole-stage codegen; the per-doc
+    partial aggregation collapses each document's tokens map-side, so
+    the shuffle moves exactly one row per document on a uniform key.
+    (The previous formulation ran ``bits`` interpreted higher-order
+    ``filter`` passes per row — ~30x more expression evaluation.)
     """
     toks = F.split(_norm(F.col("text")), " ")
-    base = docs.select(
-        "doc_id",
-        F.transform(toks, lambda t: F.xxhash64(t)).alias("hashes"),
-        F.size(toks).alias("n"),
-    )
-    def _bit_pred(b: int):
-        # single-arg lambda factory: a default arg would make PySpark treat
-        # the lambda as the 2-arg (element, index) form
-        return lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1
-
+    ex = docs.select("doc_id", F.explode(toks).alias("tok"))
+    h = F.xxhash64("tok")
+    aggs = [F.sum(F.shiftright(h, b).bitwiseAND(F.lit(1))).alias(f"_o{b}")
+            for b in range(bits)]
+    per = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_n"), *aggs)
     sim = F.lit(0).cast("long")
     for b in range(bits):
-        ones = F.size(F.filter("hashes", _bit_pred(b)))
-        bit = F.when(ones * 2 > F.col("n"),
-                     F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
-        sim = sim.bitwiseOR(bit)
-    return base.select("doc_id", sim.alias("simhash"))
+        # linear OR-chain (each step references the previous tree once;
+        # a when(...).otherwise(prev) rebind would double it per step)
+        sim = sim.bitwiseOR(
+            F.when(F.col(f"_o{b}") * 2 > F.col("_n"),
+                   F.lit(1 << b).cast("long"))
+            .otherwise(F.lit(0).cast("long")))
+    return per.select("doc_id", sim.alias("simhash"))
 
 
 def simhash_duplicate_groups(docs: DataFrame) -> DataFrame:
@@ -207,6 +207,53 @@ def simhash_duplicate_groups(docs: DataFrame) -> DataFrame:
              F.min("doc_id").alias("canonical_doc_id"))
         .filter(F.col("group_size") > 1)
         .orderBy("canonical_doc_id")
+    )
+
+
+def simhash_near_pairs(docs: DataFrame, bits: int = 32, bands: int = 4,
+                       max_distance: int = 3,
+                       simhashes: DataFrame | None = None) -> DataFrame:
+    """Near-duplicate pairs within ``max_distance`` hamming bits.
+
+    Banded-hamming bucketing: split the ``bits``-bit simhash into
+    ``bands`` disjoint bit-bands; by pigeonhole, two hashes differing in
+    at most ``max_distance`` < ``bands`` bits agree exactly on at least
+    one band.  Bucket-join on (band, band_bits) — the only shuffle, on a
+    uniform key — then exact ``bit_count(xor)`` rerank JVM-side.  Never
+    all-pairs: candidate count ~ corpus / bucket cardinality.
+    """
+    if max_distance >= bands:
+        raise ValueError(
+            f"max_distance ({max_distance}) must be < bands ({bands}) "
+            "for the pigeonhole guarantee to hold")
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    sims = simhashes if simhashes is not None else simhash(docs, bits)
+    # band table feeds both self-join sides; checkpoint so the simhash
+    # aggregation runs once (alias plans defeat exchange reuse)
+    band_rows = sims.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright("simhash", b * band_bits)
+                .bitwiseAND(F.lit(mask)).alias("val"))
+            for b in range(bands)
+        ])).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.val").localCheckpoint()
+    left = band_rows.alias("l")
+    right = band_rows.alias("r")
+    dist = F.bit_count(
+        F.col("l.simhash").bitwiseXOR(F.col("r.simhash")))
+    return (
+        left.join(right, on=["band", "val"])
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .filter(dist <= max_distance)
+        .select(F.col("l.doc_id").alias("doc_a"),
+                F.col("r.doc_id").alias("doc_b"),
+                dist.cast("int").alias("distance"))
+        .distinct()
+        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -271,47 +318,75 @@ def embedding_near_duplicates(spark: SparkSession, sf_dir: str,
 
 
 def embedding_near_duplicates_blocked(spark: SparkSession, sf_dir: str,
-                                      threshold: float = 0.95) -> DataFrame:
-    """Cosine near-dup at scale: numpy block matmul inside mapInPandas.
+                                      threshold: float = 0.95,
+                                      block_size: int = 4096) -> DataFrame:
+    """Exact cosine near-dup, distributed block-pair matmul (BLAS).
 
-    The full embedding matrix is broadcast (fine up to ~10^6 x few-hundred
-    dims ~ GBs; beyond that, IVF/LSH partitioning first); each Arrow
-    batch of rows multiplies against it with BLAS.  This is the 100 TB
-    shape: O(n/batch) tasks, no crossjoin rows ever materialized.
+    Vectors hash into B = ceil(n / block_size) blocks; each of the
+    B(B+1)/2 block *pairs* is one ``applyInPandas`` group that multiplies
+    its two (block_size, d) matrices with BLAS.  Nothing is collected to
+    the driver and nothing is broadcast: per-task memory is two blocks,
+    the shuffle key (blk_i, blk_j) is uniform by construction (modulo
+    hashing), and every (a, b) pair is examined exactly once (in the
+    block pair (min(ha, hb), max(ha, hb))).
+
+    Exact all-pairs is inherently O(n^2) compute: this tier is for
+    corpora where that is affordable (~10^7 vectors).  Beyond that,
+    bound candidates first (operators.similarity LSH/IVF) and rerank
+    exactly — the replication factor here (each vector ships to B block
+    pairs) makes larger exact runs shuffle-bound by design, not OOM.
     """
-    import numpy as np
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    n = emb.count()  # one column-pruned scan to size the block grid
+    n_blocks = max(1, -(-n // block_size))
+    pairs = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "blk_i int, blk_j int")
+    blk = F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int")
+    a = emb.withColumn("blk", blk)
+    lhs = (a.join(F.broadcast(pairs), a.blk == pairs.blk_i)
+           .withColumn("side", F.lit(0)))
+    rhs = (a.join(F.broadcast(pairs.filter("blk_i != blk_j")),
+                  a.blk == pairs.blk_j)
+           .withColumn("side", F.lit(1)))
+    both = lhs.unionByName(rhs).select(
+        "blk_i", "blk_j", "side", "vec_id", "embedding")
 
-    pdf = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-           .select("vec_id", "embedding").toPandas())
-    ids = pdf["vec_id"].to_numpy()
-    mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    bids = spark.sparkContext.broadcast(ids)
-    bmat = spark.sparkContext.broadcast(mat)
-
-    def fn(batches):
+    def fn(pdf):
+        import numpy as np
         import pandas as pd
 
-        all_ids = bids.value
-        all_mat = bmat.value
-        id_to_row = {int(i): k for k, i in enumerate(all_ids)}
-        for pdf_b in batches:
-            rows = [id_to_row[int(i)] for i in pdf_b["vec_id"]]
-            block = all_mat[rows]                       # (b, d)
-            sims = block @ all_mat.T                    # (b, n) BLAS
-            out_a, out_b, out_c = [], [], []
-            for r, i in zip(range(len(rows)), pdf_b["vec_id"]):
-                js = (sims[r] >= threshold).nonzero()[0]
-                for j in js:
-                    jid = int(all_ids[j])
-                    if int(i) < jid:
-                        out_a.append(int(i))
-                        out_b.append(jid)
-                        out_c.append(round(float(sims[r, j]), 6))
-            yield pd.DataFrame({"vec_a": out_a, "vec_b": out_b,
-                                "cosine": out_c})
+        left = pdf[pdf["side"] == 0]
+        if len(left) == 0:  # block i empty (n < n_blocks edge): no pairs
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
+        ids0 = left["vec_id"].to_numpy()
+        m0 = np.array(left["embedding"].tolist(), dtype=np.float64)
+        m0 /= np.linalg.norm(m0, axis=1, keepdims=True)
+        same_block = bool((pdf["side"] == 1).sum() == 0)
+        if same_block:
+            ids1, m1 = ids0, m0
+        else:
+            right = pdf[pdf["side"] == 1]
+            ids1 = right["vec_id"].to_numpy()
+            m1 = np.array(right["embedding"].tolist(), dtype=np.float64)
+            m1 /= np.linalg.norm(m1, axis=1, keepdims=True)
+        sims = m0 @ m1.T
+        ri, ci = (sims >= threshold).nonzero()
+        out_a, out_b, out_c = [], [], []
+        for r, c in zip(ri, ci):
+            x, y = int(ids0[r]), int(ids1[c])
+            if x == y:
+                continue
+            out_a.append(min(x, y) if same_block else x if x < y else y)
+            out_b.append(max(x, y))
+            out_c.append(round(float(sims[r, c]), 6))
+        res = pd.DataFrame({"vec_a": out_a, "vec_b": out_b, "cosine": out_c})
+        # same-block pairs surface twice ((r,c) and (c,r)); keep one
+        return res.drop_duplicates(["vec_a", "vec_b"]) if same_block else res
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id")
-    return emb.mapInPandas(
-        fn, schema="vec_a long, vec_b long, cosine double"
-    ).orderBy("vec_a", "vec_b")
+    return (
+        both.groupBy("blk_i", "blk_j")
+        .applyInPandas(fn, schema="vec_a long, vec_b long, cosine double")
+        .orderBy("vec_a", "vec_b")
+    )
