@@ -135,7 +135,27 @@ def _context_cache_key(value: Any) -> str:
     return key
 
 
-# (parent fingerprint, context key, propagate) -> ActiveContext
+# Loader identity tokens: two loaders may resolve the same context URL to
+# different documents in one process, so every memo key must carry which
+# loader produced the result.  Strong references pin id()s against reuse;
+# the counter never repeats, so tokens stay distinct across clears.
+_LOADER_TOKENS: dict[int, tuple[Any, int]] = {}
+_LOADER_COUNTER = iter(range(1, 1 << 62)).__next__
+
+
+def _loader_token(loader) -> int:
+    hit = _LOADER_TOKENS.get(id(loader))
+    if hit is not None and hit[0] is loader:
+        return hit[1]
+    if len(_LOADER_TOKENS) >= 1024:
+        _LOADER_TOKENS.clear()
+    token = _LOADER_COUNTER()
+    _LOADER_TOKENS[id(loader)] = (loader, token)
+    return token
+
+
+# (loader token, parent fingerprint, context key, base_url, propagate,
+#  override_protected) -> ActiveContext
 _PROCESS_CACHE: dict[tuple, ActiveContext] = {}
 _PROCESS_CACHE_MAX = 4096
 
@@ -147,9 +167,17 @@ def process_context(
     base_url: str | None = None,
     propagate: bool = True,
     remote_contexts: frozenset[str] = frozenset(),
+    override_protected: bool = False,
 ) -> ActiveContext:
-    """W3C Context Processing Algorithm (§4.1.2), memoized."""
-    cache_key = (active.fingerprint, _context_cache_key(local_context), base_url, propagate)
+    """W3C Context Processing Algorithm (§4.1.2), memoized.
+
+    ``override_protected=True`` is the property-scoped-context invocation
+    (spec §4.1.2 step 5.1.3 analog): redefining protected terms is then
+    allowed; otherwise a differing redefinition raises.
+    """
+    cache_key = (_loader_token(loader), active.fingerprint,
+                 _context_cache_key(local_context), base_url, propagate,
+                 override_protected)
     hit = _PROCESS_CACHE.get(cache_key)
     if hit is not None:
         return hit
@@ -180,6 +208,7 @@ def process_context(
                 base_url=url,
                 propagate=propagate,
                 remote_contexts=remote_contexts | {url},
+                override_protected=override_protected,
             )
             continue
 
@@ -224,6 +253,7 @@ def process_context(
                 result, item, key, defined,
                 base_url=base_url,
                 protected_default=protected_default,
+                override_protected=override_protected,
             )
 
     result.seal()
@@ -240,6 +270,7 @@ def _create_term_definition(
     defined: dict[str, bool],
     base_url: str | None,
     protected_default: bool,
+    override_protected: bool = False,
 ) -> None:
     """W3C Create Term Definition (§4.2.2), scoped subset."""
     state = defined.get(term)
@@ -258,7 +289,7 @@ def _create_term_definition(
         raise ContextError("InvalidTermDefinition", "empty term")
 
     value = local_context[term]
-    active.terms.pop(term, None)
+    previous = active.terms.pop(term, None)
 
     if value is None:
         value = {"@id": None}
@@ -335,8 +366,24 @@ def _create_term_definition(
     if "@index" in value:
         d.index = value["@index"]
 
+    if (previous is not None and previous.protected
+            and not override_protected and not _same_definition(previous, d)):
+        # the reference's json-ld crate raises on differing redefinition
+        # of an @protected term; identical redefinition is allowed
+        active.terms[term] = previous
+        raise ContextError("ProtectedTermRedefinition", term)
+
     active.terms[term] = d
     defined[term] = True
+
+
+_COMPARE_SLOTS = tuple(s for s in TermDefinition.__slots__
+                       if s != "protected")
+
+
+def _same_definition(a: TermDefinition, b: TermDefinition) -> bool:
+    """Definition equality modulo @protected (spec §4.2.2 step 5)."""
+    return all(getattr(a, s) == getattr(b, s) for s in _COMPARE_SLOTS)
 
 
 def _default_iri_mapping(active, local_context, term, defined) -> str | None:

@@ -59,27 +59,32 @@ class Triple:
 
 
 def _canonical_double(v: float) -> str:
-    # RDF canonical xsd:double lexical form (e.g. 2.1E1)
-    s = repr(v)
-    m, _, e = s.partition("e")
-    if e:
-        mant = float(m)
-        exp = int(e)
-    else:
-        mant, exp = v, 0
-    # normalize to d.dddE+n
-    import math
+    """RDF canonical xsd:double lexical form (e.g. 2.1E1).
 
+    Derived textually from ``repr`` (already the shortest round-trip
+    decimal): log10 arithmetic is off by one near powers of 10
+    (1e23 -> '10.0E22') and a %.15g mantissa collapses doubles that
+    differ in the 16th-17th significant digit.
+    """
+    if v != v:
+        return "NaN"
+    if v == float("inf"):
+        return "INF"
+    if v == float("-inf"):
+        return "-INF"
     if v == 0:
-        return "0.0E0"
+        import math
+
+        return "-0.0E0" if math.copysign(1.0, v) < 0 else "0.0E0"
     sign = "-" if v < 0 else ""
-    av = abs(v)
-    exp10 = math.floor(math.log10(av))
-    mant = av / (10 ** exp10)
-    mant_s = f"{mant:.15g}"
-    if "." not in mant_s:
-        mant_s += ".0"
-    return f"{sign}{mant_s}E{exp10}"
+    m, _, e = repr(abs(v)).partition("e")
+    exp = int(e) if e else 0
+    int_part, _, frac = m.partition(".")
+    digits_all = int_part + frac
+    p = len(digits_all) - len(digits_all.lstrip("0"))  # first significant
+    exp += len(int_part) - 1 - p
+    d = digits_all[p:].rstrip("0") or "0"
+    return f"{sign}{d[0]}.{d[1:] or '0'}E{exp}"
 
 
 def _is_absolute_iri_or_bnode(v: str) -> bool:
@@ -192,8 +197,11 @@ class _Expander:
 
             prop_active = active
             if d.local_context is not None:
-                prop_active = process_context(active, d.local_context, self.loader,
-                                              base_url=d.base_url, propagate=True)
+                # property-scoped: override protected (spec expansion §13.9)
+                prop_active = process_context(active, d.local_context,
+                                              self.loader, base_url=d.base_url,
+                                              propagate=True,
+                                              override_protected=True)
 
             values = value if isinstance(value, list) else [value]
 

@@ -86,10 +86,12 @@ class _TransformerBase:
 
     def _process_context_value(self, active: ActiveContext, context_value,
                                propagate: bool,
-                               base_url: str | None = None) -> ActiveContext:
+                               base_url: str | None = None,
+                               override_protected: bool = False) -> ActiveContext:
         """Process one context (URL or inline syntax) + allocate term ids."""
         result = process_context(active, context_value, self.loader,
-                                 base_url=base_url, propagate=propagate)
+                                 base_url=base_url, propagate=propagate,
+                                 override_protected=override_protected)
         fp = result.fingerprint
         if fp not in self._applied:
             self._applied.add(fp)
@@ -204,9 +206,10 @@ class _TransformerBase:
 
             property_context = active
             if d.local_context is not None:
+                # property-scoped: override protected (spec expansion §13.9)
                 property_context = self._process_context_value(
                     active, d.local_context, propagate=True,
-                    base_url=d.base_url)
+                    base_url=d.base_url, override_protected=True)
 
             values = _force_as_array(value, plural)
             out_values = []
@@ -360,7 +363,14 @@ class CborLdEncoder(_TransformerBase):
             if not -(2 ** 64) < value < 2 ** 64:
                 raise EncodeError("IntegerOverflow", str(value))
             return value
-        if isinstance(value, (float, str)):
+        if isinstance(value, float):
+            # text input can't produce these (parse_json_document rejects
+            # NaN/Infinity) but dict input can; emitting them would break
+            # the JSON round-trip invariant the decoder enforces
+            if value != value or value in (float("inf"), float("-inf")):
+                raise EncodeError("NonFiniteFloat", repr(value))
+            return value
+        if isinstance(value, str):
             return value
         if isinstance(value, list):
             return [self.transform(active, item) for item in value]
@@ -440,7 +450,9 @@ class CborLdDecoder(_TransformerBase):
     def required_key_term(self, key, value) -> tuple[str, bool]:
         kt = self.key_term(key, value)
         if kt is None:
-            raise DecodeError("MissingKeyTerm", repr(key))
+            # reference: MissingKeyTerm converts to
+            # DecodeError::UndefinedCompressedTerm (src/decode/error.rs:73)
+            raise DecodeError("UndefinedCompressedTerm", repr(key))
         return kt
 
     def value_term(self, active: ActiveContext, value) -> str:
@@ -521,6 +533,9 @@ def _reject_constant(name: str):
 
 def _json_to_plain_cbor(value):
     """Uncompressed CBOR-LD payload: JSON tree -> CBOR verbatim (text keys)."""
+    if isinstance(value, float) and (value != value or value in
+                                     (float("inf"), float("-inf"))):
+        raise EncodeError("NonFiniteFloat", repr(value))
     if isinstance(value, dict):
         return CborMap([(k, _json_to_plain_cbor(v)) for k, v in value.items()])
     if isinstance(value, list):
@@ -556,6 +571,8 @@ def encode_document(doc: dict | str | bytes, registry_id: int = 1,
     so we support it).
     """
     if not isinstance(doc, dict):
+        if not isinstance(doc, (str, bytes)):
+            raise expected_object()
         doc = parse_json_document(doc)
         if not isinstance(doc, dict):
             raise expected_object()
@@ -569,7 +586,12 @@ def encode_document(doc: dict | str | bytes, registry_id: int = 1,
 
 def decode_document(data: bytes, loader: StaticLoader | None = None) -> dict:
     """CBOR-LD bytes -> JSON-LD document (dict)."""
-    value = loads(data)
+    try:
+        value = loads(data)
+    except ValueError as e:
+        # reference: DecodeError::Cbor(ciborium::de::Error) — truncated or
+        # malformed CBOR gets a typed kind instead of a raw ValueError
+        raise DecodeError("Cbor", str(e)) from None
     if not isinstance(value, CborTag):
         raise not_cbor_ld()
     if value.tag >> 8 != CBOR_LD_TAG_HIGH:

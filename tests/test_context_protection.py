@@ -1,0 +1,72 @@
+"""Context-processing hardening: @protected enforcement and per-loader
+cache scoping (reference: json-ld crate's protected-term semantics)."""
+
+import pytest
+
+from cbor_ld_spark.kernel.context import (
+    EMPTY_CONTEXT,
+    process_context,
+)
+from cbor_ld_spark.kernel.errors import ContextError
+from cbor_ld_spark.kernel.loader import StaticLoader
+
+LOADER = StaticLoader({})
+
+PROTECTED_CTX = {"@protected": True, "name": "https://ex.org/name"}
+
+
+def test_protected_term_differing_redefinition_raises():
+    active = process_context(EMPTY_CONTEXT, PROTECTED_CTX, LOADER)
+    with pytest.raises(ContextError) as e:
+        process_context(active, {"name": "https://evil.example/name"}, LOADER)
+    assert e.value.kind == "ProtectedTermRedefinition"
+
+
+def test_protected_term_identical_redefinition_allowed():
+    active = process_context(EMPTY_CONTEXT, PROTECTED_CTX, LOADER)
+    out = process_context(active, {"name": "https://ex.org/name"}, LOADER)
+    assert out.get("name").iri == "https://ex.org/name"
+
+
+def test_protected_term_override_via_property_scope():
+    active = process_context(EMPTY_CONTEXT, PROTECTED_CTX, LOADER)
+    out = process_context(active, {"name": "https://other.example/name"},
+                          LOADER, override_protected=True)
+    assert out.get("name").iri == "https://other.example/name"
+
+
+def test_unprotected_term_redefinition_allowed():
+    active = process_context(
+        EMPTY_CONTEXT, {"name": "https://ex.org/name"}, LOADER)
+    out = process_context(active, {"name": "https://other.example/name"},
+                          LOADER)
+    assert out.get("name").iri == "https://other.example/name"
+
+
+def test_hostile_document_cannot_override_protected_credential_term():
+    """End-to-end: a doc embedding a context that redefines a protected
+    term must quarantine (error), matching the reference's behavior."""
+    from cbor_ld_spark.kernel import CborLdError, encode_document
+
+    doc = {
+        "@context": [
+            "https://www.w3.org/2018/credentials/v1",
+            {"issuer": "https://evil.example/attacker-controlled"},
+        ],
+        "type": "VerifiableCredential",
+        "issuer": "https://evil.example/x",
+    }
+    with pytest.raises(CborLdError):
+        encode_document(doc)
+
+
+def test_process_cache_scoped_per_loader():
+    """Two loaders resolving the same URL to different documents must not
+    share memoized ActiveContexts."""
+    url = "https://ctx.example/v1"
+    loader_a = StaticLoader({url: {"@context": {"n": "https://a.example/n"}}})
+    loader_b = StaticLoader({url: {"@context": {"n": "https://b.example/n"}}})
+    out_a = process_context(EMPTY_CONTEXT, url, loader_a)
+    out_b = process_context(EMPTY_CONTEXT, url, loader_b)
+    assert out_a.get("n").iri == "https://a.example/n"
+    assert out_b.get("n").iri == "https://b.example/n"

@@ -22,7 +22,7 @@ def _kind(data) -> str:
 
 def test_undefined_term_id():
     # context allocates ~200 terms; id 60000 was never allocated
-    assert _kind(_doc([(0, AS), (60000, "x")])) == "MissingKeyTerm"
+    assert _kind(_doc([(0, AS), (60000, "x")])) == "UndefinedCompressedTerm"
 
 
 def test_text_key_rejected():
