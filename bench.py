@@ -160,26 +160,39 @@ def _mp_kernel_work(args):
     return n
 
 
-def bench_scaling(n_low: int, n_high: int, rows: int, trials: int = 3) -> dict:
-    out = {}
-    for cores in (n_low, n_high):
-        spark = make_spark(cores)
-        spark.sparkContext.setLogLevel("ERROR")
-        # warm every Python worker (imports + context cache), twice
-        for _ in range(2):
-            kg_pipeline_run(spark, cores * 300)
-        best, kg = None, None
-        for _ in range(trials):
+def bench_scaling(n_low: int, n_high: int, rows: int, trials: int = 2) -> dict:
+    """N vs 4N scaling evidence, thermally fair.
+
+    Sessions alternate low/high (fresh SparkSession each, workers warmed)
+    so neither level systematically runs on a hotter box; best-of per
+    level.  Default pair 4 -> 16: with the high side below full machine
+    width, single-box turbo droop — which independent cluster nodes do
+    not share — stays out of the ratio.  The 8 -> 32 pair is also
+    reported in BENCH.md alongside the measured pure-multiprocessing
+    hardware ceiling it is bounded by.
+    """
+    secs_by_cores: dict[int, list[float]] = {n_low: [], n_high: []}
+    kg = None
+    for t in range(trials):
+        order = (n_high, n_low) if t % 2 else (n_low, n_high)
+        for cores in order:
+            spark = make_spark(cores)
+            spark.sparkContext.setLogLevel("ERROR")
+            # warm every Python worker (imports + context cache), twice
+            for _ in range(2):
+                kg_pipeline_run(spark, cores * 300)
             t0 = time.monotonic()
             kg = kg_pipeline_run(spark, rows)
-            secs = time.monotonic() - t0
-            best = secs if best is None else min(best, secs)
+            secs_by_cores[cores].append(time.monotonic() - t0)
+            spark.stop()
+    out = {}
+    for cores, secs in secs_by_cores.items():
+        best = min(secs)
         out[cores] = {
             "secs": round(best, 3),
             "docs_per_sec": round(kg["docs"] / best, 1),
             "triples_per_sec": round(kg["triples"] / best, 1),
         }
-        spark.stop()
     speedup = out[n_high]["docs_per_sec"] / out[n_low]["docs_per_sec"]
     efficiency = speedup / (n_high / n_low)
     hw = _hardware_ceiling(n_low, n_high)
@@ -202,8 +215,8 @@ if __name__ == "__main__":
     ap.add_argument("--scaling", action="store_true",
                     help="run N vs 4N core scaling evidence instead")
     ap.add_argument("--rows", type=int, default=KG_CORPUS_ROWS)
-    ap.add_argument("--low", type=int, default=8)
-    ap.add_argument("--high", type=int, default=32)
+    ap.add_argument("--low", type=int, default=4)
+    ap.add_argument("--high", type=int, default=16)
     args = ap.parse_args()
 
     if args.scaling:
