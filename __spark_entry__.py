@@ -571,6 +571,194 @@ def _triples_by_pred_oracle() -> str:
     """
 
 
+def _canonical_outcomes():
+    """Per-variant canonical triple/subject templates for the dedup oracle.
+
+    Runs the same kernel + URDNA-style canonicalization the distributed
+    pipeline runs, once per variant, with the fixture's template UUID and
+    a probe UUID; a coordinate that differs between the two runs is
+    entity-dependent (its realized value is an injective function of the
+    doc's entity hash — urn:uuid subjects and structure-hash blank
+    labels both are).  Returns (vidx, n_triples, distinct_triple_keys,
+    distinct_subject_keys) with keys as (template, dep) pairs.
+    """
+    from cbor_ld_spark.functions.udfs import _process_one
+    from cbor_ld_spark.operators.canonicalize import _canonicalize_doc
+    from cbor_ld_spark.sources import payload_variants
+    from cbor_ld_spark.sources.corpus import _TEMPLATE_UUID
+
+    probe_uuid = "9e107d9d-372b-4c81-a634-5c91aa1edbe3"
+
+    def canon_tuples(content):
+        r = _process_one(content, 1, True)
+        if not r[1] or r[7] == 0:
+            return None
+        trips = list(zip(r[8], r[9], r[10], r[11], r[14]))  # s,p,o,i,g
+        m = _canonicalize_doc(trips)
+        return [(m.get(s, s), p, m.get(o, o) if i else o, i, m.get(g, g))
+                for s, p, o, i, g in trips]
+
+    out = []
+    for i, (_n, lang, content, _e) in enumerate(payload_variants()):
+        if lang != "json":
+            continue
+        a = canon_tuples(content)
+        if a is None:
+            continue
+        b = canon_tuples(content.replace(_TEMPLATE_UUID, probe_uuid))
+        tkeys: dict[str, bool] = {}
+        skeys: dict[str, bool] = {}
+        for ta, tb in zip(a, b):
+            assert (ta[1], ta[3]) == (tb[1], tb[3]), f"variant {i}"
+            key = "\x1f".join((ta[0], ta[1], ta[2], str(ta[3]), ta[4]))
+            kb = "\x1f".join((tb[0], tb[1], tb[2], str(tb[3]), tb[4]))
+            dep = key != kb
+            assert tkeys.setdefault(key, dep) == dep, f"variant {i}: {key}"
+            sdep = ta[0] != tb[0]
+            assert skeys.setdefault(ta[0], sdep) == sdep, f"variant {i}"
+        out.append((i, len(a), tkeys, skeys))
+    return out
+
+
+def _canonical_dedup_oracle() -> str:
+    """raw/distinct canonical triple counts from variant cycling math."""
+    from cbor_ld_spark.sources import payload_variants
+
+    k = len(payload_variants())
+    outcomes = _canonical_outcomes()
+    cnt_vals = ", ".join(f"({i}, {n})" for i, n, _t, _s in outcomes)
+    ct_vals = ", ".join(
+        f"({i}, {_sql_str(key)}, {str(dep).upper()})"
+        for i, _n, tkeys, _s in outcomes for key, dep in tkeys.items())
+    cs_vals = ", ".join(
+        f"({i}, {_sql_str(key)}, {str(dep).upper()})"
+        for i, _n, _t, skeys in outcomes for key, dep in skeys.items())
+    return f"""
+        WITH d AS (SELECT doc_id % {k} AS vidx,
+                          md5('ent:' || (doc_id % 1024)::VARCHAR) AS eh
+                   FROM documents),
+        cnt(vidx, n) AS (VALUES {cnt_vals}),
+        ct(vidx, tkey, tdep) AS (VALUES {ct_vals}),
+        cs(vidx, skey, sdep) AS (VALUES {cs_vals})
+        SELECT
+          (SELECT sum(n) FROM d JOIN cnt USING (vidx))::BIGINT
+            AS raw_triples,
+          (SELECT count(DISTINCT tkey ||
+                        CASE WHEN tdep THEN eh ELSE '' END)
+           FROM d JOIN ct USING (vidx))::BIGINT
+            AS canonical_distinct_triples,
+          (SELECT count(DISTINCT skey ||
+                        CASE WHEN sdep THEN eh ELSE '' END)
+           FROM d JOIN cs USING (vidx))::BIGINT
+            AS canonical_subjects
+    """
+
+
+def _entity_graph_outcomes():
+    """Per-variant entity-graph node/edge templates (probe-flagged).
+
+    Replicates equivalence_edges (operators/linking.py) driver-side over
+    each variant's canonical triples: sameAs edges, blank-adjacency
+    edges (pred != rdf:type, obj_is_iri, either end blank), and
+    blank-graph membership edges — plus the all-nodes set (subjects +
+    IRI objects) that link_entities histograms over.
+    """
+    from cbor_ld_spark.functions.udfs import _process_one
+    from cbor_ld_spark.kernel.expand import RDF_TYPE
+    from cbor_ld_spark.operators.canonicalize import _canonicalize_doc
+    from cbor_ld_spark.operators.linking import SAME_AS_PREDICATES
+    from cbor_ld_spark.sources import payload_variants
+    from cbor_ld_spark.sources.corpus import _TEMPLATE_UUID
+
+    probe_uuid = "9e107d9d-372b-4c81-a634-5c91aa1edbe3"
+
+    def canon_tuples(content):
+        r = _process_one(content, 1, True)
+        if not r[1] or r[7] == 0:
+            return None
+        trips = list(zip(r[8], r[9], r[10], r[11], r[14]))
+        m = _canonicalize_doc(trips)
+        return [(m.get(s, s), p, m.get(o, o) if i else o, i, m.get(g, g))
+                for s, p, o, i, g in trips]
+
+    out = []
+    for i, (_n, lang, content, _e) in enumerate(payload_variants()):
+        if lang != "json":
+            continue
+        a = canon_tuples(content)
+        if a is None:
+            continue
+        b = canon_tuples(content.replace(_TEMPLATE_UUID, probe_uuid))
+        nodes: dict[str, bool] = {}
+        edges: dict[tuple[str, str], tuple[bool, bool]] = {}
+
+        def put(d, key, dep, i=i):
+            assert d.setdefault(key, dep) == dep, f"variant {i}: {key}"
+
+        for ta, tb in zip(a, b):
+            (sa, p, oa, is_iri, ga), (sb, _p, ob, _i, gb) = ta, tb
+            put(nodes, sa, sa != sb)
+            if is_iri:
+                put(nodes, oa, oa != ob)
+            if is_iri and p in SAME_AS_PREDICATES:
+                put(edges, (sa, oa), (sa != sb, oa != ob))
+            if is_iri and p != RDF_TYPE and (
+                    sa.startswith("_:") or oa.startswith("_:")):
+                put(edges, (sa, oa), (sa != sb, oa != ob))
+            if ga.startswith("_:"):
+                put(edges, (ga, sa), (ga != gb, sa != sb))
+        out.append((i, nodes, edges))
+    return out
+
+
+def _entity_components_oracle() -> str:
+    """Component-size histogram via recursive-CTE CC over realized graph."""
+    from cbor_ld_spark.sources import payload_variants
+
+    k = len(payload_variants())
+    outcomes = _entity_graph_outcomes()
+    node_vals = ", ".join(
+        f"({i}, {_sql_str(key)}, {str(dep).upper()})"
+        for i, nodes, _e in outcomes for key, dep in nodes.items())
+    edge_vals = ", ".join(
+        f"({i}, {_sql_str(s)}, {str(sd).upper()}, "
+        f"{_sql_str(t)}, {str(td).upper()})"
+        for i, _n, edges in outcomes
+        for (s, t), (sd, td) in edges.items())
+    return f"""
+        WITH RECURSIVE
+        d AS (SELECT doc_id % {k} AS vidx,
+                     md5('ent:' || (doc_id % 1024)::VARCHAR) AS eh
+              FROM documents),
+        en(vidx, nkey, ndep) AS (VALUES {node_vals}),
+        ee(vidx, skey, sdep, tkey, tdep) AS (VALUES {edge_vals}),
+        nodes AS (SELECT DISTINCT
+                    nkey || CASE WHEN ndep THEN eh ELSE '' END AS id
+                  FROM d JOIN en USING (vidx)),
+        edges0 AS (SELECT DISTINCT
+                     skey || CASE WHEN sdep THEN eh ELSE '' END AS src,
+                     tkey || CASE WHEN tdep THEN eh ELSE '' END AS dst
+                   FROM d JOIN ee USING (vidx)),
+        edges AS (SELECT src, dst FROM edges0
+                  UNION SELECT dst, src FROM edges0),
+        allv AS (SELECT id FROM nodes UNION SELECT src AS id FROM edges),
+        reach(node, other) AS (
+            SELECT id, id FROM allv
+          UNION
+            SELECT r.node, e.dst FROM reach r JOIN edges e
+            ON e.src = r.other
+        ),
+        comp AS (SELECT node, min(other) AS component
+                 FROM reach GROUP BY node),
+        linked AS (SELECT n.id, coalesce(c.component, n.id) AS component
+                   FROM nodes n LEFT JOIN comp c ON c.node = n.id)
+        SELECT size, count(*)::BIGINT AS n_components FROM (
+          SELECT component, count(*)::BIGINT AS size
+          FROM linked GROUP BY component
+        ) GROUP BY size ORDER BY size
+    """
+
+
 def _hex_roundtrip_oracle() -> str:
     """Encodable-doc counts for doc_id < 200, derived from variant math."""
     from cbor_ld_spark.sources import payload_variants
@@ -595,6 +783,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_doc_results": _doc_results_oracle(),
         "kg_roundtrip_violations": _roundtrip_violations_oracle(),
         "kg_triples_by_pred": _triples_by_pred_oracle(),
+        "kg_canonical_dedup": _canonical_dedup_oracle(),
+        "kg_entity_components": _entity_components_oracle(),
         "text_token_stats": f"""
             SELECT count(doc_id) AS docs,
                    sum(n_tokens)::BIGINT AS total_tokens,
