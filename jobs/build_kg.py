@@ -1,7 +1,8 @@
 #!/usr/bin/env python3
 """spark-submit entrypoint: build the knowledge graph from a repos corpus.
 
-    spark-submit --py-files dist/cbor_ld_spark.zip jobs/build_kg.py \
+    spark-submit --driver-memory 8g \
+        --py-files dist/cbor_ld_spark.zip jobs/build_kg.py \
         --input <iceberg-table-or-parquet-path> \
         --out /data/kg --run-id 2026-08-16a --buckets 4096
 
@@ -9,6 +10,12 @@ Resumable: re-running with the same --run-id skips completed buckets via
 the lineage table.  On a cluster, size --buckets so one bucket's
 documents fit one executor comfortably (~1-4 GB of content each); at
 10^12 files that is O(10^5) buckets.
+
+Memory: in local mode the driver JVM hosts every task; spark-submit's
+default 1g heap leaves the partitioned writes' sorters with no
+execution memory at 32 concurrent tasks (UNABLE_TO_ACQUIRE_MEMORY).
+Use --driver-memory 8g locally; on a real cluster the executor default
+sizing applies and this does not arise.
 """
 
 from __future__ import annotations
