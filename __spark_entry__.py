@@ -167,6 +167,27 @@ def _emb_near_dup_blocked(spark, sf_dir):
     return embedding_near_duplicates_blocked(spark, sf_dir, threshold=0.35)
 
 
+def _multimodal_image_features(spark, sf_dir):
+    """Real PNG/PPM pixel decode + aHash; jpeg metadata tier (rows-only:
+    binary payload synthesis is not SQL-expressible)."""
+    from cbor_ld_spark.operators.multimodal import (
+        image_features,
+        synthesize_media,
+    )
+
+    return image_features(synthesize_media(spark, 300)).orderBy("media_id")
+
+
+def _multimodal_audio_features(spark, sf_dir):
+    """Real WAV PCM decode: duration/rms/peak per audio row."""
+    from cbor_ld_spark.operators.multimodal import (
+        audio_features,
+        synthesize_media,
+    )
+
+    return audio_features(synthesize_media(spark, 300)).orderBy("media_id")
+
+
 def _rel_pricing_summary(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
@@ -360,6 +381,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _ann_ivf_topk,
         "emb_near_dup": _emb_near_dup,
         "emb_near_dup_blocked": _emb_near_dup_blocked,
+        "multimodal_image_features": _multimodal_image_features,
+        "multimodal_audio_features": _multimodal_audio_features,
         "rel_pricing_summary": _rel_pricing_summary,
         "rel_top_customers": _rel_top_customers,
         "rel_segment_revenue": _rel_segment_revenue,

@@ -2,12 +2,18 @@
 
 A training-data pipeline at 100 TB carries media as ``binary`` columns
 with a typed metadata struct, processed by Arrow-batched ``mapInPandas``
-stages.  The Spark-side plumbing here is real and tested — schemas,
-batch shapes, partition-size control, error quarantine — while the
-actual media decoding is stubbed: image/audio libraries are not in this
-container, so ``decode_image`` runs a clearly-marked deterministic fake
-(header sniff + synthetic dimensions) and raises ``NotImplementedError``
-from the real-codec seam when ``strict=True``.
+stages.  Decode tiers (operators/media_codecs.py, stdlib+numpy only):
+
+* **real pixel decode**: PNG (zlib inflate + unfilter), PPM/PGM, BMP —
+  features, perceptual aHash, and resize are genuine transforms.
+* **real metadata, no pixels**: JPEG (SOF markers), GIF (screen
+  descriptor) — dimensions are real; pixel decode requires an external
+  imaging library absent from this container, so with ``strict=True``
+  these raise ``NotImplementedError`` at the clearly-marked seam and
+  with ``strict=False`` they yield metadata-only rows (null phash).
+* **audio**: WAV 16-bit PCM fully decoded (duration, rms, peak).
+* **video**: frame demux genuinely needs an av library; ``sample_frames``
+  remains a deterministic stub behind the same ``strict`` seam.
 
 Scale notes: media rows are large, so the operators repartition by
 ``pmod(xxhash64(media_id), n)`` before the Python stage to bound batch
@@ -26,6 +32,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -48,58 +55,101 @@ IMAGE_FEATURES_SCHEMA = StructType([
     StructField("width", IntegerType(), True),
     StructField("height", IntegerType(), True),
     StructField("n_bytes", IntegerType(), False),
-    StructField("phash", StringType(), True),       # perceptual-hash stand-in
+    StructField("phash", StringType(), True),       # aHash (pixel formats)
 ])
-
-_MAGIC = {
-    b"\x89PNG": "png",
-    b"\xff\xd8\xff": "jpeg",
-    b"GIF8": "gif",
-    b"RIFF": "riff",
-}
 
 
 def synthesize_media(spark: SparkSession, n_rows: int) -> DataFrame:
-    """Deterministic fake media corpus (binary payloads from row ids)."""
+    """Deterministic media corpus with *real decodable payloads*.
+
+    Images cycle png / ppm / bmp-like jpeg-header (metadata tier); audio
+    is real 16-bit PCM WAV (seeded sine); video is an honest fake
+    container (demux is stubbed anyway).
+    """
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .media_codecs import encode_png, encode_ppm, encode_wav
+
         for pdf in batches:
             rows = []
             for i in pdf["id"]:
                 i = int(i)
                 seed = hashlib.sha256(str(i).encode()).digest()
                 kind = ("image", "audio", "video")[i % 3]
-                magic = (b"\x89PNG", b"\xff\xd8\xff", b"RIFF")[i % 3]
-                payload = magic + seed * (1 + i % 4)
-                rows.append((i, kind, f"{kind}/x-fake", payload, f"src{i % 5}"))
-            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+                if kind == "image":
+                    rng = np.random.default_rng(i)
+                    w, h = 8 + i % 24, 8 + (i // 3) % 24
+                    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+                    variant = (i // 3) % 3
+                    if variant == 0:
+                        payload, mt = encode_png(px), "image/png"
+                    elif variant == 1:
+                        payload, mt = encode_ppm(px), "image/x-portable-pixmap"
+                    else:
+                        # metadata-tier format: minimal JPEG SOF0 skeleton
+                        payload = (b"\xff\xd8\xff\xe0"
+                                   + struct.pack(">H", 15) + b"JFIF\x00"
+                                   + b"\x00" * 8
+                                   + b"\xff\xc0" + struct.pack(">H", 11)
+                                   + b"\x08" + struct.pack(">HH", h, w)
+                                   + b"\x01" + seed[:3])
+                        mt = "image/jpeg"
+                elif kind == "audio":
+                    t = np.arange(800 + i % 800)
+                    freq = 0.01 + (i % 7) * 0.005
+                    samples = (np.sin(t * freq) * 12000).astype("<i2")
+                    payload, mt = encode_wav(samples, 8000), "audio/wav"
+                else:
+                    payload = b"FAKEVIDEO" + seed * (1 + i % 4)
+                    mt = "video/x-fake"
+                rows.append((i, kind, mt, payload, f"src{i % 5}"))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
 
     return spark.range(n_rows).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
-def _decode_image_stub(payload: bytes, strict: bool):
-    """The real-codec seam.  STUB: deterministic fake decode.
+def _decode_image(payload: bytes, strict: bool):
+    """Tiered decode: (format, width, height, pixels-or-None).
 
-    With an imaging library present this is `PIL.Image.open(BytesIO(...))`;
-    here we sniff the magic and derive synthetic dimensions from the
-    payload hash so the full pipeline shape is exercised end-to-end.
+    Raises MediaDecodeError for undecodable bytes; NotImplementedError
+    (the real-codec seam) when ``strict`` demands pixels for a format
+    whose pixel decode needs an external library (jpeg/gif).
     """
-    if strict:
-        raise NotImplementedError(
-            "real image decoding requires an imaging library not present "
-            "in this environment; run with strict=False for the "
-            "deterministic fake decoder")
-    fmt = None
-    for magic, name in _MAGIC.items():
-        if payload.startswith(magic):
-            fmt = name
-            break
-    if fmt is None:
-        raise ValueError("unrecognized image format")
-    h = hashlib.sha256(payload).digest()
-    width = 64 + struct.unpack(">H", h[0:2])[0] % 1985
-    height = 64 + struct.unpack(">H", h[2:4])[0] % 1985
-    phash = h[:8].hex()
-    return fmt, width, height, phash
+    from .media_codecs import (
+        MediaDecodeError,
+        decode_bmp,
+        decode_png,
+        decode_ppm,
+        gif_dimensions,
+        jpeg_dimensions,
+    )
+
+    if payload.startswith(b"\x89PNG"):
+        px = decode_png(payload)
+        return "png", px.shape[1], px.shape[0], px
+    if payload[:2] in (b"P5", b"P6"):
+        px = decode_ppm(payload)
+        return "ppm", px.shape[1], px.shape[0], px
+    if payload[:2] == b"BM":
+        px = decode_bmp(payload)
+        return "bmp", px.shape[1], px.shape[0], px
+    if payload[:3] == b"\xff\xd8\xff":
+        if strict:
+            raise NotImplementedError(
+                "JPEG pixel decode requires an imaging library not present "
+                "in this environment; strict=False yields metadata-only")
+        w, h = jpeg_dimensions(payload)
+        return "jpeg", w, h, None
+    if payload[:4] == b"GIF8":
+        if strict:
+            raise NotImplementedError(
+                "GIF pixel decode requires an imaging library not present "
+                "in this environment; strict=False yields metadata-only")
+        w, h = gif_dimensions(payload)
+        return "gif", w, h, None
+    raise MediaDecodeError("unrecognized image format")
 
 
 def image_features(media: DataFrame, strict: bool = False,
@@ -111,13 +161,17 @@ def image_features(media: DataFrame, strict: bool = False,
                                 F.pmod(F.xxhash64("media_id"), F.lit(partitions)))
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .media_codecs import average_hash
+
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 payload = bytes(payload) if payload is not None else b""
                 try:
-                    fmt, w, hgt, ph = _decode_image_stub(payload, strict)
-                    rows.append((int(mid), "ok", fmt, w, hgt, len(payload), ph))
+                    fmt, w, hgt, px = _decode_image(payload, strict)
+                    ph = average_hash(px) if px is not None else None
+                    rows.append((int(mid), "ok", fmt, w, hgt,
+                                 len(payload), ph))
                 except NotImplementedError:
                     raise
                 except Exception as e:
@@ -132,31 +186,87 @@ def image_features(media: DataFrame, strict: bool = False,
 
 RESIZE_SCHEMA = StructType([
     StructField("media_id", LongType(), False),
+    StructField("ok", StringType(), False),
     StructField("width", IntegerType(), False),
     StructField("height", IntegerType(), False),
-    StructField("payload", BinaryType(), False),
+    StructField("payload", BinaryType(), True),     # PNG re-encode
 ])
 
 
 def resize_images(media: DataFrame, width: int, height: int,
                   strict: bool = False) -> DataFrame:
-    """Resize stage (STUB transform: re-hash payload to target dims)."""
+    """Real resize for pixel-decodable formats: decode -> nearest-neighbor
+    -> PNG re-encode.  Metadata-tier formats (jpeg/gif) quarantine (or
+    raise at the seam with ``strict=True``)."""
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .media_codecs import encode_png, resize_nearest
+
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 payload = bytes(payload) if payload is not None else b""
-                if strict:
-                    raise NotImplementedError("real resize needs an imaging lib")
-                fake = hashlib.sha256(
-                    payload + f"{width}x{height}".encode()).digest()
-                rows.append((int(mid), width, height, fake))
+                try:
+                    _fmt, _w, _h, px = _decode_image(payload, strict)
+                    if px is None:
+                        raise ValueError("pixel decode unavailable "
+                                         "(metadata-tier format)")
+                    out = encode_png(resize_nearest(px, width, height))
+                    rows.append((int(mid), "ok", width, height, out))
+                except NotImplementedError:
+                    raise
+                except Exception as e:
+                    rows.append((int(mid), type(e).__name__, width, height,
+                                 None))
             yield pd.DataFrame(rows,
                                columns=[f.name for f in RESIZE_SCHEMA.fields])
 
     return (media.filter(F.col("kind") == "image")
             .select("media_id", "payload")
             .mapInPandas(fn, schema=RESIZE_SCHEMA))
+
+
+AUDIO_FEATURES_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("ok", StringType(), False),
+    StructField("sample_rate", IntegerType(), True),
+    StructField("channels", IntegerType(), True),
+    StructField("n_frames", LongType(), True),
+    StructField("duration_ms", LongType(), True),
+    StructField("rms", DoubleType(), True),
+    StructField("peak", IntegerType(), True),
+])
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Real WAV decode: duration, RMS, peak per audio row (quarantined)."""
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .media_codecs import decode_wav
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(payload) if payload is not None else b""
+                try:
+                    rate, nch, samples = decode_wav(payload)
+                    x = samples.astype(np.float64)
+                    rows.append((
+                        int(mid), "ok", rate, nch, len(samples),
+                        int(len(samples) * 1000 / rate),
+                        round(float(np.sqrt((x * x).mean())), 3)
+                        if len(samples) else 0.0,
+                        int(np.abs(samples).max()) if len(samples) else 0,
+                    ))
+                except Exception as e:
+                    rows.append((int(mid), type(e).__name__, None, None,
+                                 None, None, None, None))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields])
+
+    return (media.filter(F.col("kind") == "audio")
+            .select("media_id", "payload")
+            .mapInPandas(fn, schema=AUDIO_FEATURES_SCHEMA))
 
 
 FRAME_SCHEMA = StructType([
@@ -171,8 +281,11 @@ def sample_frames(media: DataFrame, every_ms: int = 1000,
                   max_frames: int = 8, strict: bool = False) -> DataFrame:
     """Video frame sampling (STUB: deterministic frames; real seam marked).
 
-    1 video row -> N frame rows: the fan-out happens inside mapInPandas,
-    keeping frame payloads in the same Arrow batch as their source.
+    Container demux genuinely requires an av library absent from this
+    environment.  1 video row -> N frame rows: the fan-out happens inside
+    mapInPandas, keeping frame payloads in the same Arrow batch as their
+    source — that plumbing (schema, batch shape, fan-out) is the real,
+    tested part.
     """
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -1,0 +1,106 @@
+"""Pure media codecs: PNG/PPM/BMP/WAV round-trips, header metadata."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from cbor_ld_spark.operators.media_codecs import (
+    MediaDecodeError,
+    average_hash,
+    decode_bmp,
+    decode_png,
+    decode_ppm,
+    decode_wav,
+    encode_png,
+    encode_ppm,
+    encode_wav,
+    gif_dimensions,
+    jpeg_dimensions,
+    resize_nearest,
+)
+
+RNG = np.random.default_rng(7)
+
+
+@pytest.mark.parametrize("shape", [(5, 7, 3), (16, 16, 1), (9, 4, 4),
+                                   (3, 3, 2), (1, 1, 3)])
+def test_png_roundtrip(shape):
+    px = RNG.integers(0, 256, size=shape, dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(px)), px)
+
+
+@pytest.mark.parametrize("shape", [(5, 7, 3), (8, 3, 1)])
+def test_ppm_roundtrip(shape):
+    px = RNG.integers(0, 256, size=shape, dtype=np.uint8)
+    assert np.array_equal(decode_ppm(encode_ppm(px)), px)
+
+
+def test_ppm_comments_and_whitespace():
+    px = decode_ppm(b"P5\n# a comment\n 2 2\n255\nABCD")
+    assert px.shape == (2, 2, 1) and bytes(px.flatten()) == b"ABCD"
+
+
+def test_bmp_decode_bottom_up_with_padding():
+    w, h = 3, 2
+    pxr = RNG.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    row_bytes = (w * 3 + 3) & ~3
+    body = b""
+    for y in range(h - 1, -1, -1):
+        row = bytearray()
+        for x in range(w):
+            r, g, b = pxr[y, x]
+            row += bytes([b, g, r])
+        row += b"\x00" * (row_bytes - len(row))
+        body += bytes(row)
+    hdr = b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                       2835, 2835, 0, 0)
+    assert np.array_equal(decode_bmp(hdr + info + body), pxr)
+
+
+def test_wav_roundtrip_and_features():
+    s = (np.sin(np.linspace(0, 40, 4410)) * 20000).astype("<i2")
+    rate, nch, back = decode_wav(encode_wav(s, 44100))
+    assert (rate, nch) == (44100, 1)
+    assert np.array_equal(back[:, 0], s)
+
+
+def test_jpeg_gif_header_dimensions():
+    jp = (b"\xff\xd8\xff\xe0" + struct.pack(">H", 15) + b"JFIF\x00"
+          + b"\x00" * 8
+          + b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+          + struct.pack(">HH", 33, 47) + b"\x01" + b"\x00" * 3)
+    assert jpeg_dimensions(jp) == (47, 33)
+    assert gif_dimensions(b"GIF89a" + struct.pack("<HH", 12, 34)
+                          + b"\x00" * 10) == (12, 34)
+
+
+def test_resize_and_ahash_deterministic():
+    px = RNG.integers(0, 256, size=(32, 48, 3), dtype=np.uint8)
+    r = resize_nearest(px, 8, 8)
+    assert r.shape == (8, 8, 3)
+    assert average_hash(px) == average_hash(px)
+    assert len(average_hash(px)) == 16
+
+
+@pytest.mark.parametrize("bad,exc", [
+    (b"", MediaDecodeError),
+    (b"\x89PNG\r\n\x1a\x00", MediaDecodeError),          # bad signature
+    (b"\x89PNG\r\n\x1a\n\x00\x00\x00\x00", MediaDecodeError),  # no IHDR
+    (b"P6\n2 2\n255\nAB", MediaDecodeError),             # truncated pixels
+])
+def test_hostile_inputs_raise_typed(bad, exc):
+    for fn in (decode_png, decode_ppm):
+        with pytest.raises((MediaDecodeError, ValueError)):
+            fn(bad)
+
+
+def test_png_interlace_rejected():
+    px = RNG.integers(0, 256, size=(2, 2, 3), dtype=np.uint8)
+    data = bytearray(encode_png(px))
+    # IHDR interlace byte is the 13th byte of the IHDR data block
+    ihdr_data_off = 8 + 8  # sig + len/type
+    data[ihdr_data_off + 12] = 1
+    with pytest.raises(MediaDecodeError, match="interlace"):
+        decode_png(bytes(data))

@@ -22,34 +22,84 @@ def test_media_synthesis_and_image_features(spark):
     feats = image_features(media).collect()
     assert len(feats) == 30
     assert all(r["ok"] == "ok" for r in feats)
-    assert all(r["format"] == "png" for r in feats)
-    assert all(64 <= r["width"] <= 2048 for r in feats)
+    fmts = {r["format"] for r in feats}
+    assert fmts == {"png", "ppm", "jpeg"}
+    assert all(8 <= r["width"] <= 32 for r in feats)
+    # real pixel decode for png/ppm -> real aHash; jpeg = metadata tier
+    assert all((r["phash"] is not None) == (r["format"] in ("png", "ppm"))
+               for r in feats)
     # deterministic: same media -> same phash
     feats2 = image_features(synthesize_media(spark, 90)).collect()
     assert {r["media_id"]: r["phash"] for r in feats} == \
            {r["media_id"]: r["phash"] for r in feats2}
 
 
-def test_image_features_strict_raises(spark):
+def test_image_features_strict_raises_for_metadata_tier(spark):
     from cbor_ld_spark.operators.multimodal import (
         image_features,
         synthesize_media,
     )
 
-    media = synthesize_media(spark, 6)
+    media = synthesize_media(spark, 90)
+    # strict demands pixels; jpeg pixel decode needs an external lib
     with pytest.raises(Exception):  # NotImplementedError via Py4J
         image_features(media, strict=True).collect()
+    # pixel-decodable formats alone pass strict
+    pixel_only = media.filter(~F.col("media_type").contains("jpeg"))
+    feats = image_features(pixel_only, strict=True).collect()
+    assert feats and all(r["ok"] == "ok" for r in feats)
 
 
 def test_corrupt_media_quarantined(spark):
     from cbor_ld_spark.operators.multimodal import image_features
 
+    # undecodable bytes, null payload, truncated PNG
     media = spark.createDataFrame(
         [(1, "image", "image/x", b"NOTAFORMAT", "s"),
-         (2, "image", "image/x", None, "s")],
+         (2, "image", "image/x", None, "s"),
+         (3, "image", "image/png", b"\x89PNG\r\n\x1a\n\x00\x00", "s")],
         "media_id long, kind string, media_type string, payload binary, source string")
     rows = {r["media_id"]: r["ok"] for r in image_features(media).collect()}
-    assert rows == {1: "ValueError", 2: "ValueError"}
+    assert rows == {1: "MediaDecodeError", 2: "MediaDecodeError",
+                    3: "MediaDecodeError"}
+
+
+def test_resize_real_roundtrip(spark):
+    """Resized payloads are real PNGs with the requested dimensions."""
+    from cbor_ld_spark.operators.media_codecs import decode_png
+    from cbor_ld_spark.operators.multimodal import (
+        resize_images,
+        synthesize_media,
+    )
+
+    media = synthesize_media(spark, 30)
+    out = resize_images(media, 16, 12).collect()
+    assert len(out) == 10
+    ok_rows = [r for r in out if r["ok"] == "ok"]
+    assert ok_rows  # png/ppm rows resized for real
+    for r in ok_rows:
+        px = decode_png(bytes(r["payload"]))
+        assert px.shape[:2] == (12, 16)
+    # metadata-tier (jpeg) rows quarantine instead of faking pixels
+    assert any(r["ok"] == "ValueError" for r in out)
+
+
+def test_audio_features_real_wav(spark):
+    from cbor_ld_spark.operators.multimodal import (
+        audio_features,
+        synthesize_media,
+    )
+
+    media = synthesize_media(spark, 30)
+    rows = audio_features(media).collect()
+    assert len(rows) == 10
+    assert all(r["ok"] == "ok" for r in rows)
+    assert all(r["sample_rate"] == 8000 and r["channels"] == 1 for r in rows)
+    assert all(r["duration_ms"] == r["n_frames"] * 1000 // 8000
+               for r in rows)
+    # a seeded sine at amplitude 12000: rms ~ 8485, peak <= 12000
+    assert all(5000 < r["rms"] < 12000 and 0 < r["peak"] <= 12000
+               for r in rows)
 
 
 def test_frame_sampling_fanout(spark):
