@@ -128,6 +128,27 @@ def _dedup_simhash_groups(spark, sf_dir):
     return simhash_duplicate_groups(load_documents(spark, sf_dir))
 
 
+def _dedup_minhash_jaccard(spark, sf_dir):
+    """LSH candidates refined by signature-overlap Jaccard estimate."""
+    from cbor_ld_spark.operators.dedup import (
+        load_documents,
+        minhash_jaccard_estimate,
+    )
+
+    return minhash_jaccard_estimate(load_documents(spark, sf_dir),
+                                    threshold=0.5)
+
+
+def _dedup_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard over LSH-pruned candidate pairs."""
+    from cbor_ld_spark.operators.dedup import (
+        load_documents,
+        ngram_jaccard_pairs,
+    )
+
+    return ngram_jaccard_pairs(load_documents(spark, sf_dir), threshold=0.8)
+
+
 def _dedup_simhash_near(spark, sf_dir):
     from cbor_ld_spark.operators.dedup import load_documents, simhash_near_pairs
 
@@ -376,6 +397,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_pairs": _dedup_minhash_pairs,
         "dedup_simhash_groups": _dedup_simhash_groups,
         "dedup_simhash_near": _dedup_simhash_near,
+        "dedup_minhash_jaccard": _dedup_minhash_jaccard,
+        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "ann_cosine_topk": _ann_cosine_topk,
         "ann_lsh_topk": _ann_lsh_topk,
         "ann_ivf_topk": _ann_ivf_topk,
