@@ -126,3 +126,28 @@ def test_json_typed_literal():
     lit = [t for t in ts if t.obj_datatype == RDF_JSON]
     assert len(lit) == 1
     assert lit[0].obj == '{"a":[true,null],"b":1}'  # canonical JSON
+
+
+def test_canonical_double_textual_form():
+    """ADVICE r1: log10-based exponent was off by one near powers of 10
+    and %.15g collapsed 16-17-digit mantissas; the repr-derived form
+    must round-trip every double exactly."""
+    from cbor_ld_spark.kernel.expand import _canonical_double as c
+
+    assert c(1e23) == "1.0E23"          # the off-by-one case
+    assert c(21.0) == "2.1E1"
+    assert c(0.00123) == "1.23E-3"
+    assert c(123456789012345680.0) == "1.2345678901234568E17"
+    assert c(0.0) == "0.0E0" and c(-0.0) == "-0.0E0"
+    assert c(float("inf")) == "INF" and c(float("-inf")) == "-INF"
+    assert c(float("nan")) == "NaN"
+
+    import random
+
+    rng = random.Random(7)
+    for _ in range(5000):
+        v = rng.uniform(-1, 1) * 10 ** rng.randint(-300, 300)
+        s = c(v)
+        mant, _, exp = s.partition("E")
+        assert float(mant + "e" + exp) == v, (v, s)
+        assert "." in mant
