@@ -215,6 +215,31 @@ def process_context(
         if not isinstance(item, Mapping):
             raise ContextError("InvalidLocalContext", repr(type(item)))
 
+        if "@import" in item:
+            # W3C §4.1.2 steps 5.6: load the referenced context (a map,
+            # no nested @import) and use it as the base the current
+            # entries override.  Silently ignoring @import would
+            # byte-diverge from the reference's json-ld crate.
+            imp = item["@import"]
+            if not isinstance(imp, str):
+                raise ContextError("InvalidImportValue", repr(imp))
+            imp_url = urljoin(base_url, imp) if base_url else imp
+            imp_doc = loader.load(imp_url)
+            if not isinstance(imp_doc, Mapping) or "@context" not in imp_doc:
+                raise ContextError("InvalidRemoteContext", imp_url)
+            imported = imp_doc["@context"]
+            if not isinstance(imported, Mapping):
+                raise ContextError("InvalidRemoteContext",
+                                   f"{imp_url}: @import target must be a "
+                                   "context definition")
+            if "@import" in imported:
+                raise ContextError("InvalidContextEntry",
+                                   f"{imp_url}: nested @import")
+            merged = dict(imported)
+            merged.update(item)
+            del merged["@import"]
+            item = merged
+
         result = result.copy()
         result.fingerprint = (*result.fingerprint, _context_cache_key(item))
 

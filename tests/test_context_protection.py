@@ -70,3 +70,35 @@ def test_process_cache_scoped_per_loader():
     out_b = process_context(EMPTY_CONTEXT, url, loader_b)
     assert out_a.get("n").iri == "https://a.example/n"
     assert out_b.get("n").iri == "https://b.example/n"
+
+
+def test_import_merges_remote_definitions():
+    """@import (JSON-LD 1.1 §4.1.2 step 5.6): imported context is the
+    base; the importing context's own entries win."""
+    loader = StaticLoader({
+        "https://ctx.example/base": {"@context": {
+            "name": "https://base.example/name",
+            "age": "https://base.example/age"}},
+    })
+    out = process_context(EMPTY_CONTEXT, {
+        "@import": "https://ctx.example/base",
+        "name": "https://override.example/name",
+    }, loader)
+    assert out.get("name").iri == "https://override.example/name"
+    assert out.get("age").iri == "https://base.example/age"
+
+
+def test_import_rejects_bad_targets():
+    loader = StaticLoader({
+        "https://ctx.example/arr": {"@context": ["https://x.example/a"]},
+        "https://ctx.example/nested": {"@context": {
+            "@import": "https://ctx.example/arr"}},
+    })
+    with pytest.raises(ContextError):  # array target
+        process_context(EMPTY_CONTEXT,
+                        {"@import": "https://ctx.example/arr"}, loader)
+    with pytest.raises(ContextError):  # nested @import
+        process_context(EMPTY_CONTEXT,
+                        {"@import": "https://ctx.example/nested"}, loader)
+    with pytest.raises(ContextError):  # non-string value
+        process_context(EMPTY_CONTEXT, {"@import": 7}, loader)
