@@ -186,7 +186,10 @@ def _driver_union_find(spark, edges: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    for src, dst in edges.select("src", "dst").toLocalIterator():
+    # collect, not toLocalIterator: the caller has already bounded the
+    # edge count (driver_threshold), and toLocalIterator schedules one
+    # sequential job per partition — 32 tiny jobs where one suffices
+    for src, dst in edges.select("src", "dst").collect():
         parent.setdefault(src, src)
         parent.setdefault(dst, dst)
         rs, rd = find(src), find(dst)
