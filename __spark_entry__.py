@@ -805,6 +805,87 @@ def _entity_components_oracle() -> str:
     """
 
 
+def _ivf_topk_oracle(n_queries: int = 5, k: int = 5, n_cells: int = 16,
+                     n_probe: int = 4, kmeans_iters: int = 5,
+                     sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """IVF oracle: replicate the driver-side k-means bit-for-bit, embed
+    centroids + probe assignments as literals, and express the
+    distributed parts (cell argmax assignment, probe join, exact cosine
+    rerank, ranking) in SQL.  The driver's gate runs at sf0.01, so the
+    training sample is read from the same parquet the Spark side reads.
+    """
+    import duckdb
+    import numpy as np
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, embedding::DOUBLE[] FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet') "
+        f"ORDER BY vec_id LIMIT 4096").fetchall()
+    con.close()
+    sample = np.array([r[1] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    normed = sample / norms
+    n_cells = min(n_cells, len(normed))
+    centroids = normed[:n_cells].copy()
+    for _ in range(kmeans_iters):
+        assign = np.argmax(normed @ centroids.T, axis=1)
+        for c in range(n_cells):
+            members = normed[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                centroids[c] = m / np.linalg.norm(m)
+
+    # probes: each query's n_probe nearest cells (same numpy ops as
+    # operators/similarity.py ivf_topk, so tie-breaks are identical)
+    probe_rows = []
+    for qid, v in rows[:n_queries]:
+        qv = np.array(v, dtype=np.float64)
+        qn = np.linalg.norm(qv)
+        qv = qv / (qn if qn else 1.0)
+        for c in np.argsort(-(centroids @ qv))[:n_probe]:
+            probe_rows.append((int(qid), int(c)))
+
+    cent_vals = ", ".join(
+        f"({c}, [{','.join(repr(float(x)) for x in centroids[c])}]"
+        f"::DOUBLE[])"
+        for c in range(n_cells))
+    probe_vals = ", ".join(f"({q}, {c})" for q, c in probe_rows)
+    dot_vc = ("list_sum(list_transform(list_zip(e.v, c.cv), "
+              "x -> x[1] * x[2]))")
+    dot_qa = ("list_sum(list_transform(list_zip(q.qv, a.v), "
+              "x -> x[1] * x[2]))")
+    nrm = "sqrt(list_sum(list_transform({0}, x -> x * x)))"
+    return f"""
+        WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                     FROM embeddings),
+        cents(cell, cv) AS (VALUES {cent_vals}),
+        assigned AS (
+          SELECT e.vec_id, e.v,
+                 (SELECT c.cell FROM cents c
+                  ORDER BY {dot_vc} DESC, c.cell LIMIT 1) AS cell
+          FROM emb e),
+        probes(query_id, cell) AS (VALUES {probe_vals}),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM emb
+              WHERE vec_id < {n_queries}),
+        scored AS (
+          SELECT p.query_id, a.vec_id,
+                 round({dot_qa} / ({nrm.format('q.qv')}
+                                   * {nrm.format('a.v')}), 6) AS cosine
+          FROM assigned a
+          JOIN probes p USING (cell)
+          JOIN q ON q.query_id = p.query_id
+          WHERE a.vec_id != p.query_id)
+        SELECT query_id, rank, vec_id, cosine FROM (
+          SELECT query_id, vec_id, cosine,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, vec_id) AS rank
+          FROM scored)
+        WHERE rank <= {k} ORDER BY query_id, rank
+    """
+
+
 def _hex_roundtrip_oracle() -> str:
     """Encodable-doc counts for doc_id < 200, derived from variant math."""
     from cbor_ld_spark.sources import payload_variants
@@ -831,6 +912,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples_by_pred": _triples_by_pred_oracle(),
         "kg_canonical_dedup": _canonical_dedup_oracle(),
         "kg_entity_components": _entity_components_oracle(),
+        "ann_ivf_topk": _ivf_topk_oracle(),
         "text_token_stats": f"""
             SELECT count(doc_id) AS docs,
                    sum(n_tokens)::BIGINT AS total_tokens,
@@ -965,4 +1047,23 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY r_name, n_name ORDER BY r_name, n_name
         """,
         "kg_hex_roundtrip": _hex_roundtrip_oracle(),
+        # blocked tier computes cosines with BLAS matmul whose summation
+        # order differs from DuckDB's sequential fold; at 64 dims the
+        # results agree bit-for-bit after round(6) (verified at sf0.01),
+        # so the exact all-pairs SQL serves as its oracle too
+        "emb_near_dup_blocked": f"""
+            WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                         FROM embeddings)
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round({_DOT_SQL}
+                         / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                            * sqrt(list_sum(list_transform(b.v, x -> x * x)))),
+                         6) AS cosine
+            FROM emb a, emb b
+            WHERE a.vec_id < b.vec_id
+              AND {_DOT_SQL}
+                  / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                     * sqrt(list_sum(list_transform(b.v, x -> x * x)))) >= 0.35
+            ORDER BY vec_a, vec_b
+        """,
     }
