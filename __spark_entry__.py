@@ -886,6 +886,61 @@ def _ivf_topk_oracle(n_queries: int = 5, k: int = 5, n_cells: int = 16,
     """
 
 
+def _lsh_topk_oracle(n_queries: int = 5, k: int = 5, n_planes: int = 4,
+                     n_tables: int = 8,
+                     sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """LSH oracle: the hyperplanes are portable Lehmer-LCG literals
+    (operators/similarity.py lsh_plane), so bucket assignment, the
+    any-table candidate match, exact rerank, and ranking are all
+    SQL-expressible bit-for-bit."""
+    import duckdb
+
+    from cbor_ld_spark.operators.similarity import lsh_plane
+
+    con = duckdb.connect()
+    dim = con.execute(
+        f"SELECT len(embedding) FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet') LIMIT 1").fetchone()[0]
+    con.close()
+
+    def dot(vexpr, plane):
+        lit = "[" + ",".join(repr(x) for x in plane) + "]::DOUBLE[]"
+        return (f"list_sum(list_transform(list_zip({vexpr}, {lit}), "
+                f"x -> x[1] * x[2]))")
+
+    def bucket(vexpr, t):
+        seed = 7 + 13 * t
+        terms = " + ".join(
+            f"(CASE WHEN {dot(vexpr, lsh_plane(p, dim, seed))} > 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+            for p in range(n_planes))
+        return f"({terms})"
+
+    bcols = ", ".join(f"{bucket('v', t)} AS b{t}" for t in range(n_tables))
+    match = " OR ".join(f"a.b{t} = q.b{t}" for t in range(n_tables))
+    return f"""
+        WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                     FROM embeddings),
+        b AS (SELECT vec_id, v, {bcols} FROM emb),
+        scored AS (
+          SELECT q.vec_id AS query_id, a.vec_id,
+                 round(list_sum(list_transform(list_zip(q.v, a.v),
+                                               x -> x[1] * x[2]))
+                       / (sqrt(list_sum(list_transform(q.v, x -> x * x)))
+                          * sqrt(list_sum(list_transform(a.v, x -> x * x)))),
+                       6) AS cosine
+          FROM b a JOIN b q
+            ON q.vec_id < {n_queries} AND a.vec_id != q.vec_id
+               AND ({match}))
+        SELECT query_id, rank, vec_id, cosine FROM (
+          SELECT query_id, vec_id, cosine,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, vec_id) AS rank
+          FROM scored)
+        WHERE rank <= {k} ORDER BY query_id, rank
+    """
+
+
 def _hex_roundtrip_oracle() -> str:
     """Encodable-doc counts for doc_id < 200, derived from variant math."""
     from cbor_ld_spark.sources import payload_variants
@@ -913,6 +968,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_canonical_dedup": _canonical_dedup_oracle(),
         "kg_entity_components": _entity_components_oracle(),
         "ann_ivf_topk": _ivf_topk_oracle(),
+        "ann_lsh_topk": _lsh_topk_oracle(),
         "text_token_stats": f"""
             SELECT count(doc_id) AS docs,
                    sum(n_tokens)::BIGINT AS total_tokens,

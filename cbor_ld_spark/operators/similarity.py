@@ -69,23 +69,34 @@ def cosine_topk(spark: SparkSession, sf_dir: str, n_queries: int = 5,
     )
 
 
-def _lsh_bucket(v, n_planes: int, dim: int, seed: int = 7):
-    """Sign signature against n deterministic pseudo-random hyperplanes.
+def lsh_plane(p: int, dim: int, seed: int = 7) -> list[float]:
+    """Deterministic pseudo-random hyperplane in [-1, 1]^dim.
 
-    Plane p component d = xxhash64(seed, p, d) scaled to [-1, 1]; the
-    bucket is the integer formed by the sign bits.  Deterministic across
-    executors and runs — no RNG state anywhere.
+    Lehmer LCG (mod 2^31-1, multiplier 48271) keyed by (seed, p, d):
+    pure 62-bit-safe integer arithmetic, so the exact same plane is
+    reproducible anywhere — including the DuckDB oracle — with no RNG
+    state and no engine-specific hash function.
     """
-    def plane_component(p, d):
-        h = F.xxhash64(F.lit(seed), F.lit(p), d)
-        return (h % 10000).cast("double") / 10000.0
+    m, a = 2147483647, 48271
+    out = []
+    for d in range(dim):
+        x = (seed * 1_000_003 + p * dim + d + 1) % m
+        x = (a * x) % m
+        x = (a * x) % m  # two rounds decorrelate adjacent (p, d)
+        out.append(x / m * 2.0 - 1.0)
+    return out
 
+
+def _lsh_bucket(v, n_planes: int, dim: int, seed: int = 7):
+    """Sign signature against ``n_planes`` deterministic hyperplanes.
+
+    Planes are plan-time literal arrays (``lsh_plane``); the bucket is
+    the integer formed by the sign bits of the projections.
+    """
     bits = []
     for p in range(n_planes):
-        proj = F.aggregate(
-            F.zip_with(v, F.sequence(F.lit(0), F.lit(dim - 1)),
-                       lambda x, d: x * plane_component(p, d)),
-            F.lit(0.0), lambda acc, x: acc + x)
+        plane = F.array(*[F.lit(x) for x in lsh_plane(p, dim, seed)])
+        proj = _dot(v, plane)
         bits.append(F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0)))
     out = F.lit(0)
     for b in bits:
