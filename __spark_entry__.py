@@ -225,6 +225,35 @@ def _rel_pricing_summary(spark, sf_dir):
     )
 
 
+def _rel_orders_with_returns(spark, sf_dir):
+    """Semi-join shape (TPC-H Q4 analog): orders having >=1 returned item."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    returned = li.filter(F.col("l_returnflag") == "R")
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey,
+                    "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("total_price"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def _rel_orders_no_returns(spark, sf_dir):
+    """Anti-join shape: orders with no returned item at all."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    returned = li.filter(F.col("l_returnflag") == "R")
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey,
+                    "left_anti")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderstatus")
+    )
+
+
 def _rel_top_customers(spark, sf_dir):
     from pyspark.sql import Window
 
@@ -408,6 +437,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_features": _multimodal_audio_features,
         "rel_pricing_summary": _rel_pricing_summary,
         "rel_top_customers": _rel_top_customers,
+        "rel_orders_with_returns": _rel_orders_with_returns,
+        "rel_orders_no_returns": _rel_orders_no_returns,
         "rel_segment_revenue": _rel_segment_revenue,
         "rel_nation_revenue": _rel_nation_revenue,
         "events_by_type": _events_by_type,
@@ -1082,6 +1113,23 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(n_events), 3) AS avg_events_per_session,
                    max(duration_secs) AS max_duration_secs
             FROM ({_SESSIONS_SQL_BODY})
+        """,
+        "rel_orders_with_returns": """
+            SELECT o_orderpriority, count(*)::BIGINT AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_price
+            FROM orders
+            WHERE EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_returnflag = 'R')
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "rel_orders_no_returns": """
+            SELECT o_orderstatus, count(*)::BIGINT AS n_orders
+            FROM orders
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                              WHERE l_orderkey = o_orderkey
+                                AND l_returnflag = 'R')
+            GROUP BY o_orderstatus ORDER BY o_orderstatus
         """,
         "rel_segment_revenue": """
             SELECT c_mktsegment,
