@@ -187,6 +187,13 @@ class _Expander:
                     if isinstance(item, dict):
                         self.expand_node(active, item, graph)
                 continue
+            if self._alias(active, key, "@included"):
+                # W3C 1.1 §4.7: included node objects expand as
+                # independent nodes in the *same* graph
+                for item in (value if isinstance(value, list) else [value]):
+                    if isinstance(item, dict):
+                        self.expand_node(active, item, graph)
+                continue
 
             d = active.get(key)
             if d is None or d.iri is None:
@@ -228,6 +235,64 @@ class _Expander:
                         if isinstance(v, str):
                             self.emit(subject, pred, v, False, None,
                                       lang, graph)
+                continue
+
+            if "@index" in d.container and isinstance(value, dict):
+                # index map: keys are data indexes, dropped in RDF; the
+                # map's values expand as the property's values
+                for idx in sorted(value):
+                    for v in (value[idx] if isinstance(value[idx], list)
+                              else [value[idx]]):
+                        self._expand_property_value(prop_active, d, subject,
+                                                    pred, v, graph)
+                continue
+
+            if "@id" in d.container and isinstance(value, dict):
+                # id map: keys provide the value node's @id ("@none" ->
+                # no id, i.e. a blank node)
+                for key_id in sorted(value):
+                    for v in (value[key_id]
+                              if isinstance(value[key_id], list)
+                              else [value[key_id]]):
+                        if not isinstance(v, dict):
+                            continue
+                        node = dict(v)
+                        if key_id != "@none" and not any(
+                                self._alias(prop_active, k, "@id")
+                                for k in node):
+                            node["@id"] = key_id
+                        child = self.expand_node(prop_active, node, graph)
+                        if child is not None:
+                            self.emit(subject, pred, child, True, None,
+                                      None, graph)
+                continue
+
+            if "@type" in d.container and isinstance(value, dict):
+                # type map: keys prepend to the value node's @type
+                # ("@none" -> no type added)
+                for key_ty in sorted(value):
+                    for v in (value[key_ty]
+                              if isinstance(value[key_ty], list)
+                              else [value[key_ty]]):
+                        if not isinstance(v, dict):
+                            continue
+                        node = dict(v)
+                        if key_ty != "@none":
+                            tkey = next(
+                                (k for k in node
+                                 if self._alias(prop_active, k, "@type")),
+                                None)
+                            if tkey is None:
+                                node["@type"] = key_ty
+                            else:
+                                existing = node[tkey]
+                                node[tkey] = [key_ty] + (
+                                    existing if isinstance(existing, list)
+                                    else [existing])
+                        child = self.expand_node(prop_active, node, graph)
+                        if child is not None:
+                            self.emit(subject, pred, child, True, None,
+                                      None, graph)
                 continue
 
             if "@list" in d.container:

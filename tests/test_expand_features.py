@@ -151,3 +151,66 @@ def test_canonical_double_textual_form():
         mant, _, exp = s.partition("E")
         assert float(mant + "e" + exp) == v, (v, s)
         assert "." in mant
+
+
+_CTX11 = {"https://ctx.example/v11": {"@context": {
+    "@version": 1.1,
+    "name": "https://ex.org/name",
+    "tags": {"@id": "https://ex.org/tags", "@container": "@index"},
+    "friends": {"@id": "https://ex.org/friends", "@container": "@id"},
+    "byType": {"@id": "https://ex.org/byType", "@container": "@type"},
+}}}
+
+
+def _expand11(doc):
+    from cbor_ld_spark.kernel.expand import expand_to_triples
+    from cbor_ld_spark.kernel.loader import StaticLoader
+
+    return expand_to_triples(doc, StaticLoader(_CTX11))
+
+
+def test_included_nodes_expand_as_siblings():
+    ts = _expand11({"@context": "https://ctx.example/v11",
+                    "@id": "https://a.example/1", "name": "root",
+                    "@included": [{"@id": "https://a.example/2",
+                                   "name": "inc"}]})
+    trip = {(t.subj, t.pred, t.obj) for t in ts}
+    assert ("https://a.example/2", "https://ex.org/name", "inc") in trip
+    assert ("https://a.example/1", "https://ex.org/name", "root") in trip
+
+
+def test_index_map_drops_keys():
+    ts = _expand11({"@context": "https://ctx.example/v11",
+                    "@id": "https://a.example/1",
+                    "tags": {"i2": "beta", "i1": "alpha"}})
+    assert sorted(t.obj for t in ts
+                  if t.pred == "https://ex.org/tags") == ["alpha", "beta"]
+
+
+def test_id_map_keys_become_node_ids():
+    ts = _expand11({"@context": "https://ctx.example/v11",
+                    "@id": "https://a.example/1",
+                    "friends": {"https://a.example/2": {"name": "f2"}}})
+    trip = {(t.subj, t.pred, t.obj) for t in ts}
+    assert ("https://a.example/1", "https://ex.org/friends",
+            "https://a.example/2") in trip
+    assert ("https://a.example/2", "https://ex.org/name", "f2") in trip
+
+
+def test_type_map_keys_become_types():
+    from cbor_ld_spark.kernel.expand import RDF_TYPE
+
+    ts = _expand11({"@context": "https://ctx.example/v11",
+                    "@id": "https://a.example/1",
+                    "byType": {"https://ex.org/T":
+                               {"@id": "https://a.example/3"}}})
+    trip = {(t.subj, t.pred, t.obj) for t in ts}
+    assert ("https://a.example/3", RDF_TYPE, "https://ex.org/T") in trip
+
+
+def test_none_key_in_id_map_yields_blank_node():
+    ts = _expand11({"@context": "https://ctx.example/v11",
+                    "@id": "https://a.example/1",
+                    "friends": {"@none": {"name": "anon"}}})
+    assert any(t.pred == "https://ex.org/friends"
+               and t.obj.startswith("_:") for t in ts)
