@@ -531,6 +531,34 @@ def _sql_str(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
 
 
+_PROBE_UUID = "9e107d9d-372b-4c81-a634-5c91aa1edbe3"
+_MEMO: dict = {}
+
+
+def _memo(fn):
+    def wrapped():
+        if fn.__name__ not in _MEMO:
+            _MEMO[fn.__name__] = fn()
+        return _MEMO[fn.__name__]
+    return wrapped
+
+
+def _canon_tuples(content):
+    """One doc through the kernel + canonicalization: canonical
+    (subj, pred, obj, is_iri, graph) tuples, or None if not ok."""
+    from cbor_ld_spark.functions.udfs import _process_one
+    from cbor_ld_spark.operators.canonicalize import _canonicalize_doc
+
+    r = _process_one(content, 1, True)
+    if not r[1] or r[7] == 0:
+        return None
+    trips = list(zip(r[8], r[9], r[10], r[11], r[14]))
+    m = _canonicalize_doc(trips)
+    return [(m.get(s, s), p, m.get(o, o) if i else o, i, m.get(g, g))
+            for s, p, o, i, g in trips]
+
+
+@_memo
 def _variant_outcomes():
     """Per-variant kernel outcomes, computed once driver-side.
 
@@ -551,14 +579,14 @@ def _variant_outcomes():
     from cbor_ld_spark.sources import payload_variants
     from cbor_ld_spark.sources.corpus import _TEMPLATE_UUID
 
-    probe_uuid = "9e107d9d-372b-4c81-a634-5c91aa1edbe3"
     out = []
     for i, (_name, lang, content, _enc) in enumerate(payload_variants()):
         if not (lang == "json" and re.match(r"^[\s﻿]*\{", content)
                 and "@context" in content):
             continue
         a = _process_one(content, 1, True)
-        b = _process_one(content.replace(_TEMPLATE_UUID, probe_uuid), 1, True)
+        b = _process_one(content.replace(_TEMPLATE_UUID, _PROBE_UUID),
+                         1, True)
         ok, error_kind, rt = a[1], a[3], a[6]
         assert (a[1], a[3], a[6], a[7]) == (b[1], b[3], b[6], b[7]), \
             f"variant {i}: outcome depends on entity uuid"
@@ -648,6 +676,7 @@ def _triples_by_pred_oracle() -> str:
     """
 
 
+@_memo
 def _canonical_outcomes():
     """Per-variant canonical triple/subject templates for the dedup oracle.
 
@@ -659,30 +688,17 @@ def _canonical_outcomes():
     labels both are).  Returns (vidx, n_triples, distinct_triple_keys,
     distinct_subject_keys) with keys as (template, dep) pairs.
     """
-    from cbor_ld_spark.functions.udfs import _process_one
-    from cbor_ld_spark.operators.canonicalize import _canonicalize_doc
     from cbor_ld_spark.sources import payload_variants
     from cbor_ld_spark.sources.corpus import _TEMPLATE_UUID
-
-    probe_uuid = "9e107d9d-372b-4c81-a634-5c91aa1edbe3"
-
-    def canon_tuples(content):
-        r = _process_one(content, 1, True)
-        if not r[1] or r[7] == 0:
-            return None
-        trips = list(zip(r[8], r[9], r[10], r[11], r[14]))  # s,p,o,i,g
-        m = _canonicalize_doc(trips)
-        return [(m.get(s, s), p, m.get(o, o) if i else o, i, m.get(g, g))
-                for s, p, o, i, g in trips]
 
     out = []
     for i, (_n, lang, content, _e) in enumerate(payload_variants()):
         if lang != "json":
             continue
-        a = canon_tuples(content)
+        a = _canon_tuples(content)
         if a is None:
             continue
-        b = canon_tuples(content.replace(_TEMPLATE_UUID, probe_uuid))
+        b = _canon_tuples(content.replace(_TEMPLATE_UUID, _PROBE_UUID))
         tkeys: dict[str, bool] = {}
         skeys: dict[str, bool] = {}
         for ta, tb in zip(a, b):
@@ -731,6 +747,7 @@ def _canonical_dedup_oracle() -> str:
     """
 
 
+@_memo
 def _entity_graph_outcomes():
     """Per-variant entity-graph node/edge templates (probe-flagged).
 
@@ -740,32 +757,19 @@ def _entity_graph_outcomes():
     blank-graph membership edges — plus the all-nodes set (subjects +
     IRI objects) that link_entities histograms over.
     """
-    from cbor_ld_spark.functions.udfs import _process_one
     from cbor_ld_spark.kernel.expand import RDF_TYPE
-    from cbor_ld_spark.operators.canonicalize import _canonicalize_doc
     from cbor_ld_spark.operators.linking import SAME_AS_PREDICATES
     from cbor_ld_spark.sources import payload_variants
     from cbor_ld_spark.sources.corpus import _TEMPLATE_UUID
-
-    probe_uuid = "9e107d9d-372b-4c81-a634-5c91aa1edbe3"
-
-    def canon_tuples(content):
-        r = _process_one(content, 1, True)
-        if not r[1] or r[7] == 0:
-            return None
-        trips = list(zip(r[8], r[9], r[10], r[11], r[14]))
-        m = _canonicalize_doc(trips)
-        return [(m.get(s, s), p, m.get(o, o) if i else o, i, m.get(g, g))
-                for s, p, o, i, g in trips]
 
     out = []
     for i, (_n, lang, content, _e) in enumerate(payload_variants()):
         if lang != "json":
             continue
-        a = canon_tuples(content)
+        a = _canon_tuples(content)
         if a is None:
             continue
-        b = canon_tuples(content.replace(_TEMPLATE_UUID, probe_uuid))
+        b = _canon_tuples(content.replace(_TEMPLATE_UUID, _PROBE_UUID))
         nodes: dict[str, bool] = {}
         edges: dict[tuple[str, str], tuple[bool, bool]] = {}
 
@@ -836,9 +840,17 @@ def _entity_components_oracle() -> str:
     """
 
 
+def _oracle_sf_dir() -> str:
+    """The scale the driver's CORRECTNESS gate runs at (sf0.01), env-
+    overridable so the harness can exercise other scales."""
+    import os
+
+    return os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+
+
 def _ivf_topk_oracle(n_queries: int = 5, k: int = 5, n_cells: int = 16,
                      n_probe: int = 4, kmeans_iters: int = 5,
-                     sf_dir: str = "/root/testdata/sf0.01") -> str:
+                     sf_dir: str | None = None) -> str:
     """IVF oracle: replicate the driver-side k-means bit-for-bit, embed
     centroids + probe assignments as literals, and express the
     distributed parts (cell argmax assignment, probe join, exact cosine
@@ -848,6 +860,7 @@ def _ivf_topk_oracle(n_queries: int = 5, k: int = 5, n_cells: int = 16,
     import duckdb
     import numpy as np
 
+    sf_dir = sf_dir or _oracle_sf_dir()
     con = duckdb.connect()
     rows = con.execute(
         f"SELECT vec_id, embedding::DOUBLE[] FROM "
@@ -919,7 +932,7 @@ def _ivf_topk_oracle(n_queries: int = 5, k: int = 5, n_cells: int = 16,
 
 def _lsh_topk_oracle(n_queries: int = 5, k: int = 5, n_planes: int = 4,
                      n_tables: int = 8,
-                     sf_dir: str = "/root/testdata/sf0.01") -> str:
+                     sf_dir: str | None = None) -> str:
     """LSH oracle: the hyperplanes are portable Lehmer-LCG literals
     (operators/similarity.py lsh_plane), so bucket assignment, the
     any-table candidate match, exact rerank, and ranking are all
@@ -928,6 +941,7 @@ def _lsh_topk_oracle(n_queries: int = 5, k: int = 5, n_planes: int = 4,
 
     from cbor_ld_spark.operators.similarity import lsh_plane
 
+    sf_dir = sf_dir or _oracle_sf_dir()
     con = duckdb.connect()
     dim = con.execute(
         f"SELECT len(embedding) FROM "
@@ -990,6 +1004,14 @@ def _hex_roundtrip_oracle() -> str:
     """
 
 
+def _data_trained_oracles() -> dict[str, str]:
+    try:
+        return {"ann_ivf_topk": _ivf_topk_oracle(),
+                "ann_lsh_topk": _lsh_topk_oracle()}
+    except Exception:
+        return {}
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "kg_corpus_shape": _corpus_shape_oracle(),
@@ -998,8 +1020,10 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples_by_pred": _triples_by_pred_oracle(),
         "kg_canonical_dedup": _canonical_dedup_oracle(),
         "kg_entity_components": _entity_components_oracle(),
-        "ann_ivf_topk": _ivf_topk_oracle(),
-        "ann_lsh_topk": _lsh_topk_oracle(),
+        # data-trained oracles need the gate-scale parquet; if it is
+        # absent (different machine/scale) degrade those two entries to
+        # the driver's rows-only check instead of crashing every oracle
+        **_data_trained_oracles(),
         "text_token_stats": f"""
             SELECT count(doc_id) AS docs,
                    sum(n_tokens)::BIGINT AS total_tokens,

@@ -349,7 +349,12 @@ def _create_term_definition(
                 raise ContextError("InvalidIriMapping", term)
             if is_keyword(vid) or _looks_like_keyword(vid):
                 if _looks_like_keyword(vid) and not is_keyword(vid):
-                    # "keyword-like" values are ignored per spec
+                    # "keyword-like" values are ignored per spec — but a
+                    # pre-existing (possibly protected) definition must
+                    # survive, or a hostile {"term": {"@id": "@fake"}}
+                    # would silently strip a protected term
+                    if previous is not None:
+                        active.terms[term] = previous
                     defined[term] = True
                     return
                 d.iri = vid
@@ -391,12 +396,19 @@ def _create_term_definition(
     if "@index" in value:
         d.index = value["@index"]
 
-    if (previous is not None and previous.protected
-            and not override_protected and not _same_definition(previous, d)):
-        # the reference's json-ld crate raises on differing redefinition
-        # of an @protected term; identical redefinition is allowed
+    if previous is not None and previous.protected and not override_protected:
+        if not _same_definition(previous, d):
+            # the reference's json-ld crate raises on differing
+            # redefinition of an @protected term
+            active.terms[term] = previous
+            raise ContextError("ProtectedTermRedefinition", term)
+        # identical redefinition is allowed but keeps the PREVIOUS
+        # definition (spec §4.2.2 keeps it, so protection is retained —
+        # storing d would launder @protected away through one identical
+        # unprotected redefinition)
         active.terms[term] = previous
-        raise ContextError("ProtectedTermRedefinition", term)
+        defined[term] = True
+        return
 
     active.terms[term] = d
     defined[term] = True

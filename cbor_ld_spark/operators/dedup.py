@@ -181,7 +181,9 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     (The previous formulation ran ``bits`` interpreted higher-order
     ``filter`` passes per row — ~30x more expression evaluation.)
     """
-    toks = F.split(_norm(F.col("text")), " ")
+    # coalesce: a NULL text must still yield a simhash row (explode of a
+    # NULL array would silently drop the document)
+    toks = F.split(_norm(F.coalesce(F.col("text"), F.lit(""))), " ")
     ex = docs.select("doc_id", F.explode(toks).alias("tok"))
     h = F.xxhash64("tok")
     aggs = [F.sum(F.shiftright(h, b).bitwiseAND(F.lit(1))).alias(f"_o{b}")
@@ -357,17 +359,23 @@ def embedding_near_duplicates_blocked(spark: SparkSession, sf_dir: str,
         import numpy as np
         import pandas as pd
 
+        empty = pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
         left = pdf[pdf["side"] == 0]
         if len(left) == 0:  # block i empty (n < n_blocks edge): no pairs
-            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
+            return empty
         ids0 = left["vec_id"].to_numpy()
         m0 = np.array(left["embedding"].tolist(), dtype=np.float64)
         m0 /= np.linalg.norm(m0, axis=1, keepdims=True)
-        same_block = bool((pdf["side"] == 1).sum() == 0)
+        # same-block must come from the GROUP KEY, not side counts: a
+        # cross pair (i, j) whose block j is empty would otherwise be
+        # misread as same-block and re-emit block i's self-pairs
+        same_block = bool(pdf["blk_i"].iloc[0] == pdf["blk_j"].iloc[0])
         if same_block:
             ids1, m1 = ids0, m0
         else:
             right = pdf[pdf["side"] == 1]
+            if len(right) == 0:  # block j empty: no cross pairs
+                return empty
             ids1 = right["vec_id"].to_numpy()
             m1 = np.array(right["embedding"].tolist(), dtype=np.float64)
             m1 /= np.linalg.norm(m1, axis=1, keepdims=True)

@@ -167,8 +167,9 @@ def encode_ppm(pixels: np.ndarray) -> bytes:
     h, w, nch = px.shape
     if nch == 1:
         return b"P5\n%d %d\n255\n" % (w, h) + px.tobytes()
-    if nch != 3:
-        px = px[:, :, :3]
+    if nch == 2:  # gray+alpha: netpbm has no alpha — keep the gray plane
+        return b"P5\n%d %d\n255\n" % (w, h) + px[:, :, 0].tobytes()
+    # RGB / RGBA (alpha dropped)
     return b"P6\n%d %d\n255\n" % (w, h) + px[:, :, :3].tobytes()
 
 

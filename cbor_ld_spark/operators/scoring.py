@@ -62,14 +62,14 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
         raise ValueError(
             f"salted_join supports {sorted(valid)}; '{how}' would emit "
             "unmatched small-side rows once per salt replica")
-    # Salt must be retry-deterministic: a task recompute after executor loss
-    # has to route each row to the same (key, salt) partition, or mid-query
-    # recovery silently changes row placement.  Derive it from the row's own
-    # content (every column), never from monotonically_increasing_id, which
-    # is recompute-unstable.
+    # Salt must spread even byte-identical rows (duplicate-heavy hot keys
+    # are exactly what salting exists for) and be retry-deterministic.
+    # rand(seed) reseeds per partition index and replays identically on
+    # task recompute, unlike monotonically_increasing_id; a content hash
+    # would send all duplicates of a hot row to one salt (and cannot
+    # hash map-typed columns at all).
     big_s = big.withColumn(
-        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]),
-                        F.lit(salt)).cast("int"))
+        "_salt", F.floor(F.rand(42) * salt).cast("int"))
     small_s = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
     out = big_s.join(small_s, [key, "_salt"], how)

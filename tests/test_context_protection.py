@@ -102,3 +102,27 @@ def test_import_rejects_bad_targets():
                         {"@import": "https://ctx.example/nested"}, loader)
     with pytest.raises(ContextError):  # non-string value
         process_context(EMPTY_CONTEXT, {"@import": 7}, loader)
+
+
+def test_identical_redefinition_retains_protection():
+    """Review r2: an identical-but-unprotected redefinition must keep the
+    protected flag, or a later differing redefinition slips through."""
+    active = process_context(EMPTY_CONTEXT, [
+        {"@protected": True, "name": "https://ex.org/name"},
+        {"name": "https://ex.org/name"},  # identical, no @protected
+    ], LOADER)
+    assert active.get("name").protected
+    with pytest.raises(ContextError) as e:
+        process_context(active, {"name": "https://evil.example/n"}, LOADER)
+    assert e.value.kind == "ProtectedTermRedefinition"
+
+
+def test_keyword_like_id_does_not_strip_protected_term():
+    """Review r2: {"term": {"@id": "@keywordlike"}} is ignored per spec,
+    but must not delete the pre-existing (protected) definition."""
+    active = process_context(EMPTY_CONTEXT, [
+        {"@protected": True, "name": "https://ex.org/name"},
+        {"name": {"@id": "@notakeyword"}},
+    ], LOADER)
+    d = active.get("name")
+    assert d is not None and d.iri == "https://ex.org/name" and d.protected

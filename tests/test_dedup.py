@@ -132,3 +132,34 @@ def test_minhash_pairs_catch_near_duplicates(spark):
              for r in minhash_lsh_pairs(docs).collect()}
     assert (0, 1) in pairs
     assert (0, 2) not in pairs
+
+
+def test_simhash_null_text_yields_row(spark):
+    from cbor_ld_spark.operators.dedup import simhash
+
+    docs = spark.createDataFrame([(0, BASE), (1, None)],
+                                 "doc_id long, text string")
+    rows = {r["doc_id"] for r in simhash(docs).collect()}
+    assert rows == {0, 1}
+
+
+def test_blocked_sparse_ids_no_duplicate_pairs(spark, tmp_path):
+    """Review r2: sparse vec_ids leave some blocks empty; a cross-block
+    group with an empty right side must not re-emit self-pairs."""
+    import numpy as np
+
+    from cbor_ld_spark.operators.dedup import (
+        embedding_near_duplicates_blocked,
+    )
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=8)
+    rows = [(int(i * 7), (base + rng.normal(scale=0.05, size=8)).tolist())
+            for i in range(12)]  # ids all ≡ 0 (mod 7): blocks 1..6 empty
+    spark.createDataFrame(rows, "vec_id long, embedding array<double>") \
+        .write.parquet(f"{tmp_path}/embeddings.parquet")
+    out = embedding_near_duplicates_blocked(
+        spark, str(tmp_path), threshold=0.9, block_size=2).collect()
+    pairs = [(r["vec_a"], r["vec_b"]) for r in out]
+    assert len(pairs) == len(set(pairs)), "duplicate pairs emitted"
+    assert len(pairs) > 0

@@ -104,3 +104,15 @@ def test_png_interlace_rejected():
     data[ihdr_data_off + 12] = 1
     with pytest.raises(MediaDecodeError, match="interlace"):
         decode_png(bytes(data))
+
+
+def test_ppm_gray_alpha_and_rgba_channels():
+    """Review r2: 2-channel (gray+alpha) input must emit a valid P5, not
+    a corrupt P6; RGBA drops alpha into a valid P6."""
+    ga = RNG.integers(0, 256, size=(4, 5, 2), dtype=np.uint8)
+    out = decode_ppm(encode_ppm(ga))
+    assert out.shape == (4, 5, 1)
+    assert np.array_equal(out[:, :, 0], ga[:, :, 0])
+    rgba = RNG.integers(0, 256, size=(3, 3, 4), dtype=np.uint8)
+    out = decode_ppm(encode_ppm(rgba))
+    assert np.array_equal(out, rgba[:, :, :3])
