@@ -116,3 +116,47 @@ def test_ppm_gray_alpha_and_rgba_channels():
     rgba = RNG.integers(0, 256, size=(3, 3, 4), dtype=np.uint8)
     out = decode_ppm(encode_ppm(rgba))
     assert np.array_equal(out, rgba[:, :, :3])
+
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+if _HYP:
+    @settings(max_examples=40, deadline=None)
+    @given(st.integers(1, 24), st.integers(1, 24),
+           st.sampled_from([1, 2, 3, 4]), st.integers(0, 2**32 - 1))
+    def test_png_roundtrip_property(w, h, nch, seed):
+        px = np.random.default_rng(seed).integers(
+            0, 256, size=(h, w, nch), dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png(px)), px)
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.integers(0, 2000), st.sampled_from([1, 2]),
+           st.sampled_from([8000, 44100]), st.integers(0, 2**32 - 1))
+    def test_wav_roundtrip_property(n, nch, rate, seed):
+        s = np.random.default_rng(seed).integers(
+            -32768, 32768, size=(n, nch)).astype("<i2")
+        got_rate, got_nch, back = decode_wav(encode_wav(s, rate))
+        assert (got_rate, got_nch) == (rate, nch)
+        assert np.array_equal(back, s)
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.binary(min_size=0, max_size=64))
+    def test_decoders_raise_typed_on_garbage(data):
+        import struct as _struct
+        import zlib as _zlib
+
+        # quarantine-friendly contract: decoders raise, never hang or
+        # return garbage silently; raise types are bounded
+        allowed = (MediaDecodeError, ValueError, _struct.error,
+                   _zlib.error, IndexError)
+        for fn in (decode_png, decode_ppm, decode_bmp, decode_wav,
+                   jpeg_dimensions, gif_dimensions):
+            try:
+                fn(data)
+            except allowed:
+                pass
