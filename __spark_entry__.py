@@ -94,6 +94,12 @@ def _text_lang_id(spark, sf_dir):
     return lang_id(load_documents(spark, sf_dir)).orderBy("doc_id")
 
 
+def _text_lang_id_multi(spark, sf_dir):
+    from cbor_ld_spark.operators.text import lang_id_multi, load_documents
+
+    return lang_id_multi(load_documents(spark, sf_dir)).orderBy("doc_id")
+
+
 def _text_fingerprints(spark, sf_dir):
     from cbor_ld_spark.operators.text import fingerprints, load_documents
 
@@ -420,6 +426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": _text_token_stats,
         "text_quality": _text_quality,
         "text_lang_id": _text_lang_id,
+        "text_lang_id_multi": _text_lang_id_multi,
         "text_fingerprints": _text_fingerprints,
         "text_term_dictionary": _text_term_dictionary,
         "dedup_exact": _dedup_exact,
@@ -840,6 +847,36 @@ def _entity_components_oracle() -> str:
     """
 
 
+def _lang_id_multi_oracle(threshold: float = 0.05) -> str:
+    """Multi-language ID oracle: per-language rounded densities, argmax
+    with the first-max tie-break mirrored as an ordered >= CASE chain."""
+    from cbor_ld_spark.operators.text import LANG_STOPWORDS
+
+    def hits(words):
+        return " + ".join(
+            f"(len(string_split(' ' || {_NORM_SQL} || ' ', ' {w} ')) - 1)"
+            for w in words)
+
+    score_cols = ", ".join(
+        f"round(({hits(words)})::DOUBLE / "
+        f"len(string_split({_NORM_SQL}, ' ')), 6) AS s_{lang}"
+        for lang, words in LANG_STOPWORDS)
+    langs = [lang for lang, _w in LANG_STOPWORDS]
+    best = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    cases = []
+    for i, lg in enumerate(langs[:-1]):
+        conds = " AND ".join(f"s_{lg} >= s_{o}" for o in langs[i + 1:])
+        cases.append(f"WHEN {conds} THEN '{lg}'")
+    case_chain = " ".join(cases) + f" ELSE '{langs[-1]}'"
+    return f"""
+        WITH s AS (SELECT doc_id, {score_cols} FROM documents)
+        SELECT doc_id, round({best}, 6) AS best_score,
+               CASE WHEN {best} < {threshold} THEN 'unknown'
+                    {case_chain} END AS lang_pred
+        FROM s ORDER BY doc_id
+    """
+
+
 def _oracle_sf_dir() -> str:
     """The scale the driver's CORRECTNESS gate runs at (sf0.01), env-
     overridable so the harness can exercise other scales."""
@@ -1042,6 +1079,7 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'en' ELSE 'unknown' END AS lang_pred
             FROM ({_QUALITY_SQL}) ORDER BY doc_id
         """,
+        "text_lang_id_multi": _lang_id_multi_oracle(),
         "text_fingerprints": f"""
             SELECT doc_id, md5({_NORM_SQL}) AS fingerprint
             FROM documents ORDER BY doc_id

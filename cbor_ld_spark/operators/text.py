@@ -18,6 +18,16 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 # Tiny English stopword list for the language-ID heuristic / quality score.
 STOPWORDS = ("the", "and", "of", "to", "a", "in", "is", "it", "that", "for")
 
+# Per-language function-word lists for multi-language ID (order is the
+# deterministic tie-break order — first max wins, mirrored in the oracle)
+LANG_STOPWORDS = (
+    ("en", ("the", "and", "of", "to", "a", "in", "is", "it", "that", "for")),
+    ("es", ("el", "la", "de", "que", "y", "en", "los", "del", "se", "las")),
+    ("fr", ("le", "la", "de", "et", "les", "des", "un", "une", "du", "est")),
+    ("de", ("der", "die", "und", "den", "von", "das", "mit", "sich", "des",
+            "auf")),
+)
+
 
 def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -77,6 +87,39 @@ def lang_id(docs: DataFrame) -> DataFrame:
         F.round(score, 6).alias("en_score"),
         F.when(score >= 0.05, F.lit("en")).otherwise(F.lit("unknown"))
         .alias("lang_pred"),
+    )
+
+
+def lang_id_multi(docs: DataFrame, threshold: float = 0.05) -> DataFrame:
+    """Multi-language ID: function-word density per language, argmax.
+
+    Pure Column algebra: one normalized-text pass, 10 split-counts per
+    language, scores as an array + ``array_position(array_max)`` (a
+    when-chain argmax would duplicate subtrees exponentially).  Ties go
+    to the first language in LANG_STOPWORDS order — the DuckDB oracle
+    mirrors that with an ordered >= CASE chain.
+    """
+    norm = _norm(F.col("text"))
+    padded = F.concat(F.lit(" "), norm, F.lit(" "))
+    n_tokens = F.size(F.split(norm, " "))
+
+    def hits(words):
+        return sum((F.size(F.split(padded, f" {w} ", -1)) - F.lit(1))
+                   for w in words)
+
+    scores = F.array(*[
+        F.round(hits(words).cast("double") / n_tokens, 6)
+        for _lang, words in LANG_STOPWORDS
+    ])
+    langs = F.array(*[F.lit(lang) for lang, _w in LANG_STOPWORDS])
+    best = F.array_max(scores)
+    pred = F.when(best >= threshold,
+                  F.element_at(langs, F.array_position(scores, best)
+                               .cast("int"))).otherwise(F.lit("unknown"))
+    return docs.select(
+        "doc_id",
+        F.round(best, 6).alias("best_score"),
+        pred.alias("lang_pred"),
     )
 
 

@@ -163,3 +163,18 @@ def test_blocked_sparse_ids_no_duplicate_pairs(spark, tmp_path):
     pairs = [(r["vec_a"], r["vec_b"]) for r in out]
     assert len(pairs) == len(set(pairs)), "duplicate pairs emitted"
     assert len(pairs) > 0
+
+
+def test_lang_id_multi_predictions(spark):
+    from cbor_ld_spark.operators.text import lang_id_multi
+
+    docs = spark.createDataFrame([
+        (0, "the cat sat on the mat and it was happy that the sun is out"),
+        (1, "el perro corre en la casa y los gatos del barrio se van a las calles"),
+        (2, "le chat est dans la maison et les chiens des voisins sont un peu du genre calme"),
+        (3, "der hund und die katze sind mit den kindern auf das feld von dem haus gegangen"),
+        (4, "zzz qqq xxx yyy www"),
+    ], "doc_id long, text string")
+    pred = {r["doc_id"]: r["lang_pred"]
+            for r in lang_id_multi(docs).collect()}
+    assert pred == {0: "en", 1: "es", 2: "fr", 3: "de", 4: "unknown"}
