@@ -174,7 +174,13 @@ class _Reader:
         return b
 
     def byte(self) -> int:
-        return self.take(1)[0]
+        # direct index (no 1-byte bytes allocation per call — this is
+        # the single hottest call in the decoder)
+        pos = self.pos
+        if pos >= len(self.buf):
+            raise ValueError("truncated CBOR")
+        self.pos = pos + 1
+        return self.buf[pos]
 
 
 def _read_arg(r: _Reader, info: int) -> int:
