@@ -1,0 +1,139 @@
+#!/usr/bin/env python3
+"""cbor-ld CLI: 1:1 user surface of the reference binary.
+
+Mirrors reference src/bin/main.rs:15-190 flag-for-flag so a user of the
+reference tool can switch invocations unchanged:
+
+    python3 jobs/cbor_ld_cli.py encode [INPUT] [-x] [-m IRI=PATH]... \
+        [-o] [-t CONFIG.toml]...
+    python3 jobs/cbor_ld_cli.py decode [INPUT] [-x] ...
+
+* INPUT omitted -> stdin (main.rs:120-129)
+* ``-x/--hexadecimal`` -> hex framing on the byte side (main.rs:60-72)
+* ``-m/--mount IRI=PATH`` -> file-system context mounts (main.rs:28-37)
+* ``-o/--offline`` accepted for compatibility; this engine is ALWAYS
+  offline (remote context fetching does not exist here by design —
+  determinism at corpus scale), so unmounted context URLs fail either
+  way (main.rs:38-44 is the reference's opt-in for the same behavior)
+* ``-t/--config`` TOML files with ``offline`` and a ``[mount]`` table,
+  merged left-to-right like the reference (main.rs:27-51,135-140)
+* encode writes bytes (or hex) to stdout; decode pretty-prints JSON to
+  stderr — matching the reference's (surprising) eprintln choice
+  (main.rs:185)
+
+Superset: ``--registry N`` selects the compression-table registry
+(default 1); the reference CLI always uses the default registry.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _build_loader(mounts):
+    from cbor_ld_spark.kernel.loader import StaticLoader
+
+    base = dict(StaticLoader.default().documents)
+
+    def walk(path, url):
+        if os.path.isfile(path):
+            try:
+                with open(path, encoding="utf-8") as f:
+                    base[url] = json.load(f)
+            except (ValueError, UnicodeDecodeError):
+                pass  # non-JSON file inside a mounted tree: not a context
+        elif os.path.isdir(path):
+            for name in sorted(os.listdir(path)):
+                walk(os.path.join(path, name), f"{url}/{name}")
+
+    for iri, path in mounts:
+        walk(path, iri.rstrip("/"))
+    return StaticLoader(base)
+
+
+def _parse_mount(value: str):
+    if "=" not in value:
+        raise argparse.ArgumentTypeError(
+            f"invalid mount value {value!r} (expected IRI=PATH)")
+    iri, _, path = value.partition("=")
+    return iri, path
+
+
+def _load_config(path: str):
+    """TOML config: ``offline = bool`` + ``[mount]`` table of iri = path."""
+    import tomllib
+
+    with open(path, "rb") as f:
+        cfg = tomllib.load(f)
+    mounts = [(iri, p) for iri, p in cfg.get("mount", {}).items()]
+    return mounts, bool(cfg.get("offline", False))
+
+
+def _read_input(path):
+    if path:
+        with open(path, "rb") as f:
+            return f.read()
+    return sys.stdin.buffer.read()
+
+
+def main(argv=None) -> int:
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+
+    ap = argparse.ArgumentParser(prog="cbor-ld")
+    ap.add_argument("-m", "--mount", type=_parse_mount, action="append",
+                    default=[], help="context mount IRI=PATH")
+    ap.add_argument("-o", "--offline", action="store_true",
+                    help="offline loader (always true in this engine)")
+    ap.add_argument("-t", "--config", action="append", default=[],
+                    help="TOML configuration file")
+    sub = ap.add_subparsers(dest="command", required=True)
+    for name in ("encode", "decode"):
+        p = sub.add_parser(name)
+        p.add_argument("input", nargs="?", default=None)
+        p.add_argument("-x", "--hexadecimal", action="store_true")
+        p.add_argument("--registry", type=int, default=1)
+    args = ap.parse_args(argv)
+
+    mounts = list(args.mount)
+    for cfg_path in args.config:
+        cfg_mounts, _offline = _load_config(cfg_path)
+        mounts.extend(cfg_mounts)
+
+    from cbor_ld_spark.kernel import (
+        CborLdError,
+        decode_document,
+        encode_document,
+        parse_json_document,
+    )
+
+    loader = _build_loader(mounts)
+    try:
+        if args.command == "encode":
+            doc = parse_json_document(_read_input(args.input))
+            data = encode_document(doc, registry_id=args.registry,
+                                   loader=loader)
+            if args.hexadecimal:
+                sys.stdout.write(data.hex())
+            else:
+                sys.stdout.buffer.write(data)
+        else:
+            raw = _read_input(args.input)
+            if args.hexadecimal:
+                raw = bytes.fromhex(raw.decode("ascii").strip())
+            doc = decode_document(raw, loader=loader)
+            # the reference pretty-prints decoded JSON to stderr
+            # (src/bin/main.rs:185)
+            print(json.dumps(doc, indent=2, ensure_ascii=False),
+                  file=sys.stderr)
+        return 0
+    except (CborLdError, ValueError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,91 @@
+"""CLI parity with the reference binary (reference: src/bin/main.rs)."""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CLI = [sys.executable, os.path.join(REPO, "jobs", "cbor_ld_cli.py")]
+SAMPLES = os.path.join(REPO, "cbor_ld_spark", "fixtures", "samples")
+
+
+def _run(args, stdin=None):
+    return subprocess.run(CLI + args, input=stdin, capture_output=True,
+                          cwd=REPO, timeout=60)
+
+
+def _read(name):
+    with open(os.path.join(SAMPLES, name), "rb") as f:
+        return f.read()
+
+
+def test_encode_hex_matches_golden():
+    r = _run(["encode", os.path.join(SAMPLES, "note.jsonld"), "-x"])
+    assert r.returncode == 0, r.stderr
+    assert r.stdout.decode() == _read("note.cbor.hex").decode().strip()
+
+
+def test_encode_stdin_binary():
+    r = _run(["encode"], stdin=_read("truage.jsonld"))
+    assert r.returncode == 0, r.stderr
+    assert r.stdout == bytes.fromhex(
+        _read("truage.cbor.hex").decode().strip())
+
+
+def test_encode_registry_flag():
+    r = _run(["encode", os.path.join(SAMPLES, "vcb-aamva.jsonld"), "-x",
+              "--registry", "100"])
+    assert r.returncode == 0, r.stderr
+    assert r.stdout.decode() == _read("vcb-aamva.cbor.hex").decode().strip()
+
+
+def test_decode_hex_pretty_prints_to_stderr():
+    r = _run(["decode", "-x"], stdin=_read("note.cbor.hex"))
+    assert r.returncode == 0, r.stderr
+    assert r.stdout == b""  # reference eprintln!s the JSON (main.rs:185)
+    got = json.loads(r.stderr.decode())
+    assert got == json.loads(_read("note.jsonld"))
+
+
+def test_mount_flag_serves_local_context(tmp_path):
+    ctx = {"@context": {"@version": 1.1,
+                        "name": "https://mounted.example/name"}}
+    (tmp_path / "v1").write_text(json.dumps(ctx))
+    doc = json.dumps({"@context": "https://mounted.example/ctx/v1",
+                      "name": "hello"}).encode()
+    r = _run(["-m", f"https://mounted.example/ctx={tmp_path}", "encode",
+              "-x"], stdin=doc)
+    assert r.returncode == 0, r.stderr
+    # round-trip through decode with the same mount
+    r2 = _run(["-m", f"https://mounted.example/ctx={tmp_path}", "decode",
+               "-x"], stdin=r.stdout)
+    assert r2.returncode == 0, r2.stderr
+    assert json.loads(r2.stderr.decode())["name"] == "hello"
+
+
+def test_toml_config_merge(tmp_path):
+    ctx = {"@context": {"@version": 1.1,
+                        "name": "https://cfg.example/name"}}
+    (tmp_path / "v1").write_text(json.dumps(ctx))
+    cfg = tmp_path / "cli.toml"
+    cfg.write_text(
+        f'offline = true\n[mount]\n"https://cfg.example/ctx" = "{tmp_path}"\n')
+    doc = json.dumps({"@context": "https://cfg.example/ctx/v1",
+                      "name": "x"}).encode()
+    r = _run(["-t", str(cfg), "encode", "-x"], stdin=doc)
+    assert r.returncode == 0, r.stderr
+
+
+def test_unmounted_context_fails_cleanly():
+    doc = json.dumps({"@context": "https://nowhere.example/ctx",
+                      "x": 1}).encode()
+    r = _run(["encode"], stdin=doc)
+    assert r.returncode == 1
+    assert b"error:" in r.stderr
+
+
+def test_garbage_decode_fails_cleanly():
+    r = _run(["decode"], stdin=b"\xff\xff\xff")
+    assert r.returncode == 1
+    assert b"error:" in r.stderr
