@@ -94,6 +94,12 @@ def _text_lang_id(spark, sf_dir):
     return lang_id(load_documents(spark, sf_dir)).orderBy("doc_id")
 
 
+def _text_token_stats_bpe(spark, sf_dir):
+    from cbor_ld_spark.operators.text import load_documents, token_stats_bpe
+
+    return token_stats_bpe(load_documents(spark, sf_dir))
+
+
 def _text_lang_id_multi(spark, sf_dir):
     from cbor_ld_spark.operators.text import lang_id_multi, load_documents
 
@@ -427,6 +433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _text_quality,
         "text_lang_id": _text_lang_id,
         "text_lang_id_multi": _text_lang_id_multi,
+        "text_token_stats_bpe": _text_token_stats_bpe,
         "text_fingerprints": _text_fingerprints,
         "text_term_dictionary": _text_term_dictionary,
         "dedup_exact": _dedup_exact,
@@ -1080,6 +1087,18 @@ def oracle_sql() -> dict[str, str]:
             FROM ({_QUALITY_SQL}) ORDER BY doc_id
         """,
         "text_lang_id_multi": _lang_id_multi_oracle(),
+        "text_token_stats_bpe": r"""
+            SELECT count(doc_id) AS docs,
+                   sum(n)::BIGINT AS total_bpe_tokens,
+                   min(n) AS min_bpe_tokens,
+                   max(n) AS max_bpe_tokens,
+                   round(avg(n), 3) AS avg_bpe_tokens
+            FROM (SELECT doc_id,
+                         len(regexp_extract_all(
+                             text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                         AS n
+                  FROM documents)
+        """,
         "text_fingerprints": f"""
             SELECT doc_id, md5({_NORM_SQL}) AS fingerprint
             FROM documents ORDER BY doc_id

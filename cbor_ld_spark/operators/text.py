@@ -55,6 +55,31 @@ def token_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+# BPE-ish pre-tokenizer classes: letter runs, digit runs, single
+# non-alnum marks — the standard byte-pair pre-split shape.  Class-based
+# pattern only, so Java regex (Spark) and RE2 (DuckDB) agree exactly.
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_stats_bpe(docs: DataFrame) -> DataFrame:
+    """Subword-style token counts: BPE-ish regex pre-tokenization.
+
+    ``regexp_extract_all`` runs JVM-side; the per-doc token count plus
+    corpus aggregates mirror :func:`token_stats` for the whitespace
+    tokenizer.  At 100 TB this is a scan-bound map stage.
+    """
+    toks = F.size(F.regexp_extract_all(F.col("text"),
+                                       F.lit(BPE_TOKEN_PATTERN), F.lit(0)))
+    per_doc = docs.select("doc_id", toks.alias("n_bpe_tokens"))
+    return per_doc.agg(
+        F.count("doc_id").alias("docs"),
+        F.sum("n_bpe_tokens").alias("total_bpe_tokens"),
+        F.min("n_bpe_tokens").alias("min_bpe_tokens"),
+        F.max("n_bpe_tokens").alias("max_bpe_tokens"),
+        F.round(F.avg("n_bpe_tokens"), 3).alias("avg_bpe_tokens"),
+    )
+
+
 def quality_scores(docs: DataFrame) -> DataFrame:
     """Per-document quality features (length, punctuation, stopword hits)."""
     text = F.col("text")
