@@ -298,6 +298,24 @@ def _events_sessions(spark, sf_dir):
     return sessionize(load_events(spark, sf_dir))
 
 
+def _events_user_activity(spark, sf_dir):
+    """Per-user activity span + breadth (groupBy + epoch arithmetic)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.min("ts").alias("first_ts"),
+             F.max("ts").alias("last_ts"),
+             # TIMESTAMP_NTZ needs the two-step cast; the span is a
+             # difference so any session-tz offset cancels
+             (F.max(F.col("ts").cast("timestamp").cast("long"))
+              - F.min(F.col("ts").cast("timestamp").cast("long")))
+             .alias("span_secs"),
+             F.countDistinct("event_type").alias("event_kinds"))
+        .orderBy("user_id")
+    )
+
+
 def _events_session_stats(spark, sf_dir):
     from cbor_ld_spark.operators.events import load_events, session_stats
 
@@ -459,6 +477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": _events_hourly,
         "events_sessions": _events_sessions,
         "events_session_stats": _events_session_stats,
+        "events_user_activity": _events_user_activity,
         "kg_hex_roundtrip": _kg_hex_roundtrip,
         "kg_entity_components": _kg_entity_components,
         "kg_cardinality_sketch": _kg_cardinality_sketch,
@@ -1188,6 +1207,14 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2 ORDER BY hour, event_type
         """,
         "events_sessions": _SESSIONS_SQL + " ORDER BY user_id, session_seq",
+        "events_user_activity": """
+            SELECT user_id, count(*)::BIGINT AS n_events,
+                   min(ts) AS first_ts, max(ts) AS last_ts,
+                   max(floor(epoch(ts))::BIGINT)
+                   - min(floor(epoch(ts))::BIGINT) AS span_secs,
+                   count(DISTINCT event_type)::BIGINT AS event_kinds
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
         "events_session_stats": f"""
             SELECT count(*) AS sessions,
                    count(DISTINCT user_id) AS users,
