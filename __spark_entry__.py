@@ -511,9 +511,12 @@ def _corpus_shape_oracle() -> str:
 
 
 _NORM_SQL = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+# Double inter-token spaces before split-counting so adjacent stopwords
+# don't share a separator (mirrors operators/text.py _gap_padded).
+_PADDED_SQL = f"' ' || replace({_NORM_SQL}, ' ', '  ') || ' '"
 _STOPWORDS = ("the", "and", "of", "to", "a", "in", "is", "it", "that", "for")
 _STOP_HITS_SQL = " + ".join(
-    f"(len(string_split(' ' || {_NORM_SQL} || ' ', ' {w} ')) - 1)"
+    f"(len(string_split({_PADDED_SQL}, ' {w} ')) - 1)"
     for w in _STOPWORDS
 )
 
@@ -880,7 +883,7 @@ def _lang_id_multi_oracle(threshold: float = 0.05) -> str:
 
     def hits(words):
         return " + ".join(
-            f"(len(string_split(' ' || {_NORM_SQL} || ' ', ' {w} ')) - 1)"
+            f"(len(string_split({_PADDED_SQL}, ' {w} ')) - 1)"
             for w in words)
 
     score_cols = ", ".join(

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import weakref
 from typing import Any, Mapping
 
 from urllib.parse import urljoin
@@ -137,20 +138,25 @@ def _context_cache_key(value: Any) -> str:
 
 # Loader identity tokens: two loaders may resolve the same context URL to
 # different documents in one process, so every memo key must carry which
-# loader produced the result.  Strong references pin id()s against reuse;
-# the counter never repeats, so tokens stay distinct across clears.
+# loader produced the result.  Weak references let dead loaders be swept
+# without re-tokenizing live ones (a full clear would orphan every live
+# loader's _PROCESS_CACHE entries); the counter never repeats, so tokens
+# stay distinct across sweeps.  A dead loader's id() may be reused, but
+# the ``ref() is loader`` check catches that and mints a fresh token.
 _LOADER_TOKENS: dict[int, tuple[Any, int]] = {}
 _LOADER_COUNTER = iter(range(1, 1 << 62)).__next__
 
 
 def _loader_token(loader) -> int:
     hit = _LOADER_TOKENS.get(id(loader))
-    if hit is not None and hit[0] is loader:
+    if hit is not None and hit[0]() is loader:
         return hit[1]
     if len(_LOADER_TOKENS) >= 1024:
-        _LOADER_TOKENS.clear()
+        for k in [k for k, (ref, _t) in _LOADER_TOKENS.items()
+                  if ref() is None]:
+            del _LOADER_TOKENS[k]
     token = _LOADER_COUNTER()
-    _LOADER_TOKENS[id(loader)] = (loader, token)
+    _LOADER_TOKENS[id(loader)] = (weakref.ref(loader), token)
     return token
 
 

@@ -255,7 +255,13 @@ class _Expander:
                               if isinstance(value[key_id], list)
                               else [value[key_id]]):
                         if not isinstance(v, dict):
-                            continue
+                            # JSON-LD 1.1 §4.6.3: id-map values must be node
+                            # objects; dropping silently would lose data, so
+                            # quarantine the document instead.
+                            raise CborLdError(
+                                "InvalidIdMapValue",
+                                f"@id container map value for {key_id!r} "
+                                "is not a node object")
                         node = dict(v)
                         if key_id != "@none" and not any(
                                 self._alias(prop_active, k, "@id")
@@ -275,7 +281,11 @@ class _Expander:
                               if isinstance(value[key_ty], list)
                               else [value[key_ty]]):
                         if not isinstance(v, dict):
-                            continue
+                            # Same rationale as the @id map: loud, not silent.
+                            raise CborLdError(
+                                "InvalidTypeMapValue",
+                                f"@type container map value for {key_ty!r} "
+                                "is not a node object")
                         node = dict(v)
                         if key_ty != "@none":
                             tkey = next(

@@ -34,6 +34,10 @@ class MediaDecodeError(ValueError):
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 # color type -> samples per pixel
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+# Untrusted-payload guard: a hostile IHDR (or zlib bomb) must not be able to
+# allocate unbounded memory or burn unbounded interpreted CPU inside one task
+# — decode errors quarantine, but MemoryError would kill the executor.
+_PNG_MAX_PIXELS = 1 << 26  # 64M pixels ≈ 256 MB RGBA, far above any test tier
 
 
 def _png_unfilter(raw: bytes, width: int, height: int, nch: int) -> np.ndarray:
@@ -48,10 +52,9 @@ def _png_unfilter(raw: bytes, width: int, height: int, nch: int) -> np.ndarray:
         pos += stride
         if ftype == 0:
             cur = line.copy()
-        elif ftype == 1:  # Sub
-            cur = line.copy()
-            for x in range(nch, stride):
-                cur[x] = (cur[x] + cur[x - nch]) & 0xFF
+        elif ftype == 1:  # Sub — per-channel prefix sum mod 256 (vectorized)
+            cur = line.reshape(width, nch).astype(np.int64)
+            cur = (np.cumsum(cur, axis=0) & 0xFF).astype(np.uint8).reshape(stride)
         elif ftype == 2:  # Up
             cur = (line + prev).astype(np.uint8)
         elif ftype == 3:  # Average
@@ -98,6 +101,9 @@ def decode_png(payload: bytes) -> np.ndarray:
                 raise MediaDecodeError(f"unsupported PNG color type {color}")
             if interlace:
                 raise MediaDecodeError("Adam7 interlace not supported")
+            if width == 0 or height == 0 or width * height > _PNG_MAX_PIXELS:
+                raise MediaDecodeError(
+                    f"PNG dimensions out of bounds ({width}x{height})")
             nch = _PNG_CHANNELS[color]
         elif ctype == b"IDAT":
             idat.append(data)
@@ -105,8 +111,16 @@ def decode_png(payload: bytes) -> np.ndarray:
             break
     if width is None or not idat:
         raise MediaDecodeError("truncated PNG (no IHDR/IDAT)")
-    raw = zlib.decompress(b"".join(idat))
+    # Bounded inflate: expected size is known from IHDR, so never let a
+    # zlib bomb expand past expect+1 bytes (the +1 detects overrun).
     expect = height * (1 + width * nch)
+    try:
+        dec = zlib.decompressobj()
+        raw = dec.decompress(b"".join(idat), expect + 1)
+    except zlib.error as exc:
+        raise MediaDecodeError(f"bad PNG zlib stream: {exc}") from exc
+    if len(raw) > expect or dec.unconsumed_tail:
+        raise MediaDecodeError("PNG pixel data overruns IHDR dimensions")
     if len(raw) < expect:
         raise MediaDecodeError("truncated PNG pixel data")
     return _png_unfilter(raw, width, height, nch)

@@ -38,6 +38,16 @@ def _norm(col):
     return F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
 
 
+def _gap_padded(norm):
+    """Pad + double inter-token spaces so every token owns both its
+    separators: split-counting ``' w '`` on the single-spaced form
+    undercounts adjacent repeats (``' el el '`` counts 1, not 2 — the
+    shared space is consumed by the first match).  Stays pure Column
+    (codegen'd ``replace``), and DuckDB mirrors it verbatim."""
+    return F.concat(F.lit(" "), F.replace(norm, F.lit(" "), F.lit("  ")),
+                    F.lit(" "))
+
+
 def token_stats(docs: DataFrame) -> DataFrame:
     """Per-document token counts + corpus aggregate stats."""
     toks = F.size(F.split(_norm(F.col("text")), " "))
@@ -87,9 +97,9 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     n_chars = F.length(text)
     n_punct = n_chars - F.length(F.regexp_replace(text, r"[.!?,;:]", ""))
     n_tokens = F.size(F.split(norm, " "))
+    padded = _gap_padded(norm)
     stop_hits = sum(
-        (F.size(F.split(F.concat(F.lit(" "), norm, F.lit(" ")),
-                        f" {w} ", -1)) - F.lit(1))
+        (F.size(F.split(padded, f" {w} ", -1)) - F.lit(1))
         for w in STOPWORDS
     )
     return docs.select(
@@ -125,7 +135,7 @@ def lang_id_multi(docs: DataFrame, threshold: float = 0.05) -> DataFrame:
     mirrors that with an ordered >= CASE chain.
     """
     norm = _norm(F.col("text"))
-    padded = F.concat(F.lit(" "), norm, F.lit(" "))
+    padded = _gap_padded(norm)
     n_tokens = F.size(F.split(norm, " "))
 
     def hits(words):

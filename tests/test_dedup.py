@@ -178,3 +178,17 @@ def test_lang_id_multi_predictions(spark):
     pred = {r["doc_id"]: r["lang_pred"]
             for r in lang_id_multi(docs).collect()}
     assert pred == {0: "en", 1: "es", 2: "fr", 3: "de", 4: "unknown"}
+
+
+def test_stopword_hits_count_adjacent_repeats(spark):
+    """Advice r2: ' el el ' must count 2 stopword hits, not 1 — the
+    shared separator space was consumed by the first split match."""
+    from cbor_ld_spark.operators.text import lang_id_multi, quality_scores
+
+    docs = spark.createDataFrame(
+        [(0, "the the the", "en")], "doc_id long, text string, lang string")
+    row = quality_scores(docs).collect()[0]
+    assert row["stopword_hits"] == 3
+    # density 3/3 = 1.0 -> confidently 'en'
+    m = lang_id_multi(docs.select("doc_id", "text")).collect()[0]
+    assert (m["lang_pred"], m["best_score"]) == ("en", 1.0)

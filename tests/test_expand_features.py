@@ -214,3 +214,23 @@ def test_none_key_in_id_map_yields_blank_node():
                     "friends": {"@none": {"name": "anon"}}})
     assert any(t.pred == "https://ex.org/friends"
                and t.obj.startswith("_:") for t in ts)
+
+
+def test_id_map_non_node_value_raises():
+    """Advice r2: non-dict @id-map values must quarantine loudly, not be
+    silently dropped."""
+    from cbor_ld_spark.kernel.errors import CborLdError
+
+    with pytest.raises(CborLdError, match="InvalidIdMapValue"):
+        _expand11({"@context": "https://ctx.example/v11",
+                   "@id": "https://a.example/1",
+                   "friends": {"https://a.example/2": "just-a-string"}})
+
+
+def test_type_map_non_node_value_raises():
+    from cbor_ld_spark.kernel.errors import CborLdError
+
+    with pytest.raises(CborLdError, match="InvalidTypeMapValue"):
+        _expand11({"@context": "https://ctx.example/v11",
+                   "@id": "https://a.example/1",
+                   "byType": {"https://ex.org/T": 42}})

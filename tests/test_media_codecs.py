@@ -160,3 +160,36 @@ if _HYP:
                 fn(data)
             except allowed:
                 pass
+
+
+def test_png_zlib_bomb_rejected_bounded():
+    """Advice r2: a hostile IDAT must not inflate past the IHDR-implied
+    size — the inflate is bounded, so a multi-GB bomb costs ~nothing."""
+    import zlib
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    # claims 2x2 gray (expect = 2*(1+2) = 6 bytes) but carries 64 MB
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    bomb = zlib.compress(b"\x00" * (64 << 20), 9)  # ~64 KB compressed
+    payload = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", bomb) + chunk(b"IEND", b""))
+    with pytest.raises(MediaDecodeError, match="overrun"):
+        decode_png(payload)
+
+
+def test_png_hostile_dimensions_rejected():
+    import zlib
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    # 2^31-ish pixel claim must be rejected before any allocation
+    ihdr = struct.pack(">IIBBBBB", 1 << 16, 1 << 15, 8, 2, 0, 0, 0)
+    payload = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", zlib.compress(b"\x00")) + chunk(b"IEND", b""))
+    with pytest.raises(MediaDecodeError, match="out of bounds"):
+        decode_png(payload)
