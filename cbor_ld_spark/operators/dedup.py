@@ -340,7 +340,10 @@ def embedding_near_duplicates_blocked(spark: SparkSession, sf_dir: str,
     """
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
         .select("vec_id", "embedding")
-    n = emb.count()  # one column-pruned scan to size the block grid
+    # size the block grid from parquet footer metadata — no Spark scan;
+    # the count only bounds per-task memory, so footer-exact is plenty
+    import pyarrow.dataset as ds
+    n = ds.dataset(f"{sf_dir}/embeddings.parquet").count_rows()
     n_blocks = max(1, -(-n // block_size))
     pairs = spark.createDataFrame(
         [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
