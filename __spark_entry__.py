@@ -1070,10 +1070,276 @@ def _hex_roundtrip_oracle() -> str:
     """
 
 
+_DEDUP_MODEL_CACHE: dict[str, dict] = {}
+
+
+def _dedup_oracle_model(sf_dir: str | None = None) -> dict:
+    """Driver-side replica of the dedup family (data-trained oracle).
+
+    The dedup operators hash with JVM ``xxhash64``, which DuckDB lacks;
+    instead of leaving the family rows-only, run the exact same pipeline
+    (norm -> tokens -> 3-gram shingles -> 16 seeded xxhash64 minima ->
+    band buckets; token-hash sign majorities for simhash) in pure Python
+    over the gate-scale parquet at oracle-build time — the XXH64 replica
+    in functions/xxh64.py is validated bit-exact against Spark — and
+    emit the expected rows as VALUES literals.  Same technique as
+    _ivf_topk_oracle's k-means replication.
+
+    Cost control: the per-string base hash (seed 42) is computed once
+    per distinct string and the 16 per-index minima reuse it via the
+    4-byte finalizer, so the model builds in a few seconds at sf0.01.
+    """
+    import re
+
+    import duckdb
+
+    from cbor_ld_spark.functions.xxh64 import xxh64_bytes, xxh64_int32
+
+    sf_dir = sf_dir or _oracle_sf_dir()
+    if sf_dir in _DEDUP_MODEL_CACHE:
+        return _DEDUP_MODEL_CACHE[sf_dir]
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, text FROM "
+        f"read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+    con.close()
+
+    # Java \s is ASCII-only; Spark trim() strips only ' '
+    ws = re.compile(r"\s+", re.ASCII)
+    num_hashes, bands = 16, 4
+    rows_per_band = num_hashes // bands
+
+    def signed(u):
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    str_cache: dict[str, int] = {}
+
+    def h42(s: str) -> int:  # unsigned xxh64(utf8, seed=42)
+        v = str_cache.get(s)
+        if v is None:
+            v = xxh64_bytes(s.encode("utf-8"), 42)
+            str_cache[s] = v
+        return v
+
+    sig_of: dict[int, list[int]] = {}
+    shset_of: dict[int, set] = {}
+    sim_of: dict[int, int] = {}
+    tok_bits_cache: dict[str, tuple] = {}
+
+    for doc_id, text in rows:
+        # simhash normalizes coalesce(text, ''); minhash's explode drops
+        # NULL-text docs entirely — mirror both behaviors
+        sim_text = text if text is not None else ""
+        norm = ws.sub(" ", sim_text.strip(" ")).lower()
+        toks = norm.split(" ")
+        if text is not None:
+            k = max(len(toks) - 2, 1)
+            shingles = {" ".join(toks[i:i + 3]) for i in range(k)}
+            mins = [None] * num_hashes
+            for sh in shingles:
+                base = h42(sh)
+                for i in range(num_hashes):
+                    v = signed(xxh64_int32(i, base))
+                    if mins[i] is None or v < mins[i]:
+                        mins[i] = v
+            sig_of[doc_id] = mins
+            shset_of[doc_id] = shingles
+        counts = [0] * 32
+        for t in toks:
+            bits = tok_bits_cache.get(t)
+            if bits is None:
+                hv = h42(t)
+                bits = tuple((hv >> b) & 1 for b in range(32))
+                tok_bits_cache[t] = bits
+            for b in range(32):
+                counts[b] += bits[b]
+        n = len(toks)
+        sim = 0
+        for b in range(32):
+            if counts[b] * 2 > n:
+                sim |= 1 << b
+        sim_of[doc_id] = sim
+
+    # banded LSH candidate pairs (band bucket = xxhash64 of the comma-
+    # joined signature slice, exactly minhash_lsh_pairs' concat_ws)
+    buckets: dict[tuple, list[int]] = {}
+    for doc_id, sig in sig_of.items():
+        for b in range(bands):
+            key_str = ",".join(
+                str(sig[b * rows_per_band + r]) for r in range(rows_per_band))
+            buckets.setdefault((b, signed(h42(key_str))), []).append(doc_id)
+    pairs = set()
+    for members in buckets.values():
+        members.sort()
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                pairs.add((members[i], members[j]))
+
+    model = {"sig_of": sig_of, "shset_of": shset_of, "sim_of": sim_of,
+             "pairs": sorted(pairs)}
+    _DEDUP_MODEL_CACHE[sf_dir] = model
+    return model
+
+
+def _spark_round(x: float, scale: int = 6) -> float:
+    """Spark Round on DoubleType: BigDecimal.valueOf (shortest-repr
+    decimal, same as Python repr) + HALF_UP."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-scale)
+    return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+
+
+def _values_oracle(rows: list[tuple], cols: list[tuple[str, str]],
+                   order_by: str) -> str:
+    """VALUES-literal oracle with typed columns; zero-row safe."""
+    names = ", ".join(n for n, _t in cols)
+    if not rows:
+        sel = ", ".join(f"NULL::{t} AS {n}" for n, t in cols)
+        return f"SELECT {sel} WHERE false"
+
+    def lit(v, t):
+        if v is None:
+            return f"NULL::{t}"
+        if isinstance(v, float):
+            return f"{v!r}::DOUBLE"
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + f"'::{t}"
+        return f"{v}::{t}"
+
+    vals = ", ".join(
+        "(" + ", ".join(lit(v, t) for v, (_n, t) in zip(row, cols)) + ")"
+        for row in rows)
+    return (f"SELECT * FROM (VALUES {vals}) AS t({names}) "
+            f"ORDER BY {order_by}")
+
+
+def _dedup_minhash_pairs_oracle() -> str:
+    m = _dedup_oracle_model()
+    return _values_oracle(m["pairs"],
+                          [("doc_a", "BIGINT"), ("doc_b", "BIGINT")],
+                          "doc_a, doc_b")
+
+
+def _dedup_minhash_jaccard_oracle(threshold: float = 0.5) -> str:
+    m = _dedup_oracle_model()
+    rows = []
+    for a, b in m["pairs"]:
+        sa, sb = m["sig_of"][a], m["sig_of"][b]
+        est = sum(x == y for x, y in zip(sa, sb)) / len(sa)
+        if est >= threshold:
+            rows.append((a, b, est))
+    return _values_oracle(
+        rows, [("doc_a", "BIGINT"), ("doc_b", "BIGINT"),
+               ("jaccard_est", "DOUBLE")], "doc_a, doc_b")
+
+
+def _dedup_ngram_jaccard_oracle(threshold: float = 0.8) -> str:
+    m = _dedup_oracle_model()
+    rows = []
+    for a, b in m["pairs"]:
+        sa, sb = m["shset_of"][a], m["shset_of"][b]
+        j = _spark_round(len(sa & sb) / len(sa | sb))
+        if j >= threshold:
+            rows.append((a, b, j))
+    return _values_oracle(
+        rows, [("doc_a", "BIGINT"), ("doc_b", "BIGINT"),
+               ("jaccard", "DOUBLE")], "doc_a, doc_b")
+
+
+def _dedup_simhash_groups_oracle() -> str:
+    m = _dedup_oracle_model()
+    groups: dict[int, list[int]] = {}
+    for doc_id, sim in m["sim_of"].items():
+        groups.setdefault(sim, []).append(doc_id)
+    rows = sorted(
+        ((sim, len(ds), min(ds)) for sim, ds in groups.items()
+         if len(ds) > 1),
+        key=lambda r: r[2])
+    return _values_oracle(
+        rows, [("simhash", "BIGINT"), ("group_size", "BIGINT"),
+               ("canonical_doc_id", "BIGINT")], "canonical_doc_id")
+
+
+def _dedup_simhash_near_oracle(bits: int = 32, bands: int = 4,
+                               max_distance: int = 3) -> str:
+    m = _dedup_oracle_model()
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    buckets: dict[tuple, list[int]] = {}
+    for doc_id, sim in m["sim_of"].items():
+        for b in range(bands):
+            buckets.setdefault((b, (sim >> (b * band_bits)) & mask),
+                               []).append(doc_id)
+    out = set()
+    for members in buckets.values():
+        members.sort()
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                a, b = members[i], members[j]
+                d = bin(m["sim_of"][a] ^ m["sim_of"][b]).count("1")
+                if d <= max_distance:
+                    out.add((a, b, d))
+    return _values_oracle(
+        sorted(out), [("doc_a", "BIGINT"), ("doc_b", "BIGINT"),
+                      ("distance", "INTEGER")], "doc_a, doc_b")
+
+
+def _multimodal_image_oracle(n_rows: int = 300) -> str:
+    """The media corpus is a pure function of media_id
+    (operators/multimodal.py synthesize_media_row) and so is the feature
+    extraction — run both driver-side and emit the expected rows."""
+    from cbor_ld_spark.operators.multimodal import (
+        image_feature_row,
+        synthesize_media_row,
+    )
+
+    rows = []
+    for i in range(n_rows):
+        mid, kind, _mt, payload, _src = synthesize_media_row(i)
+        if kind == "image":
+            rows.append(image_feature_row(mid, payload))
+    return _values_oracle(
+        rows,
+        [("media_id", "BIGINT"), ("ok", "VARCHAR"), ("format", "VARCHAR"),
+         ("width", "INTEGER"), ("height", "INTEGER"),
+         ("n_bytes", "INTEGER"), ("phash", "VARCHAR")],
+        "media_id")
+
+
+def _multimodal_audio_oracle(n_rows: int = 300) -> str:
+    from cbor_ld_spark.operators.multimodal import (
+        audio_feature_row,
+        synthesize_media_row,
+    )
+
+    rows = []
+    for i in range(n_rows):
+        mid, kind, _mt, payload, _src = synthesize_media_row(i)
+        if kind == "audio":
+            rows.append(audio_feature_row(mid, payload))
+    return _values_oracle(
+        rows,
+        [("media_id", "BIGINT"), ("ok", "VARCHAR"),
+         ("sample_rate", "INTEGER"), ("channels", "INTEGER"),
+         ("n_frames", "BIGINT"), ("duration_ms", "BIGINT"),
+         ("rms", "DOUBLE"), ("peak", "INTEGER")],
+        "media_id")
+
+
 def _data_trained_oracles() -> dict[str, str]:
     try:
         return {"ann_ivf_topk": _ivf_topk_oracle(),
-                "ann_lsh_topk": _lsh_topk_oracle()}
+                "ann_lsh_topk": _lsh_topk_oracle(),
+                "multimodal_image_features": _multimodal_image_oracle(),
+                "multimodal_audio_features": _multimodal_audio_oracle(),
+                "dedup_minhash_pairs": _dedup_minhash_pairs_oracle(),
+                "dedup_minhash_jaccard": _dedup_minhash_jaccard_oracle(),
+                "dedup_ngram_jaccard": _dedup_ngram_jaccard_oracle(),
+                "dedup_simhash_groups": _dedup_simhash_groups_oracle(),
+                "dedup_simhash_near": _dedup_simhash_near_oracle()}
     except Exception:
         return {}
 

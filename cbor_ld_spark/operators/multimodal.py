@@ -59,6 +59,46 @@ IMAGE_FEATURES_SCHEMA = StructType([
 ])
 
 
+def synthesize_media_row(i: int) -> tuple:
+    """One deterministic media row — a *pure function of the id*, so the
+    DuckDB oracle generator can synthesize the identical corpus
+    driver-side (binary payloads are not SQL-expressible, but the
+    derived feature rows are VALUES-expressible)."""
+    import numpy as np
+
+    from .media_codecs import encode_png, encode_ppm, encode_wav
+
+    seed = hashlib.sha256(str(i).encode()).digest()
+    kind = ("image", "audio", "video")[i % 3]
+    if kind == "image":
+        rng = np.random.default_rng(i)
+        w, h = 8 + i % 24, 8 + (i // 3) % 24
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        variant = (i // 3) % 3
+        if variant == 0:
+            payload, mt = encode_png(px), "image/png"
+        elif variant == 1:
+            payload, mt = encode_ppm(px), "image/x-portable-pixmap"
+        else:
+            # metadata-tier format: minimal JPEG SOF0 skeleton
+            payload = (b"\xff\xd8\xff\xe0"
+                       + struct.pack(">H", 15) + b"JFIF\x00"
+                       + b"\x00" * 8
+                       + b"\xff\xc0" + struct.pack(">H", 11)
+                       + b"\x08" + struct.pack(">HH", h, w)
+                       + b"\x01" + seed[:3])
+            mt = "image/jpeg"
+    elif kind == "audio":
+        t = np.arange(800 + i % 800)
+        freq = 0.01 + (i % 7) * 0.005
+        samples = (np.sin(t * freq) * 12000).astype("<i2")
+        payload, mt = encode_wav(samples, 8000), "audio/wav"
+    else:
+        payload = b"FAKEVIDEO" + seed * (1 + i % 4)
+        mt = "video/x-fake"
+    return (i, kind, mt, payload, f"src{i % 5}")
+
+
 def synthesize_media(spark: SparkSession, n_rows: int) -> DataFrame:
     """Deterministic media corpus with *real decodable payloads*.
 
@@ -67,43 +107,8 @@ def synthesize_media(spark: SparkSession, n_rows: int) -> DataFrame:
     container (demux is stubbed anyway).
     """
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
-        from .media_codecs import encode_png, encode_ppm, encode_wav
-
         for pdf in batches:
-            rows = []
-            for i in pdf["id"]:
-                i = int(i)
-                seed = hashlib.sha256(str(i).encode()).digest()
-                kind = ("image", "audio", "video")[i % 3]
-                if kind == "image":
-                    rng = np.random.default_rng(i)
-                    w, h = 8 + i % 24, 8 + (i // 3) % 24
-                    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-                    variant = (i // 3) % 3
-                    if variant == 0:
-                        payload, mt = encode_png(px), "image/png"
-                    elif variant == 1:
-                        payload, mt = encode_ppm(px), "image/x-portable-pixmap"
-                    else:
-                        # metadata-tier format: minimal JPEG SOF0 skeleton
-                        payload = (b"\xff\xd8\xff\xe0"
-                                   + struct.pack(">H", 15) + b"JFIF\x00"
-                                   + b"\x00" * 8
-                                   + b"\xff\xc0" + struct.pack(">H", 11)
-                                   + b"\x08" + struct.pack(">HH", h, w)
-                                   + b"\x01" + seed[:3])
-                        mt = "image/jpeg"
-                elif kind == "audio":
-                    t = np.arange(800 + i % 800)
-                    freq = 0.01 + (i % 7) * 0.005
-                    samples = (np.sin(t * freq) * 12000).astype("<i2")
-                    payload, mt = encode_wav(samples, 8000), "audio/wav"
-                else:
-                    payload = b"FAKEVIDEO" + seed * (1 + i % 4)
-                    mt = "video/x-fake"
-                rows.append((i, kind, mt, payload, f"src{i % 5}"))
+            rows = [synthesize_media_row(int(i)) for i in pdf["id"]]
             yield pd.DataFrame(
                 rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
 
@@ -152,6 +157,24 @@ def _decode_image(payload: bytes, strict: bool):
     raise MediaDecodeError("unrecognized image format")
 
 
+def image_feature_row(mid: int, payload: bytes | None,
+                      strict: bool = False) -> tuple:
+    """One image-features row — pure, shared by the Spark stage and the
+    driver-side oracle generator."""
+    from .media_codecs import average_hash
+
+    payload = bytes(payload) if payload is not None else b""
+    try:
+        fmt, w, hgt, px = _decode_image(payload, strict)
+        ph = average_hash(px) if px is not None else None
+        return (int(mid), "ok", fmt, w, hgt, len(payload), ph)
+    except NotImplementedError:
+        raise
+    except Exception as e:
+        return (int(mid), type(e).__name__, None, None, None,
+                len(payload), None)
+
+
 def image_features(media: DataFrame, strict: bool = False,
                    partitions: int | None = None) -> DataFrame:
     """Decode + feature-extract image rows (Arrow-batched, quarantined)."""
@@ -161,22 +184,9 @@ def image_features(media: DataFrame, strict: bool = False,
                                 F.pmod(F.xxhash64("media_id"), F.lit(partitions)))
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from .media_codecs import average_hash
-
         for pdf in batches:
-            rows = []
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                payload = bytes(payload) if payload is not None else b""
-                try:
-                    fmt, w, hgt, px = _decode_image(payload, strict)
-                    ph = average_hash(px) if px is not None else None
-                    rows.append((int(mid), "ok", fmt, w, hgt,
-                                 len(payload), ph))
-                except NotImplementedError:
-                    raise
-                except Exception as e:
-                    rows.append((int(mid), type(e).__name__, None, None, None,
-                                 len(payload), None))
+            rows = [image_feature_row(mid, payload, strict)
+                    for mid, payload in zip(pdf["media_id"], pdf["payload"])]
             yield pd.DataFrame(
                 rows, columns=[f.name for f in IMAGE_FEATURES_SCHEMA.fields])
 
@@ -237,30 +247,35 @@ AUDIO_FEATURES_SCHEMA = StructType([
 ])
 
 
+def audio_feature_row(mid: int, payload: bytes | None) -> tuple:
+    """One audio-features row — pure, shared by the Spark stage and the
+    driver-side oracle generator."""
+    import numpy as np
+
+    from .media_codecs import decode_wav
+
+    payload = bytes(payload) if payload is not None else b""
+    try:
+        rate, nch, samples = decode_wav(payload)
+        x = samples.astype(np.float64)
+        return (
+            int(mid), "ok", rate, nch, len(samples),
+            int(len(samples) * 1000 / rate),
+            round(float(np.sqrt((x * x).mean())), 3)
+            if len(samples) else 0.0,
+            int(np.abs(samples).max()) if len(samples) else 0,
+        )
+    except Exception as e:
+        return (int(mid), type(e).__name__, None, None,
+                None, None, None, None)
+
+
 def audio_features(media: DataFrame) -> DataFrame:
     """Real WAV decode: duration, RMS, peak per audio row (quarantined)."""
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
-        from .media_codecs import decode_wav
-
         for pdf in batches:
-            rows = []
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                payload = bytes(payload) if payload is not None else b""
-                try:
-                    rate, nch, samples = decode_wav(payload)
-                    x = samples.astype(np.float64)
-                    rows.append((
-                        int(mid), "ok", rate, nch, len(samples),
-                        int(len(samples) * 1000 / rate),
-                        round(float(np.sqrt((x * x).mean())), 3)
-                        if len(samples) else 0.0,
-                        int(np.abs(samples).max()) if len(samples) else 0,
-                    ))
-                except Exception as e:
-                    rows.append((int(mid), type(e).__name__, None, None,
-                                 None, None, None, None))
+            rows = [audio_feature_row(mid, payload)
+                    for mid, payload in zip(pdf["media_id"], pdf["payload"])]
             yield pd.DataFrame(
                 rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields])
 
