@@ -4,13 +4,14 @@ A training-data pipeline at 100 TB carries media as ``binary`` columns
 with a typed metadata struct, processed by Arrow-batched ``mapInPandas``
 stages.  Decode tiers (operators/media_codecs.py, stdlib+numpy only):
 
-* **real pixel decode**: PNG (zlib inflate + unfilter), PPM/PGM, BMP —
+* **real pixel decode**: PNG (zlib inflate + unfilter), PPM/PGM, BMP,
+  and baseline JPEG (Huffman + IDCT, operators/jpeg_codec.py) —
   features, perceptual aHash, and resize are genuine transforms.
-* **real metadata, no pixels**: JPEG (SOF markers), GIF (screen
-  descriptor) — dimensions are real; pixel decode requires an external
-  imaging library absent from this container, so with ``strict=True``
-  these raise ``NotImplementedError`` at the clearly-marked seam and
-  with ``strict=False`` they yield metadata-only rows (null phash).
+* **real metadata, no pixels**: GIF (screen descriptor) — dimensions
+  are real; LZW pixel decode stays behind the ``strict`` seam: with
+  ``strict=True`` it raises ``NotImplementedError`` at the
+  clearly-marked seam, with ``strict=False`` it yields a metadata-only
+  row (null phash).
 * **audio**: WAV 16-bit PCM fully decoded (duration, rms, peak).
 * **video**: frame demux genuinely needs an av library; ``sample_frames``
   remains a deterministic stub behind the same ``strict`` seam.
@@ -25,7 +26,6 @@ pruning keeps it out of the scan).
 from __future__ import annotations
 
 import hashlib
-import struct
 from typing import Iterator
 
 import pandas as pd
@@ -80,14 +80,10 @@ def synthesize_media_row(i: int) -> tuple:
         elif variant == 1:
             payload, mt = encode_ppm(px), "image/x-portable-pixmap"
         else:
-            # metadata-tier format: minimal JPEG SOF0 skeleton
-            payload = (b"\xff\xd8\xff\xe0"
-                       + struct.pack(">H", 15) + b"JFIF\x00"
-                       + b"\x00" * 8
-                       + b"\xff\xc0" + struct.pack(">H", 11)
-                       + b"\x08" + struct.pack(">HH", h, w)
-                       + b"\x01" + seed[:3])
-            mt = "image/jpeg"
+            # real baseline JPEG (lossy but deterministic)
+            from .jpeg_codec import encode_jpeg
+
+            payload, mt = encode_jpeg(px), "image/jpeg"
     elif kind == "audio":
         t = np.arange(800 + i % 800)
         freq = 0.01 + (i % 7) * 0.005
@@ -102,9 +98,9 @@ def synthesize_media_row(i: int) -> tuple:
 def synthesize_media(spark: SparkSession, n_rows: int) -> DataFrame:
     """Deterministic media corpus with *real decodable payloads*.
 
-    Images cycle png / ppm / bmp-like jpeg-header (metadata tier); audio
-    is real 16-bit PCM WAV (seeded sine); video is an honest fake
-    container (demux is stubbed anyway).
+    Images cycle png / ppm / baseline jpeg (all real, decodable
+    payloads); audio is real 16-bit PCM WAV (seeded sine); video is an
+    honest fake container (demux is stubbed anyway).
     """
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -120,7 +116,8 @@ def _decode_image(payload: bytes, strict: bool):
 
     Raises MediaDecodeError for undecodable bytes; NotImplementedError
     (the real-codec seam) when ``strict`` demands pixels for a format
-    whose pixel decode needs an external library (jpeg/gif).
+    whose pixel decode needs an external library (gif only, since the
+    baseline-JPEG decoder landed).
     """
     from .media_codecs import (
         MediaDecodeError,
@@ -128,7 +125,6 @@ def _decode_image(payload: bytes, strict: bool):
         decode_png,
         decode_ppm,
         gif_dimensions,
-        jpeg_dimensions,
     )
 
     if payload.startswith(b"\x89PNG"):
@@ -141,12 +137,13 @@ def _decode_image(payload: bytes, strict: bool):
         px = decode_bmp(payload)
         return "bmp", px.shape[1], px.shape[0], px
     if payload[:3] == b"\xff\xd8\xff":
-        if strict:
-            raise NotImplementedError(
-                "JPEG pixel decode requires an imaging library not present "
-                "in this environment; strict=False yields metadata-only")
-        w, h = jpeg_dimensions(payload)
-        return "jpeg", w, h, None
+        # real pixel tier since r3 (operators/jpeg_codec.py): baseline
+        # sequential decodes for real; progressive/arithmetic raise
+        # MediaDecodeError and quarantine like any undecodable payload
+        from .jpeg_codec import decode_jpeg
+
+        px = decode_jpeg(payload)
+        return "jpeg", px.shape[1], px.shape[0], px
     if payload[:4] == b"GIF8":
         if strict:
             raise NotImplementedError(
@@ -205,9 +202,10 @@ RESIZE_SCHEMA = StructType([
 
 def resize_images(media: DataFrame, width: int, height: int,
                   strict: bool = False) -> DataFrame:
-    """Real resize for pixel-decodable formats: decode -> nearest-neighbor
-    -> PNG re-encode.  Metadata-tier formats (jpeg/gif) quarantine (or
-    raise at the seam with ``strict=True``)."""
+    """Real resize for pixel-decodable formats (png/ppm/bmp/jpeg):
+    decode -> nearest-neighbor -> PNG re-encode.  The metadata-tier
+    format (gif) quarantines (or raises at the seam with
+    ``strict=True``)."""
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .media_codecs import encode_png, resize_nearest
 

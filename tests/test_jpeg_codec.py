@@ -1,0 +1,79 @@
+"""Baseline JPEG codec: roundtrip fidelity, structure, hostile inputs."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from cbor_ld_spark.operators.jpeg_codec import decode_jpeg, encode_jpeg
+from cbor_ld_spark.operators.media_codecs import (
+    MediaDecodeError,
+    jpeg_dimensions,
+)
+
+RNG = np.random.default_rng(11)
+
+
+def _gradient(h, w, nch):
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (yy * 255 / max(h - 1, 1) + xx * 255 / max(w - 1, 1)) / 2
+    return np.stack([np.clip(base + 10 * c, 0, 255) for c in range(nch)],
+                    axis=2).astype(np.uint8)
+
+
+@pytest.mark.parametrize("shape", [(16, 16, 3), (8, 8, 1), (9, 13, 3),
+                                   (31, 17, 3), (1, 1, 3), (24, 24, 1)])
+def test_jpeg_roundtrip_smooth(shape):
+    h, w, nch = shape
+    px = _gradient(h, w, nch)
+    data = encode_jpeg(px)
+    # the independent SOF parser reads our headers
+    assert jpeg_dimensions(data) == (w, h)
+    back = decode_jpeg(data)
+    assert back.shape == (h, w, 3 if nch == 3 else 1)
+    # smooth content survives quantization nearly losslessly
+    assert np.abs(back[:, :, :nch].astype(float)
+                  - px.astype(float)).mean() < 4.0
+
+
+def test_jpeg_deterministic_and_noise_bounded():
+    px = RNG.integers(0, 256, size=(20, 20, 3), dtype=np.uint8)
+    d1, d2 = encode_jpeg(px), encode_jpeg(px)
+    assert d1 == d2
+    back = decode_jpeg(d1)
+    # noise is JPEG's worst case; Annex-K tables keep MAE well under 50
+    assert np.abs(back.astype(float) - px.astype(float)).mean() < 50
+
+
+def test_jpeg_progressive_rejected():
+    px = _gradient(8, 8, 3)
+    data = bytearray(encode_jpeg(px))
+    idx = bytes(data).find(b"\xff\xc0")
+    data[idx + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
+    with pytest.raises(MediaDecodeError, match="progressive"):
+        decode_jpeg(bytes(data))
+
+
+def test_jpeg_hostile_dimensions_rejected():
+    px = _gradient(8, 8, 3)
+    data = bytearray(encode_jpeg(px))
+    idx = bytes(data).find(b"\xff\xc0")
+    # SOF payload: len(2) prec(1) h(2) w(2): claim a 2^26+ pixel image
+    data[idx + 5:idx + 9] = struct.pack(">HH", 1 << 14, 1 << 13)
+    with pytest.raises(MediaDecodeError, match="out of bounds"):
+        decode_jpeg(bytes(data))
+
+
+def test_jpeg_truncated_scan_rejected():
+    px = _gradient(16, 16, 3)
+    data = encode_jpeg(px)
+    with pytest.raises(MediaDecodeError):
+        decode_jpeg(data[:len(data) // 2])
+
+
+def test_jpeg_garbage_rejected():
+    for bad in (b"", b"\xff\xd8\xff", b"\xff\xd8\xff\xe0" + b"\x00" * 20,
+                b"NOTAJPEG"):
+        with pytest.raises((MediaDecodeError, ValueError, struct.error,
+                            IndexError)):
+            decode_jpeg(bad)

@@ -25,9 +25,9 @@ def test_media_synthesis_and_image_features(spark):
     fmts = {r["format"] for r in feats}
     assert fmts == {"png", "ppm", "jpeg"}
     assert all(8 <= r["width"] <= 32 for r in feats)
-    # real pixel decode for png/ppm -> real aHash; jpeg = metadata tier
-    assert all((r["phash"] is not None) == (r["format"] in ("png", "ppm"))
-               for r in feats)
+    # every synthesized format is real-pixel-decodable since the
+    # baseline-JPEG codec landed -> real aHash everywhere
+    assert all(r["phash"] is not None for r in feats)
     # deterministic: same media -> same phash
     feats2 = image_features(synthesize_media(spark, 90)).collect()
     assert {r["media_id"]: r["phash"] for r in feats} == \
@@ -40,14 +40,19 @@ def test_image_features_strict_raises_for_metadata_tier(spark):
         synthesize_media,
     )
 
-    media = synthesize_media(spark, 90)
-    # strict demands pixels; jpeg pixel decode needs an external lib
+    # gif is the one remaining metadata-tier format (LZW decode needs an
+    # external lib); strict demands pixels -> the seam raises
+    gif = spark.createDataFrame(
+        [(1, "image", "image/gif",
+          b"GIF89a" + bytes([16, 0, 12, 0, 0, 0, 0]), "s")],
+        "media_id long, kind string, media_type string, "
+        "payload binary, source string")
     with pytest.raises(Exception):  # NotImplementedError via Py4J
-        image_features(media, strict=True).collect()
-    # pixel-decodable formats alone pass strict
-    pixel_only = media.filter(~F.col("media_type").contains("jpeg"))
-    feats = image_features(pixel_only, strict=True).collect()
-    assert feats and all(r["ok"] == "ok" for r in feats)
+        image_features(gif, strict=True).collect()
+    # the whole synthesized corpus (png/ppm/jpeg) passes strict now
+    media = synthesize_media(spark, 90)
+    feats = image_features(media, strict=True).collect()
+    assert len(feats) == 30 and all(r["ok"] == "ok" for r in feats)
 
 
 def test_corrupt_media_quarantined(spark):
@@ -75,13 +80,11 @@ def test_resize_real_roundtrip(spark):
     media = synthesize_media(spark, 30)
     out = resize_images(media, 16, 12).collect()
     assert len(out) == 10
-    ok_rows = [r for r in out if r["ok"] == "ok"]
-    assert ok_rows  # png/ppm rows resized for real
-    for r in ok_rows:
+    # png/ppm/jpeg are all real pixel tiers -> every row resizes
+    assert all(r["ok"] == "ok" for r in out)
+    for r in out:
         px = decode_png(bytes(r["payload"]))
         assert px.shape[:2] == (12, 16)
-    # metadata-tier (jpeg) rows quarantine instead of faking pixels
-    assert any(r["ok"] == "ValueError" for r in out)
 
 
 def test_audio_features_real_wav(spark):
