@@ -4,17 +4,14 @@ A training-data pipeline at 100 TB carries media as ``binary`` columns
 with a typed metadata struct, processed by Arrow-batched ``mapInPandas``
 stages.  Decode tiers (operators/media_codecs.py, stdlib+numpy only):
 
-* **real pixel decode**: PNG (zlib inflate + unfilter), PPM/PGM, BMP,
-  and baseline JPEG (Huffman + IDCT, operators/jpeg_codec.py) —
+* **real pixel decode — every image format**: PNG (zlib inflate +
+  unfilter), PPM/PGM, BMP, baseline JPEG (Huffman + IDCT,
+  operators/jpeg_codec.py), GIF (LZW, operators/gif_codec.py) —
   features, perceptual aHash, and resize are genuine transforms.
-* **real metadata, no pixels**: GIF (screen descriptor) — dimensions
-  are real; LZW pixel decode stays behind the ``strict`` seam: with
-  ``strict=True`` it raises ``NotImplementedError`` at the
-  clearly-marked seam, with ``strict=False`` it yields a metadata-only
-  row (null phash).
 * **audio**: WAV 16-bit PCM fully decoded (duration, rms, peak).
 * **video**: frame demux genuinely needs an av library; ``sample_frames``
-  remains a deterministic stub behind the same ``strict`` seam.
+  remains a deterministic stub behind the clearly-marked ``strict``
+  seam — the one honest stub left in the media tier.
 
 Scale notes: media rows are large, so the operators repartition by
 ``pmod(xxhash64(media_id), n)`` before the Python stage to bound batch
@@ -74,16 +71,21 @@ def synthesize_media_row(i: int) -> tuple:
         rng = np.random.default_rng(i)
         w, h = 8 + i % 24, 8 + (i // 3) % 24
         px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-        variant = (i // 3) % 3
+        variant = (i // 3) % 4
         if variant == 0:
             payload, mt = encode_png(px), "image/png"
         elif variant == 1:
             payload, mt = encode_ppm(px), "image/x-portable-pixmap"
-        else:
+        elif variant == 2:
             # real baseline JPEG (lossy but deterministic)
             from .jpeg_codec import encode_jpeg
 
             payload, mt = encode_jpeg(px), "image/jpeg"
+        else:
+            # real single-frame GIF (palettized, deterministic)
+            from .gif_codec import encode_gif
+
+            payload, mt = encode_gif(px), "image/gif"
     elif kind == "audio":
         t = np.arange(800 + i % 800)
         freq = 0.01 + (i % 7) * 0.005
@@ -98,7 +100,7 @@ def synthesize_media_row(i: int) -> tuple:
 def synthesize_media(spark: SparkSession, n_rows: int) -> DataFrame:
     """Deterministic media corpus with *real decodable payloads*.
 
-    Images cycle png / ppm / baseline jpeg (all real, decodable
+    Images cycle png / ppm / baseline jpeg / gif (all real, decodable
     payloads); audio is real 16-bit PCM WAV (seeded sine); video is an
     honest fake container (demux is stubbed anyway).
     """
@@ -112,19 +114,18 @@ def synthesize_media(spark: SparkSession, n_rows: int) -> DataFrame:
 
 
 def _decode_image(payload: bytes, strict: bool):
-    """Tiered decode: (format, width, height, pixels-or-None).
+    """Sniff + decode: (format, width, height, pixels).
 
-    Raises MediaDecodeError for undecodable bytes; NotImplementedError
-    (the real-codec seam) when ``strict`` demands pixels for a format
-    whose pixel decode needs an external library (gif only, since the
-    baseline-JPEG decoder landed).
+    Every recognized image format decodes real pixels since r3;
+    ``strict`` is retained for API stability (no image seam remains —
+    the parameter only gates the video demux stub in sample_frames).
+    Raises MediaDecodeError for undecodable bytes.
     """
     from .media_codecs import (
         MediaDecodeError,
         decode_bmp,
         decode_png,
         decode_ppm,
-        gif_dimensions,
     )
 
     if payload.startswith(b"\x89PNG"):
@@ -145,12 +146,11 @@ def _decode_image(payload: bytes, strict: bool):
         px = decode_jpeg(payload)
         return "jpeg", px.shape[1], px.shape[0], px
     if payload[:4] == b"GIF8":
-        if strict:
-            raise NotImplementedError(
-                "GIF pixel decode requires an imaging library not present "
-                "in this environment; strict=False yields metadata-only")
-        w, h = gif_dimensions(payload)
-        return "gif", w, h, None
+        # real pixel tier since r3 (operators/gif_codec.py LZW)
+        from .gif_codec import decode_gif
+
+        px = decode_gif(payload)
+        return "gif", px.shape[1], px.shape[0], px
     raise MediaDecodeError("unrecognized image format")
 
 
@@ -202,10 +202,9 @@ RESIZE_SCHEMA = StructType([
 
 def resize_images(media: DataFrame, width: int, height: int,
                   strict: bool = False) -> DataFrame:
-    """Real resize for pixel-decodable formats (png/ppm/bmp/jpeg):
-    decode -> nearest-neighbor -> PNG re-encode.  The metadata-tier
-    format (gif) quarantines (or raises at the seam with
-    ``strict=True``)."""
+    """Real resize for every image format (png/ppm/bmp/jpeg/gif):
+    decode -> nearest-neighbor -> PNG re-encode.  Undecodable payloads
+    quarantine per-row."""
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .media_codecs import encode_png, resize_nearest
 

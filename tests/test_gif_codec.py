@@ -1,0 +1,79 @@
+"""GIF codec: LZW roundtrip, container structure, hostile inputs."""
+
+import numpy as np
+import pytest
+
+from cbor_ld_spark.operators.gif_codec import (
+    _lzw_decode,
+    _lzw_encode,
+    decode_gif,
+    encode_gif,
+)
+from cbor_ld_spark.operators.media_codecs import (
+    MediaDecodeError,
+    gif_dimensions,
+)
+
+RNG = np.random.default_rng(13)
+
+
+@pytest.mark.parametrize("n", [1, 5, 100, 1024, 5000, 60000])
+def test_lzw_roundtrip_random(n):
+    data = bytes(RNG.integers(0, 256, size=n, dtype=np.uint8))
+    assert _lzw_decode(_lzw_encode(data, 8), 8, n) == data
+
+
+@pytest.mark.parametrize("mcs", [2, 3, 4, 8])
+def test_lzw_roundtrip_small_alphabets(mcs):
+    data = bytes(RNG.integers(0, 1 << mcs, size=3000, dtype=np.uint8))
+    assert _lzw_decode(_lzw_encode(data, mcs), mcs, len(data)) == data
+
+
+def test_lzw_low_entropy_runs():
+    data = bytes([5] * 1000 + [7] * 3 + [5] * 100)
+    assert _lzw_decode(_lzw_encode(data, 8), 8, len(data)) == data
+
+
+@pytest.mark.parametrize("shape", [(16, 16, 3), (8, 8, 1), (9, 13, 3),
+                                   (31, 17, 3), (1, 1, 3), (100, 3, 3)])
+def test_gif_roundtrip(shape):
+    px = RNG.integers(0, 256, size=shape, dtype=np.uint8)
+    data = encode_gif(px)
+    assert gif_dimensions(data) == (shape[1], shape[0])
+    back = decode_gif(data)
+    assert back.shape == (shape[0], shape[1], 3)
+    src = px if shape[2] == 3 else np.repeat(px[:, :, :1], 3, axis=2)
+    err = np.abs(back.astype(int) - src.astype(int))
+    # 3-3-2 palette: bucket widths 32/32/64 bound the error per channel
+    assert err[:, :, 0].max() <= 31
+    assert err[:, :, 1].max() <= 31
+    assert err[:, :, 2].max() <= 63
+    # palette-space idempotence
+    assert (decode_gif(encode_gif(back)) == back).all()
+
+
+def test_gif_deterministic():
+    px = RNG.integers(0, 256, size=(12, 12, 3), dtype=np.uint8)
+    assert encode_gif(px) == encode_gif(px)
+
+
+def test_gif_hostile_dimensions_rejected():
+    import struct
+
+    data = bytearray(encode_gif(np.zeros((4, 4, 3), dtype=np.uint8)))
+    data[6:10] = struct.pack("<HH", 1 << 15, 1 << 15)
+    with pytest.raises(MediaDecodeError, match="out of bounds"):
+        decode_gif(bytes(data))
+
+
+def test_gif_truncated_rejected():
+    data = encode_gif(RNG.integers(0, 256, size=(16, 16, 3), dtype=np.uint8))
+    with pytest.raises(MediaDecodeError):
+        decode_gif(data[:len(data) // 2])
+
+
+def test_gif_garbage_rejected():
+    for bad in (b"", b"GIF8", b"GIF89a\x00\x00",
+                b"GIF89a" + bytes(7), b"NOTAGIF!"):
+        with pytest.raises((MediaDecodeError, ValueError, IndexError)):
+            decode_gif(bad)

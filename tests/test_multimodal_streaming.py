@@ -23,10 +23,10 @@ def test_media_synthesis_and_image_features(spark):
     assert len(feats) == 30
     assert all(r["ok"] == "ok" for r in feats)
     fmts = {r["format"] for r in feats}
-    assert fmts == {"png", "ppm", "jpeg"}
+    assert fmts == {"png", "ppm", "jpeg", "gif"}
     assert all(8 <= r["width"] <= 32 for r in feats)
     # every synthesized format is real-pixel-decodable since the
-    # baseline-JPEG codec landed -> real aHash everywhere
+    # baseline-JPEG + GIF codecs landed -> real aHash everywhere
     assert all(r["phash"] is not None for r in feats)
     # deterministic: same media -> same phash
     feats2 = image_features(synthesize_media(spark, 90)).collect()
@@ -34,25 +34,26 @@ def test_media_synthesis_and_image_features(spark):
            {r["media_id"]: r["phash"] for r in feats2}
 
 
-def test_image_features_strict_raises_for_metadata_tier(spark):
+def test_image_features_all_formats_pass_strict(spark):
     from cbor_ld_spark.operators.multimodal import (
         image_features,
         synthesize_media,
     )
 
-    # gif is the one remaining metadata-tier format (LZW decode needs an
-    # external lib); strict demands pixels -> the seam raises
-    gif = spark.createDataFrame(
+    # no image seam remains: the whole synthesized corpus
+    # (png/ppm/jpeg/gif) decodes real pixels even under strict
+    media = synthesize_media(spark, 120)
+    feats = image_features(media, strict=True).collect()
+    assert len(feats) == 40 and all(r["ok"] == "ok" for r in feats)
+    assert {r["format"] for r in feats} == {"png", "ppm", "jpeg", "gif"}
+    # a truncated GIF still quarantines (typed, never a crash)
+    bad_gif = spark.createDataFrame(
         [(1, "image", "image/gif",
           b"GIF89a" + bytes([16, 0, 12, 0, 0, 0, 0]), "s")],
         "media_id long, kind string, media_type string, "
         "payload binary, source string")
-    with pytest.raises(Exception):  # NotImplementedError via Py4J
-        image_features(gif, strict=True).collect()
-    # the whole synthesized corpus (png/ppm/jpeg) passes strict now
-    media = synthesize_media(spark, 90)
-    feats = image_features(media, strict=True).collect()
-    assert len(feats) == 30 and all(r["ok"] == "ok" for r in feats)
+    rows = image_features(bad_gif).collect()
+    assert rows[0]["ok"] == "MediaDecodeError"
 
 
 def test_corrupt_media_quarantined(spark):
