@@ -200,6 +200,38 @@ def _emb_near_dup_blocked(spark, sf_dir):
     return embedding_near_duplicates_blocked(spark, sf_dir, threshold=0.35)
 
 
+def _dedup_embedding_lsh(spark, sf_dir):
+    """Scale-path embedding near-dup: LSH bucket join + exact rerank."""
+    from cbor_ld_spark.operators.dedup import embedding_near_duplicates_lsh
+
+    return embedding_near_duplicates_lsh(spark, sf_dir, threshold=0.4)
+
+
+def _sample_stratified(spark, sf_dir):
+    """Deterministic hash-stratified sampling (retry/resume-stable)."""
+    from cbor_ld_spark.operators.dedup import load_documents
+    from cbor_ld_spark.operators.sampling import stratified_sample
+
+    return stratified_sample(
+        load_documents(spark, sf_dir),
+        rates={"en": 2500, "es": 1000, "fr": 500, "de": 250})
+
+
+def _shard_pack(spark, sf_dir):
+    """Token-budget shard packing (zipWithIndex-shaped prefix sums)."""
+    from cbor_ld_spark.operators.dedup import load_documents
+    from cbor_ld_spark.operators.sampling import pack_shards
+
+    return pack_shards(load_documents(spark, sf_dir), shard_tokens=2048)
+
+
+def _text_tfidf_top_terms(spark, sf_dir):
+    from cbor_ld_spark.operators.dedup import load_documents
+    from cbor_ld_spark.operators.text import tfidf_top_terms
+
+    return tfidf_top_terms(load_documents(spark, sf_dir), k=3)
+
+
 def _multimodal_image_features(spark, sf_dir):
     """Real PNG/PPM pixel decode + aHash; jpeg metadata tier (rows-only:
     binary payload synthesis is not SQL-expressible)."""
@@ -465,6 +497,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _ann_ivf_topk,
         "emb_near_dup": _emb_near_dup,
         "emb_near_dup_blocked": _emb_near_dup_blocked,
+        "dedup_embedding_lsh": _dedup_embedding_lsh,
+        "sample_stratified": _sample_stratified,
+        "shard_pack": _shard_pack,
+        "text_tfidf_top_terms": _text_tfidf_top_terms,
         "multimodal_image_features": _multimodal_image_features,
         "multimodal_audio_features": _multimodal_audio_features,
         "rel_pricing_summary": _rel_pricing_summary,
@@ -1287,6 +1323,120 @@ def _dedup_simhash_near_oracle(bits: int = 32, bands: int = 4,
                       ("distance", "INTEGER")], "doc_a, doc_b")
 
 
+def _embedding_lsh_dedup_oracle(threshold: float = 0.4, n_planes: int = 6,
+                                n_tables: int = 8,
+                                sf_dir: str | None = None) -> str:
+    """LSH near-dup oracle: the Lehmer hyperplanes are portable literals
+    (operators/similarity.lsh_plane), so bucket assignment, the
+    any-table pair match, and the exact ordered-fold rerank are all
+    SQL-expressible bit-for-bit — same technique as _lsh_topk_oracle."""
+    import duckdb
+
+    from cbor_ld_spark.operators.similarity import lsh_plane
+
+    sf_dir = sf_dir or _oracle_sf_dir()
+    con = duckdb.connect()
+    dim = con.execute(
+        f"SELECT len(embedding) FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet') LIMIT 1").fetchone()[0]
+    con.close()
+
+    def dot(vexpr, plane):
+        lit = "[" + ",".join(repr(x) for x in plane) + "]::DOUBLE[]"
+        return (f"list_sum(list_transform(list_zip({vexpr}, {lit}), "
+                f"x -> x[1] * x[2]))")
+
+    def bucket(vexpr, t):
+        seed = 7 + 13 * t
+        terms = " + ".join(
+            f"(CASE WHEN {dot(vexpr, lsh_plane(p, dim, seed))} > 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+            for p in range(n_planes))
+        return f"({terms})"
+
+    bcols = ", ".join(f"{bucket('v', t)} AS b{t}" for t in range(n_tables))
+    match = " OR ".join(f"a.b{t} = b.b{t}" for t in range(n_tables))
+    return f"""
+        WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                     FROM embeddings),
+        bk AS (SELECT vec_id, v, {bcols} FROM emb)
+        SELECT vec_a, vec_b, cosine FROM (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 round(list_sum(list_transform(list_zip(a.v, b.v),
+                                               x -> x[1] * x[2]))
+                       / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                          * sqrt(list_sum(list_transform(b.v, x -> x * x)))),
+                       6) AS cosine
+          FROM bk a JOIN bk b
+            ON a.vec_id < b.vec_id AND ({match}))
+        WHERE cosine >= {threshold} ORDER BY vec_a, vec_b
+    """
+
+
+def _sample_stratified_oracle(rates: dict | None = None, salt: int = 7,
+                              sf_dir: str | None = None) -> str:
+    """Data-trained: xxhash64(doc_id, salt) replayed driver-side via the
+    bit-exact XXH64 replica; kept rows emitted as VALUES."""
+    import duckdb
+
+    from cbor_ld_spark.functions.xxh64 import spark_xxhash64
+    from cbor_ld_spark.operators.sampling import SAMPLE_MOD
+
+    rates = rates or {"en": 2500, "es": 1000, "fr": 500, "de": 250}
+    sf_dir = sf_dir or _oracle_sf_dir()
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, lang FROM "
+        f"read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+    con.close()
+    kept = []
+    for doc_id, lang in rows:
+        bucket = spark_xxhash64(("long", doc_id), salt) % SAMPLE_MOD
+        if bucket < rates.get(lang, 0):
+            kept.append((doc_id, lang, bucket))
+    return _values_oracle(
+        kept, [("doc_id", "BIGINT"), ("lang", "VARCHAR"),
+               ("bucket", "BIGINT")], "doc_id")
+
+
+_SHARD_PACK_SQL = f"""
+    WITH t AS (SELECT doc_id,
+                      len(string_split({_NORM_SQL}, ' '))::BIGINT AS n_tokens
+               FROM documents),
+    c AS (SELECT doc_id, n_tokens,
+                 (sum(n_tokens) OVER (ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING))::BIGINT
+                 - n_tokens AS prior
+          FROM t)
+    SELECT floor(prior / 2048.0)::BIGINT AS shard_id,
+           count(*) AS n_docs,
+           sum(n_tokens)::BIGINT AS total_tokens,
+           min(doc_id) AS first_doc_id,
+           max(doc_id) AS last_doc_id
+    FROM c GROUP BY 1 ORDER BY shard_id
+"""
+
+_TFIDF_SQL = f"""
+    WITH terms AS (SELECT doc_id,
+                          unnest(string_split({_NORM_SQL}, ' ')) AS term
+                   FROM documents),
+    tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+           FROM terms GROUP BY 1, 2),
+    df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+    nd AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+    scored AS (SELECT doc_id, term, tf,
+                      round(tf * ln((n_docs + 1) / (df + 1)), 6) AS score
+               FROM tf JOIN df USING (term) CROSS JOIN nd)
+    SELECT doc_id, rank, term, tf, score FROM (
+      SELECT doc_id, term, tf, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term) AS rank
+      FROM scored)
+    WHERE rank <= 3 ORDER BY doc_id, rank
+"""
+
+
 def _multimodal_image_oracle(n_rows: int = 300) -> str:
     """The media corpus is a pure function of media_id
     (operators/multimodal.py synthesize_media_row) and so is the feature
@@ -1335,6 +1485,8 @@ def _data_trained_oracles() -> dict[str, str]:
                 "ann_lsh_topk": _lsh_topk_oracle(),
                 "multimodal_image_features": _multimodal_image_oracle(),
                 "multimodal_audio_features": _multimodal_audio_oracle(),
+                "dedup_embedding_lsh": _embedding_lsh_dedup_oracle(),
+                "sample_stratified": _sample_stratified_oracle(),
                 "dedup_minhash_pairs": _dedup_minhash_pairs_oracle(),
                 "dedup_minhash_jaccard": _dedup_minhash_jaccard_oracle(),
                 "dedup_ngram_jaccard": _dedup_ngram_jaccard_oracle(),
@@ -1375,6 +1527,8 @@ def oracle_sql() -> dict[str, str]:
             FROM ({_QUALITY_SQL}) ORDER BY doc_id
         """,
         "text_lang_id_multi": _lang_id_multi_oracle(),
+        "text_tfidf_top_terms": _TFIDF_SQL,
+        "shard_pack": _SHARD_PACK_SQL,
         "text_token_stats_bpe": r"""
             SELECT count(doc_id) AS docs,
                    sum(n)::BIGINT AS total_bpe_tokens,

@@ -319,6 +319,56 @@ def embedding_near_duplicates(spark: SparkSession, sf_dir: str,
     )
 
 
+def embedding_near_duplicates_lsh(spark: SparkSession, sf_dir: str,
+                                  threshold: float = 0.4,
+                                  n_planes: int = 6,
+                                  n_tables: int = 8) -> DataFrame:
+    """Cosine near-dup via hyperplane LSH — the 100 TB scale path.
+
+    The exact tiers (:func:`embedding_near_duplicates` /
+    ``_blocked``) are inherently O(n^2) compute; this tier bounds
+    candidates first: one ``mapInArrow`` matmul assigns every vector a
+    sign-bucket per table (operators/similarity._with_lsh_buckets —
+    deterministic Lehmer planes, so the DuckDB oracle replays them
+    bit-for-bit), candidates are pairs sharing a bucket in *any* table
+    (recall dial ~ n_tables x collision prob^n_planes), and only
+    candidates pay the exact rerank.  The only shuffle is the bucket
+    join on the uniform (tbl, bucket) key — never all-pairs.
+    """
+    from .similarity import _with_lsh_buckets, embedding_dim, load_embeddings
+
+    emb = load_embeddings(spark, sf_dir).select("vec_id", "v")
+    dim = embedding_dim(sf_dir)
+    tabled = (
+        _with_lsh_buckets(emb, dim, n_planes, n_tables)
+        .select("vec_id", "v", F.posexplode("buckets").alias("tbl", "bucket"))
+        .localCheckpoint()  # feeds both self-join sides exactly once
+    )
+    a, b = tabled.alias("a"), tabled.alias("b")
+    cand = (
+        a.join(b, on=["tbl", "bucket"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"),
+                F.col("a.v").alias("va"), F.col("b.v").alias("vb"))
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    # ordered-fold dot products: interpreted, but candidate-bounded, and
+    # the fold order is what lets DuckDB list_sum match bit-for-bit
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    nrm_a = F.sqrt(F.aggregate(F.transform("va", lambda x: x * x),
+                               F.lit(0.0), lambda acc, x: acc + x))
+    nrm_b = F.sqrt(F.aggregate(F.transform("vb", lambda x: x * x),
+                               F.lit(0.0), lambda acc, x: acc + x))
+    return (
+        cand.select("vec_a", "vec_b",
+                    F.round(dot / (nrm_a * nrm_b), 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
 def embedding_near_duplicates_blocked(spark: SparkSession, sf_dir: str,
                                       threshold: float = 0.95,
                                       block_size: int = 4096) -> DataFrame:

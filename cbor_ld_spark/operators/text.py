@@ -207,6 +207,48 @@ def term_dictionary(docs: DataFrame, min_count: int = 2) -> DataFrame:
     )
 
 
+def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Top-``k`` terms per document by tf-idf.
+
+    tf = per-(doc, term) count; df = docs containing the term;
+    idf = ln((n_docs + 1) / (df + 1)); ties break on term asc so the
+    result is fully deterministic (and DuckDB-oracle-able: identical
+    integer counts, libm ln, round-6 score).
+
+    Scale shape: explode -> two hash aggregations (both with map-side
+    partial agg on uniform keys) -> broadcast of the tiny (term, df)
+    side is NOT possible at 100 TB vocab, so the df join shuffles on
+    term (uniform); the per-doc ranking window partitions by doc_id
+    (bounded groups).  n_docs rides along as a broadcast 1-row agg,
+    never a driver action.
+    """
+    from pyspark.sql import Window
+
+    terms = docs.select(
+        "doc_id", F.explode(F.split(_norm(F.col("text")), " ")).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id", "term", "tf",
+            F.round(F.col("tf") * F.log((F.col("n_docs") + 1)
+                                        / (F.col("df") + 1)), 6)
+            .alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "rank", "term", "tf", "score")
+        .orderBy("doc_id", "rank")
+    )
+
+
 def fingerprints(docs: DataFrame) -> DataFrame:
     """Deterministic document fingerprint (normalized-content hash)."""
     return docs.select(

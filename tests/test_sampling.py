@@ -1,0 +1,103 @@
+"""Sampling, shard packing, tf-idf, and LSH near-dup operators."""
+
+from pyspark.sql import functions as F
+
+
+def _docs(spark):
+    rows = [(i, " ".join(f"w{j}" for j in range(5 + i % 7)),
+             ("en", "es", "fr", "de", "xx")[i % 5]) for i in range(200)]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_stratified_sample_deterministic_and_rate_bounded(spark):
+    from cbor_ld_spark.operators.sampling import stratified_sample
+
+    docs = _docs(spark)
+    rates = {"en": 5000, "es": 2500, "fr": 0}
+    s1 = stratified_sample(docs, rates).collect()
+    s2 = stratified_sample(docs, rates).collect()
+    assert [tuple(r) for r in s1] == [tuple(r) for r in s2]  # retry-stable
+    langs = {r["lang"] for r in s1}
+    assert "fr" not in langs and "xx" not in langs and "de" not in langs
+    # rate plausibility: en keeps ~half of its 40 docs, es ~quarter
+    n_en = sum(1 for r in s1 if r["lang"] == "en")
+    n_es = sum(1 for r in s1 if r["lang"] == "es")
+    assert 10 <= n_en <= 32 and 3 <= n_es <= 20
+    # buckets actually honor the rate bound
+    assert all(r["bucket"] < rates[r["lang"]] for r in s1)
+    # independent of partitioning
+    s3 = stratified_sample(docs.repartition(13), rates).collect()
+    assert sorted(tuple(r) for r in s3) == sorted(tuple(r) for r in s1)
+
+
+def test_pack_shards_invariants(spark):
+    from cbor_ld_spark.operators.sampling import pack_shards
+
+    docs = _docs(spark)
+    rows = pack_shards(docs, shard_tokens=100, summary=False).collect()
+    assert len(rows) == 200
+    # shard ids are non-decreasing in doc_id order and start at 0
+    sids = [r["shard_id"] for r in rows]
+    assert sids[0] == 0
+    assert all(a <= b for a, b in zip(sids, sids[1:]))
+    # every shard but the last crosses the token budget (docs unsplit)
+    summ = pack_shards(docs, shard_tokens=100).collect()
+    totals = [r["total_tokens"] for r in summ]
+    # a shard ends only when its last doc crossed the boundary, so each
+    # full shard holds >= 100 - (max_doc_tokens - 1) tokens and the
+    # running boundaries are exact:
+    cum = 0
+    for r in rows:
+        assert r["shard_id"] == cum // 100
+        cum += r["n_tokens"]
+    assert sum(totals) == cum
+    # shard ranges are contiguous, non-overlapping
+    assert all(a["last_doc_id"] < b["first_doc_id"]
+               for a, b in zip(summ, summ[1:]))
+
+
+def test_tfidf_top_terms_ranks_distinctive_terms(spark):
+    from cbor_ld_spark.operators.text import tfidf_top_terms
+
+    docs = spark.createDataFrame([
+        (0, "apple apple apple shared shared"),
+        (1, "banana banana shared shared shared"),
+        (2, "cherry shared"),
+    ], "doc_id long, text string")
+    rows = tfidf_top_terms(docs, k=1).collect()
+    best = {r["doc_id"]: r["term"] for r in rows}
+    # the doc-unique term always beats the corpus-wide one
+    assert best == {0: "apple", 1: "banana", 2: "cherry"}
+    assert all(r["rank"] == 1 for r in rows)
+
+
+def test_embedding_lsh_near_dup_subset_of_exact(spark, tmp_path):
+    import numpy as np
+
+    from cbor_ld_spark.operators.dedup import (
+        embedding_near_duplicates,
+        embedding_near_duplicates_lsh,
+    )
+
+    rng = np.random.default_rng(9)
+    base = rng.normal(size=(40, 16))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v], 0))
+        # a near-duplicate twin for every 8th vector
+        if i % 8 == 0:
+            twin = v + rng.normal(scale=0.01, size=16)
+            rows.append((1000 + i, [float(x) for x in twin], 0))
+    spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int") \
+        .write.parquet(f"{tmp_path}/embeddings.parquet")
+
+    exact = {(r["vec_a"], r["vec_b"])
+             for r in embedding_near_duplicates(
+                 spark, str(tmp_path), threshold=0.95).collect()}
+    lsh = {(r["vec_a"], r["vec_b"])
+           for r in embedding_near_duplicates_lsh(
+               spark, str(tmp_path), threshold=0.95).collect()}
+    # LSH candidates are a subset of exact pairs (the rerank is exact)...
+    assert lsh <= exact
+    # ...and near-identical twins collide in some table with high prob
+    assert len(lsh) >= max(1, len(exact) - 1)
