@@ -226,8 +226,11 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
 
     terms = docs.select(
         "doc_id", F.explode(F.split(_norm(F.col("text")), " ")).alias("term"))
+    # tf feeds both the df aggregation and the score join; without the
+    # checkpoint the explode+agg lineage runs twice (exchange reuse does
+    # not fire across the self-reference — measured, round-1 pitfall)
     tf = terms.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).alias("tf"))
+        F.count(F.lit(1)).alias("tf")).localCheckpoint()
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (

@@ -77,3 +77,21 @@ def test_gif_garbage_rejected():
                 b"GIF89a" + bytes(7), b"NOTAGIF!"):
         with pytest.raises((MediaDecodeError, ValueError, IndexError)):
             decode_gif(bad)
+
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.integers(0, 10_000), st.integers(0, 255))
+    def test_gif_bitflip_never_hangs_or_crashes_untyped(pos, val):
+        px = RNG.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+        data = bytearray(encode_gif(px))
+        data[pos % len(data)] = val
+        try:
+            out = decode_gif(bytes(data))
+            assert out.dtype == np.uint8
+        except (MediaDecodeError, ValueError, IndexError):
+            pass
+except ImportError:  # pragma: no cover
+    pass

@@ -77,3 +77,23 @@ def test_jpeg_garbage_rejected():
         with pytest.raises((MediaDecodeError, ValueError, struct.error,
                             IndexError)):
             decode_jpeg(bad)
+
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.integers(0, 10_000), st.integers(0, 255))
+    def test_jpeg_bitflip_never_hangs_or_crashes_untyped(pos, val):
+        """Mutated valid JPEGs either decode (possibly different pixels)
+        or raise a bounded type — never hang, never segfault-shaped."""
+        px = _gradient(16, 16, 3)
+        data = bytearray(encode_jpeg(px))
+        data[pos % len(data)] = val
+        try:
+            out = decode_jpeg(bytes(data))
+            assert out.dtype == np.uint8
+        except (MediaDecodeError, ValueError, struct.error, IndexError):
+            pass
+except ImportError:  # pragma: no cover
+    pass

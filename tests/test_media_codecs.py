@@ -150,11 +150,15 @@ if _HYP:
         import struct as _struct
         import zlib as _zlib
 
+        from cbor_ld_spark.operators.gif_codec import decode_gif
+        from cbor_ld_spark.operators.jpeg_codec import decode_jpeg
+
         # quarantine-friendly contract: decoders raise, never hang or
         # return garbage silently; raise types are bounded
         allowed = (MediaDecodeError, ValueError, _struct.error,
                    _zlib.error, IndexError)
         for fn in (decode_png, decode_ppm, decode_bmp, decode_wav,
+                   decode_jpeg, decode_gif,
                    jpeg_dimensions, gif_dimensions):
             try:
                 fn(data)

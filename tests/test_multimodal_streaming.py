@@ -232,3 +232,45 @@ def test_windowed_watermark_drops_late_rows(spark):
         assert not any(h == 6 for h, _ in got)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_streaming_dedup_keep_first(spark):
+    """Exact dedup over a growing stream: each distinct content emitted
+    once ever, across micro-batches and a second drain (state survives
+    via the checkpoint)."""
+    import os
+    import shutil
+    import tempfile
+
+    from cbor_ld_spark.streaming import stream_dedup_keep_first
+
+    base = tempfile.mkdtemp(prefix="kgdedup_")
+    inp, out, ckpt = (os.path.join(base, d) for d in ("in", "out", "ckpt"))
+    try:
+        # batch 1: 30 docs, only 10 distinct contents
+        spark.createDataFrame(
+            [(i, f"doc body {i % 10}") for i in range(30)],
+            "doc_id long, text string").write.mode("append").parquet(inp)
+        stream = (spark.readStream
+                  .schema("doc_id long, text string")
+                  .parquet(inp))
+        q = stream_dedup_keep_first(stream, out, ckpt)
+        q.awaitTermination(120)
+        n1 = spark.read.parquet(out).count()
+        assert n1 == 10
+
+        # batch 2: 5 repeats + 3 new contents -> only the 3 emit
+        spark.createDataFrame(
+            [(100 + i, f"doc body {i}") for i in range(5)]
+            + [(200 + i, f"fresh body {i}") for i in range(3)],
+            "doc_id long, text string").write.mode("append").parquet(inp)
+        stream2 = (spark.readStream
+                   .schema("doc_id long, text string")
+                   .parquet(inp))
+        q2 = stream_dedup_keep_first(stream2, out, ckpt)
+        q2.awaitTermination(120)
+        final = spark.read.parquet(out)
+        assert final.count() == 13
+        assert final.select("content_hash").distinct().count() == 13
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -101,3 +101,31 @@ def test_embedding_lsh_near_dup_subset_of_exact(spark, tmp_path):
     assert lsh <= exact
     # ...and near-identical twins collide in some table with high prob
     assert len(lsh) >= max(1, len(exact) - 1)
+
+
+def test_stratified_sample_plan_hygiene(spark):
+    """Scan is column-pruned (text never read) and the predicate sits
+    directly on the scan; the only Exchange is the presentation sort."""
+    import re
+
+    from cbor_ld_spark.operators.sampling import stratified_sample
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = stratified_sample(df, {"en": 2500})._jdf \
+        .queryExecution().executedPlan().toString()
+    scan = next(l for l in plan.splitlines() if "FileScan" in l)
+    assert "text" not in scan  # pruned ReadSchema
+    assert len(re.findall(r"Exchange", plan)) == 1  # orderBy only
+
+
+def test_pack_shards_no_global_window(spark):
+    """The cumsum window partitions by _pid — never a whole-corpus
+    single-partition window (Spark would warn 'No Partition Defined')."""
+    from cbor_ld_spark.operators.sampling import pack_shards
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = pack_shards(df, 2048, summary=False)._jdf \
+        .queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line.lower():
+            assert "_pid" in line, f"global window found: {line.strip()}"
