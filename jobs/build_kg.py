@@ -50,6 +50,16 @@ def main(argv=None):
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .getOrCreate()
     )
+    # Size shuffles to the actual core count instead of the 200 default:
+    # the dedup-first dropDuplicates/join-back runs at this width and the
+    # Python kernel stage inherits it — measured 3-4x on the kernel+write
+    # stage at local[32] (200 undersized tasks thrash the Arrow workers
+    # and write 200-way small files).  Runtime-settable, so a cluster
+    # deployment can still override via --conf.
+    if not spark.sparkContext._conf.contains("spark.sql.shuffle.partitions"):
+        spark.conf.set("spark.sql.shuffle.partitions",
+                       str(spark.sparkContext.defaultParallelism))
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
     repos = (synthesize_corpus(spark, args.synthesize) if args.synthesize
              else load_repos(spark, args.input))
     summary = build_kg(spark, repos, args.out, run_id=args.run_id,
