@@ -92,9 +92,60 @@ def tables_for_registry(registry_id: int) -> Tables:
         raise EncodeError("UnknownCompressionTable", str(registry_id)) from None
 
 
-def registry_tag(registry_id: int) -> int:
-    if registry_id >= 128:
-        # Varint registry ids are unimplemented in the reference too
-        # (todo! at src/encode/mod.rs:62).
-        raise EncodeError("UnsupportedRegistryId", str(registry_id))
-    return (CBOR_LD_TAG_HIGH << 8) | registry_id
+def register_tables(registry_id: int, tables: Tables) -> None:
+    """Register a custom compression table (spec: registry entries >= 2
+    are open for private/registered use).  Ids 0 (uncompressed) and 1
+    (default) are reserved."""
+    if registry_id in (0, 1):
+        raise EncodeError("UnsupportedRegistryId",
+                          f"{registry_id} is reserved")
+    REGISTRY[registry_id] = tables
+
+
+# --- varint registry ids (>= 128) ------------------------------------------
+#
+# CBOR-LD encodes the registry entry as an unsigned LEB128 varint: the
+# FIRST varint byte rides in the envelope tag's low byte, and for ids
+# >= 128 (first byte has the continuation bit set) the REMAINING varint
+# bytes are prepended to the payload as ``[bstr(rest), payload]``.
+# Ids < 128 are a single varint byte == the id itself, so the classic
+# 0x06NN single-byte scheme is the varint scheme's degenerate case.
+# The Rust reference leaves this ``todo!()`` (src/encode/mod.rs:62,
+# src/decode/mod.rs:50); the CBOR-LD spec and the JS implementation
+# define it, so we support it.
+
+
+def varint_encode(n: int) -> bytes:
+    if n < 0:
+        raise EncodeError("UnsupportedRegistryId", str(n))
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def varint_decode(bs: bytes) -> int:
+    n, shift = 0, 0
+    for i, b in enumerate(bs):
+        n |= (b & 0x7F) << shift
+        if not b & 0x80:
+            if i != len(bs) - 1:
+                raise EncodeError("UnsupportedRegistryId",
+                                  "trailing bytes after registry varint")
+            return n
+        shift += 7
+        if shift > 63:
+            raise EncodeError("UnsupportedRegistryId",
+                              "registry varint too long")
+    raise EncodeError("UnsupportedRegistryId", "truncated registry varint")
+
+
+def registry_tag(registry_id: int) -> tuple[int, bytes]:
+    """(envelope tag, remaining varint bytes) for a registry id."""
+    v = varint_encode(registry_id)
+    return (CBOR_LD_TAG_HIGH << 8) | v[0], v[1:]

@@ -581,7 +581,11 @@ def encode_document(doc: dict | str | bytes, registry_id: int = 1,
     loader = loader or StaticLoader.default()
     enc = CborLdEncoder(loader, tables_for_registry(registry_id))
     inner = enc.transform(EMPTY_CONTEXT, doc)
-    return dumps(CborTag(registry_tag(registry_id), inner))
+    tag, varint_rest = registry_tag(registry_id)
+    if varint_rest:
+        # id >= 128: remaining varint bytes prepend as [bstr, payload]
+        return dumps(CborTag(tag, [varint_rest, inner]))
+    return dumps(CborTag(tag, inner))
 
 
 def decode_document(data: bytes, loader: StaticLoader | None = None) -> dict:
@@ -596,7 +600,22 @@ def decode_document(data: bytes, loader: StaticLoader | None = None) -> dict:
         raise not_cbor_ld()
     if value.tag >> 8 != CBOR_LD_TAG_HIGH:
         raise not_cbor_ld()
-    registry_id = value.tag & 0xFF
+    first = value.tag & 0xFF
+    if first & 0x80:
+        # varint registry id (>= 128): payload is [bstr(rest), payload]
+        from .tables import varint_decode
+
+        if (not isinstance(value.value, list) or len(value.value) != 2
+                or not isinstance(value.value[0], bytes)):
+            raise DecodeError("NotCborLd",
+                              "varint-registry payload must be [bstr, value]")
+        try:
+            registry_id = varint_decode(bytes([first]) + value.value[0])
+        except EncodeError as e:
+            raise DecodeError(e.kind, e.message) from None
+        value = CborTag(value.tag, value.value[1])
+    else:
+        registry_id = first
     if registry_id == 0:
         out = _plain_cbor_to_json(value.value)
         if not isinstance(out, dict):

@@ -90,3 +90,80 @@ def test_uncompressed_larger_than_compressed():
 def test_unknown_registry_rejected():
     with pytest.raises(Exception):
         encode_document(_vcb_doc(), registry_id=7)
+
+
+def test_varint_registry_roundtrip_and_shape():
+    """Registry ids >= 128 use the spec's varint envelope ([bstr(rest),
+    payload] under tag 0x06|first-varint-byte) — todo!() in the
+    reference (src/encode/mod.rs:62, src/decode/mod.rs:50)."""
+    from cbor_ld_spark.kernel.tables import (
+        DEFAULT_TABLES,
+        register_tables,
+        varint_decode,
+        varint_encode,
+    )
+
+    # varint math: single-byte degenerate case == the classic scheme
+    assert varint_encode(1) == b"\x01"
+    assert varint_encode(100) == b"\x64"
+    assert varint_encode(128) == b"\x80\x01"
+    assert varint_encode(1000) == b"\xe8\x07"
+    for n in (0, 1, 127, 128, 300, 1000, 2**20):
+        assert varint_decode(varint_encode(n)) == n
+
+    register_tables(1000, DEFAULT_TABLES)
+    doc = {"@context": "https://www.w3.org/ns/activitystreams",
+           "type": "Note", "content": "hi"}
+    data = encode_document(doc, registry_id=1000)
+    tree = loads(data)
+    # tag low byte = first varint byte (continuation bit set)
+    assert tree.tag == (0x06 << 8) | 0xE8
+    assert isinstance(tree.value, list) and len(tree.value) == 2
+    assert tree.value[0] == b"\x07"  # remaining varint bytes
+    back = decode_document(data)
+    assert canonical_json(back) == canonical_json(doc)
+    # same doc under id 1000 vs id 1: identical inner payload bytes
+    base = loads(encode_document(doc, registry_id=1))
+    assert canonical_json_bytes_equal(tree.value[1], base.value)
+
+
+def canonical_json_bytes_equal(a, b):
+    from cbor_ld_spark.kernel.cbor import dumps
+
+    return dumps(a) == dumps(b)
+
+
+def test_varint_registry_unknown_id_raises():
+    from cbor_ld_spark.kernel import CborLdError
+    from cbor_ld_spark.kernel.cbor import dumps
+
+    # encode with unregistered id
+    with pytest.raises(CborLdError, match="UnknownCompressionTable"):
+        encode_document({"@context": "x"}, registry_id=55555)
+    # decode a well-formed varint envelope with an unknown id
+    data = dumps(CborTag((0x06 << 8) | 0x80, [b"\x02", CborMap([])]))
+    with pytest.raises(CborLdError, match="UnknownCompressionTable"):
+        decode_document(data)
+
+
+def test_varint_registry_malformed_payload_raises():
+    from cbor_ld_spark.kernel import CborLdError
+    from cbor_ld_spark.kernel.cbor import dumps
+
+    # continuation bit set but payload is not [bstr, value]
+    data = dumps(CborTag((0x06 << 8) | 0x80, CborMap([])))
+    with pytest.raises(CborLdError, match="NotCborLd"):
+        decode_document(data)
+    # truncated varint (rest bytes all have continuation set)
+    data = dumps(CborTag((0x06 << 8) | 0x80, [b"\x80", CborMap([])]))
+    with pytest.raises(CborLdError, match="UnsupportedRegistryId"):
+        decode_document(data)
+
+
+def test_reserved_registry_ids_rejected():
+    from cbor_ld_spark.kernel import CborLdError
+    from cbor_ld_spark.kernel.tables import DEFAULT_TABLES, register_tables
+
+    for rid in (0, 1):
+        with pytest.raises(CborLdError, match="UnsupportedRegistryId"):
+            register_tables(rid, DEFAULT_TABLES)
