@@ -1494,6 +1494,7 @@ _TFIDF_SQL = f"""
 
 
 def _winnow_fingerprints_oracle(k: int = 5, window: int = 4,
+                                max_chars: int = 65536,
                                 sf_dir: str | None = None) -> str:
     """Data-trained winnowing oracle: char k-gram XXH64 minima replayed
     driver-side (same technique as _dedup_oracle_model)."""
@@ -1529,7 +1530,9 @@ def _winnow_fingerprints_oracle(k: int = 5, window: int = 4,
     for doc_id, text in rows:
         if text is None:
             continue
-        norm = ws.sub(" ", text.strip(" ")).lower()
+        # cap mirrors winnowing_fingerprints max_chars (ASCII corpus, so
+        # UTF-16-unit vs code-point slicing cannot diverge here)
+        norm = ws.sub(" ", text[:max_chars].strip(" ")).lower()
         n_grams = max(len(norm) - (k - 1), 1)
         hs = [h(norm[i:i + k]) for i in range(n_grams)]
         if len(hs) < window:

@@ -208,7 +208,8 @@ def term_dictionary(docs: DataFrame, min_count: int = 2) -> DataFrame:
 
 
 def winnowing_fingerprints(docs: DataFrame, k: int = 5,
-                           window: int = 4) -> DataFrame:
+                           window: int = 4,
+                           max_chars: int = 65536) -> DataFrame:
     """MOSS-style winnowing fingerprints (the rolling-hash tier).
 
     Character k-gram hashes, then the minimum hash of every fully-
@@ -223,11 +224,14 @@ def winnowing_fingerprints(docs: DataFrame, k: int = 5,
     is the slice+zip_with trick (constant source-array references — a
     per-position element_at re-evaluates the split through
     CollapseProject); the only shuffles are the per-doc window (bounded
-    groups) and the final groupBy on doc_id.
+    groups) and the final groupBy on doc_id.  ``max_chars`` caps the
+    per-document gram count so one pathological 100 MB row cannot
+    become a skewed window partition (the fingerprint guarantee then
+    covers the document prefix — the standard winnowing degradation).
     """
     from pyspark.sql import Window
 
-    norm = _norm(F.col("text"))
+    norm = _norm(F.substring(F.col("text"), 1, max_chars))
     chars = F.split(norm, "")
     m = F.greatest(F.size(chars) - (k - 1), F.lit(1))
     gram = F.slice(chars, 1, m)
