@@ -241,8 +241,10 @@ def _text_tfidf_top_terms(spark, sf_dir):
 
 
 def _multimodal_image_features(spark, sf_dir):
-    """Real PNG/PPM pixel decode + aHash; jpeg metadata tier (rows-only:
-    binary payload synthesis is not SQL-expressible)."""
+    """Real pixel decode + aHash for every image format (png/ppm/jpeg/
+    gif since r3); value-verified via the data-trained
+    _multimodal_image_oracle (the corpus is a pure function of
+    media_id, replayed driver-side)."""
     from cbor_ld_spark.operators.multimodal import (
         image_features,
         synthesize_media,
@@ -1088,38 +1090,55 @@ def _ivf_topk_oracle(n_queries: int = 5, k: int = 5, n_cells: int = 16,
     """
 
 
+def _duck_plane_dot(vexpr: str, plane: list[float]) -> str:
+    """DuckDB sequential-fold dot of a vector column against a literal
+    plane (shared by every LSH oracle — one copy, one formatting)."""
+    lit = "[" + ",".join(repr(x) for x in plane) + "]::DOUBLE[]"
+    return (f"list_sum(list_transform(list_zip({vexpr}, {lit}), "
+            f"x -> x[1] * x[2]))")
+
+
+def _duck_lsh_bucket_cols(vexpr: str, dim: int, n_planes: int,
+                          n_tables: int) -> str:
+    """``b0..b{n_tables-1}`` sign-bucket SELECT columns, matching
+    operators/similarity's Lehmer planes and seed schedule."""
+    from cbor_ld_spark.operators.similarity import lsh_plane
+
+    def bucket(t):
+        seed = 7 + 13 * t
+        terms = " + ".join(
+            f"(CASE WHEN {_duck_plane_dot(vexpr, lsh_plane(p, dim, seed))}"
+            f" > 0 THEN {1 << p} ELSE 0 END)"
+            for p in range(n_planes))
+        return f"({terms})"
+
+    return ", ".join(f"{bucket(t)} AS b{t}" for t in range(n_tables))
+
+
+def _embedding_dim_duckdb(sf_dir: str) -> int:
+    import duckdb
+
+    con = duckdb.connect()
+    dim = con.execute(
+        f"SELECT len(embedding) FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet') LIMIT 1").fetchone()[0]
+    con.close()
+    return dim
+
+
 def _lsh_topk_oracle(n_queries: int = 5, k: int = 5, n_planes: int = 4,
                      n_tables: int = 8,
                      sf_dir: str | None = None) -> str:
     """LSH oracle: the hyperplanes are portable Lehmer-LCG literals
     (operators/similarity.py lsh_plane), so bucket assignment, the
     any-table candidate match, exact rerank, and ranking are all
-    SQL-expressible bit-for-bit."""
-    import duckdb
-
-    from cbor_ld_spark.operators.similarity import lsh_plane
-
+    SQL-expressible.  Spark computes the projections with a numpy
+    matmul whose summation order differs from DuckDB's sequential
+    fold — sign decisions could diverge only within float-ulp of a
+    zero projection (none observed at gate scale)."""
     sf_dir = sf_dir or _oracle_sf_dir()
-    con = duckdb.connect()
-    dim = con.execute(
-        f"SELECT len(embedding) FROM "
-        f"read_parquet('{sf_dir}/embeddings.parquet') LIMIT 1").fetchone()[0]
-    con.close()
-
-    def dot(vexpr, plane):
-        lit = "[" + ",".join(repr(x) for x in plane) + "]::DOUBLE[]"
-        return (f"list_sum(list_transform(list_zip({vexpr}, {lit}), "
-                f"x -> x[1] * x[2]))")
-
-    def bucket(vexpr, t):
-        seed = 7 + 13 * t
-        terms = " + ".join(
-            f"(CASE WHEN {dot(vexpr, lsh_plane(p, dim, seed))} > 0 "
-            f"THEN {1 << p} ELSE 0 END)"
-            for p in range(n_planes))
-        return f"({terms})"
-
-    bcols = ", ".join(f"{bucket('v', t)} AS b{t}" for t in range(n_tables))
+    dim = _embedding_dim_duckdb(sf_dir)
+    bcols = _duck_lsh_bucket_cols("v", dim, n_planes, n_tables)
     match = " OR ".join(f"a.b{t} = q.b{t}" for t in range(n_tables))
     return f"""
         WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v
@@ -1185,7 +1204,11 @@ def _dedup_oracle_model(sf_dir: str | None = None) -> dict:
 
     import duckdb
 
-    from cbor_ld_spark.functions.xxh64 import xxh64_bytes, xxh64_int32
+    from cbor_ld_spark.functions.xxh64 import (
+        _signed as signed,
+        xxh64_bytes,
+        xxh64_int32,
+    )
 
     sf_dir = sf_dir or _oracle_sf_dir()
     if sf_dir in _DEDUP_MODEL_CACHE:
@@ -1202,9 +1225,6 @@ def _dedup_oracle_model(sf_dir: str | None = None) -> dict:
     ws = re.compile(r"\s+", re.ASCII)
     num_hashes, bands = 16, 4
     rows_per_band = num_hashes // bands
-
-    def signed(u):
-        return u - (1 << 64) if u >= (1 << 63) else u
 
     str_cache: dict[str, int] = {}
 
@@ -1385,32 +1405,11 @@ def _embedding_lsh_dedup_oracle(threshold: float = 0.4, n_planes: int = 6,
     """LSH near-dup oracle: the Lehmer hyperplanes are portable literals
     (operators/similarity.lsh_plane), so bucket assignment, the
     any-table pair match, and the exact ordered-fold rerank are all
-    SQL-expressible bit-for-bit — same technique as _lsh_topk_oracle."""
-    import duckdb
-
-    from cbor_ld_spark.operators.similarity import lsh_plane
-
+    SQL-expressible — same technique (and same matmul-vs-fold ulp
+    caveat) as _lsh_topk_oracle."""
     sf_dir = sf_dir or _oracle_sf_dir()
-    con = duckdb.connect()
-    dim = con.execute(
-        f"SELECT len(embedding) FROM "
-        f"read_parquet('{sf_dir}/embeddings.parquet') LIMIT 1").fetchone()[0]
-    con.close()
-
-    def dot(vexpr, plane):
-        lit = "[" + ",".join(repr(x) for x in plane) + "]::DOUBLE[]"
-        return (f"list_sum(list_transform(list_zip({vexpr}, {lit}), "
-                f"x -> x[1] * x[2]))")
-
-    def bucket(vexpr, t):
-        seed = 7 + 13 * t
-        terms = " + ".join(
-            f"(CASE WHEN {dot(vexpr, lsh_plane(p, dim, seed))} > 0 "
-            f"THEN {1 << p} ELSE 0 END)"
-            for p in range(n_planes))
-        return f"({terms})"
-
-    bcols = ", ".join(f"{bucket('v', t)} AS b{t}" for t in range(n_tables))
+    dim = _embedding_dim_duckdb(sf_dir)
+    bcols = _duck_lsh_bucket_cols("v", dim, n_planes, n_tables)
     match = " OR ".join(f"a.b{t} = b.b{t}" for t in range(n_tables))
     return f"""
         WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v
@@ -1502,7 +1501,7 @@ def _winnow_fingerprints_oracle(k: int = 5, window: int = 4,
 
     import duckdb
 
-    from cbor_ld_spark.functions.xxh64 import xxh64_bytes
+    from cbor_ld_spark.functions.xxh64 import _signed as signed, xxh64_bytes
 
     sf_dir = sf_dir or _oracle_sf_dir()
     con = duckdb.connect()
@@ -1513,9 +1512,6 @@ def _winnow_fingerprints_oracle(k: int = 5, window: int = 4,
     con.close()
     ws = re.compile(r"\s+", re.ASCII)
     mask = (1 << 64) - 1
-
-    def signed(u):
-        return u - (1 << 64) if u >= (1 << 63) else u
 
     cache: dict[str, int] = {}
 

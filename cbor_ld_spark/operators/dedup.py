@@ -329,8 +329,11 @@ def embedding_near_duplicates_lsh(spark: SparkSession, sf_dir: str,
     ``_blocked``) are inherently O(n^2) compute; this tier bounds
     candidates first: one ``mapInArrow`` matmul assigns every vector a
     sign-bucket per table (operators/similarity._with_lsh_buckets —
-    deterministic Lehmer planes, so the DuckDB oracle replays them
-    bit-for-bit), candidates are pairs sharing a bucket in *any* table
+    deterministic Lehmer planes, replayed by the DuckDB oracle; the
+    matmul's summation order differs from the oracle's sequential fold,
+    so sign decisions could in principle diverge for projections within
+    float-ulp of zero — none observed at gate scale), candidates are
+    pairs sharing a bucket in *any* table
     (recall dial ~ n_tables x collision prob^n_planes), and only
     candidates pay the exact rerank.  The only shuffle is the bucket
     join on the uniform (tbl, bucket) key — never all-pairs.
@@ -338,7 +341,7 @@ def embedding_near_duplicates_lsh(spark: SparkSession, sf_dir: str,
     from .similarity import _with_lsh_buckets, embedding_dim, load_embeddings
 
     emb = load_embeddings(spark, sf_dir).select("vec_id", "v")
-    dim = embedding_dim(sf_dir)
+    dim = embedding_dim(sf_dir, fallback=emb)
     tabled = (
         _with_lsh_buckets(emb, dim, n_planes, n_tables)
         .select("vec_id", "v", F.posexplode("buckets").alias("tbl", "bucket"))
@@ -391,9 +394,15 @@ def embedding_near_duplicates_blocked(spark: SparkSession, sf_dir: str,
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
         .select("vec_id", "embedding")
     # size the block grid from parquet footer metadata — no Spark scan;
-    # the count only bounds per-task memory, so footer-exact is plenty
-    import pyarrow.dataset as ds
-    n = ds.dataset(f"{sf_dir}/embeddings.parquet").count_rows()
+    # the count only bounds per-task memory, so footer-exact is plenty.
+    # pyarrow can't reach every Spark-readable filesystem (hdfs://,
+    # dbfs:/): degrade to the column-pruned Spark count there.
+    try:
+        import pyarrow.dataset as ds
+
+        n = ds.dataset(f"{sf_dir}/embeddings.parquet").count_rows()
+    except Exception:
+        n = emb.select("vec_id").count()
     n_blocks = max(1, -(-n // block_size))
     pairs = spark.createDataFrame(
         [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],

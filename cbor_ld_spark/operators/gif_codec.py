@@ -67,11 +67,12 @@ def _lzw_decode(data: bytes, min_code_size: int, expected: int) -> bytes:
         if prev is not None and next_code < 4096:
             table[next_code] = prev + entry[:1]
             next_code += 1
-        # the lazy decoder adds entries one code behind the encoder
-        # (nothing is added on the first code after a clear), so its
-        # next_code lags the encoder's by one: grow at 2^cs - 1 so the
-        # next read uses the size the encoder emitted with
-        if next_code == (1 << code_size) - 1 and code_size < 12:
+        # GIF89a convention (giflib/PIL/browsers): the decoder grows its
+        # code size when next_code reaches 2^cs — the encoder grows one
+        # code LATER (2^cs + 1) because it runs one dict entry ahead of
+        # the lazy decoder.  (First cut had both one code early: self-
+        # consistent, but incompatible with every real-world GIF.)
+        if next_code == (1 << code_size) and code_size < 12:
             code_size += 1
         out += entry
         prev = entry
@@ -112,7 +113,8 @@ def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
         if next_code < 4096:
             table[wk] = next_code
             next_code += 1
-            if next_code == (1 << code_size) and code_size < 12:
+            # one code later than the decoder's 2^cs rule (see _lzw_decode)
+            if next_code == (1 << code_size) + 1 and code_size < 12:
                 code_size += 1
         else:  # dictionary full: reset (our frames never get here)
             emit(clear, code_size)
@@ -198,11 +200,14 @@ def decode_gif(payload: bytes) -> np.ndarray:
                                        np.arange(1, ih, 2)])
                 deinter[rows] = frame
                 frame = deinter
-            canvas_idx = np.full((h, w), bg if gct is not None
-                                 and bg < len(gct) else 0, dtype=np.uint8)
+            # background fill uses the GLOBAL table (the bg index is
+            # defined against it); only the frame region uses the
+            # frame's palette (which may be a local table)
+            if gct is not None and bg < len(gct):
+                canvas = np.tile(gct[bg], (h, w, 1)).astype(np.uint8)
+            else:
+                canvas = np.zeros((h, w, 3), dtype=np.uint8)
             y1, x1 = min(top + ih, h), min(left + iw, w)
-            canvas = (pal[canvas_idx] if gct is not None
-                      else np.zeros((h, w, 3), dtype=np.uint8))
             canvas[top:y1, left:x1] = pal[frame[:y1 - top, :x1 - left]]
             return canvas
         elif block == 0x3B:  # trailer

@@ -35,22 +35,37 @@ def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def embedding_dim(sf_dir: str) -> int:
+def embedding_dim(sf_dir: str, fallback: DataFrame | None = None) -> int:
     """Vector dimensionality, probed with a one-row pyarrow scan (~10ms,
     no Spark job).  The previous ``df.first()`` probe scheduled a full
     Spark stage before the main job just to learn one scalar; dim is not
     in the parquet schema (``list<float>`` is unsized), so reading one
     list element is the cheapest honest source.  Works on both a single
     file and a directory-of-parts dataset.
-    """
-    import pyarrow.dataset as ds
 
-    dset = ds.dataset(f"{sf_dir}/embeddings.parquet")
-    for batch in dset.scanner(columns=["embedding"],
-                              batch_size=1).to_batches():
-        if batch.num_rows:
-            return len(batch.column(0)[0])
-    raise ValueError("embeddings table is empty")
+    pyarrow only reads filesystems it has handlers for (local, s3, ...);
+    for paths only Spark can reach (hdfs://, dbfs:/) pass ``fallback`` —
+    the loaded embeddings frame — and the probe degrades to one
+    ``first()`` job instead of failing.
+    """
+    try:
+        import pyarrow.dataset as ds
+
+        dset = ds.dataset(f"{sf_dir}/embeddings.parquet")
+        for batch in dset.scanner(columns=["embedding"],
+                                  batch_size=1).to_batches():
+            if batch.num_rows:
+                return len(batch.column(0)[0])
+        raise ValueError("embeddings table is empty")
+    except ValueError:
+        raise
+    except Exception:
+        if fallback is None:
+            raise
+        row = fallback.select("v").first()
+        if row is None:
+            raise ValueError("embeddings table is empty") from None
+        return len(row["v"])
 
 
 def _dot(a, b):
@@ -266,7 +281,7 @@ def lsh_topk(spark: SparkSession, sf_dir: str, n_queries: int = 5,
     uniform; candidates dedupe before rerank so each pair scores once.
     """
     emb = load_embeddings(spark, sf_dir)
-    dim = embedding_dim(sf_dir)
+    dim = embedding_dim(sf_dir, fallback=emb)
 
     def tabled(df):
         return (_with_lsh_buckets(df, dim, n_planes, n_tables)

@@ -95,3 +95,23 @@ try:
             pass
 except ImportError:  # pragma: no cover
     pass
+
+
+def test_gif_decodes_real_world_files():
+    """Code-review r3 regression: the LZW code-size growth rule must
+    match the GIF89a convention (decoder grows at 2^cs, encoder at
+    2^cs + 1) — a self-consistent off-by-one decodes its own output but
+    no real-world GIF."""
+    import glob
+
+    paths = sorted(glob.glob(
+        "/mnt/sandboxing/model_tools_env/v1/python/install/"
+        "lib/python3.11/idlelib/Icons/*.gif"))
+    if not paths:
+        pytest.skip("no system GIFs on this box")
+    decoded = 0
+    for p in paths[:8]:
+        px = decode_gif(open(p, "rb").read())
+        assert px.ndim == 3 and px.shape[2] == 3 and px.size > 0
+        decoded += 1
+    assert decoded >= 3
