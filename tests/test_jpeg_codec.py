@@ -97,3 +97,29 @@ try:
             pass
 except ImportError:  # pragma: no cover
     pass
+
+
+def test_jpeg_decodes_real_world_files():
+    """The decoder reads real-world baseline JPEGs (incl. 4:2:0 chroma
+    subsampling and grayscale), not just its own encoder's output."""
+    import os
+
+    candidates = [
+        "/mnt/sandboxing/model_tools_env/v1/python/install/lib/"
+        "python3.11/site-packages/IPython/core/tests/2x2.jpg",
+        "/mnt/sandboxing/model_tools_env/v1/python/install/lib/"
+        "python3.11/test/imghdrdata/python.jpg",
+        "/root/.rustup/toolchains/stable-x86_64-unknown-linux-gnu/"
+        "share/doc/rust/html/embedded-book/assets/verify.jpeg",
+    ]
+    present = [p for p in candidates if os.path.exists(p)]
+    if not present:
+        pytest.skip("no system JPEGs on this box")
+    for p in present:
+        data = open(p, "rb").read()
+        px = decode_jpeg(data)
+        from cbor_ld_spark.operators.media_codecs import jpeg_dimensions
+
+        w, h = jpeg_dimensions(data)
+        assert px.shape[:2] == (h, w)
+        assert px.dtype == np.uint8
