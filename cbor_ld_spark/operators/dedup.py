@@ -348,26 +348,51 @@ def embedding_near_duplicates_lsh(spark: SparkSession, sf_dir: str,
         .localCheckpoint()  # feeds both self-join sides exactly once
     )
     a, b = tabled.alias("a"), tabled.alias("b")
+    # NO dedup here: deduping candidate pairs would shuffle the vector
+    # payloads (~1 KB/pair); instead rerank every bucket collision (a
+    # pair repeats at most n_tables times, and the rerank is vectorized)
+    # and distinct() the tiny (vec_a, vec_b, cosine) rows afterwards
     cand = (
         a.join(b, on=["tbl", "bucket"])
         .filter(F.col("a.vec_id") < F.col("b.vec_id"))
         .select(F.col("a.vec_id").alias("vec_a"),
                 F.col("b.vec_id").alias("vec_b"),
                 F.col("a.v").alias("va"), F.col("b.v").alias("vb"))
-        .dropDuplicates(["vec_a", "vec_b"])
     )
-    # ordered-fold dot products: interpreted, but candidate-bounded, and
-    # the fold order is what lets DuckDB list_sum match bit-for-bit
-    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    nrm_a = F.sqrt(F.aggregate(F.transform("va", lambda x: x * x),
-                               F.lit(0.0), lambda acc, x: acc + x))
-    nrm_b = F.sqrt(F.aggregate(F.transform("vb", lambda x: x * x),
-                               F.lit(0.0), lambda acc, x: acc + x))
+
+    # vectorized rerank: per-Arrow-batch row dots (an interpreted HOF
+    # fold per candidate pair was ~3x the query wall at sf0.1).  Same
+    # precedent as the blocked tier: BLAS vs sequential-fold summation
+    # agree after round(6) at this dimensionality (verified vs the
+    # fold-based DuckDB oracle at the gate scale).
+    import numpy as np
+    import pyarrow as pa
+
+    thr = float(threshold)
+
+    def rerank(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            va = np.asarray(batch.column(2).flatten(),
+                            dtype=np.float64).reshape(n, -1)
+            vb = np.asarray(batch.column(3).flatten(),
+                            dtype=np.float64).reshape(n, -1)
+            cos = np.round(
+                np.einsum("ij,ij->i", va, vb)
+                / (np.linalg.norm(va, axis=1) * np.linalg.norm(vb, axis=1)),
+                6)
+            keep = cos >= thr
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0).filter(pa.array(keep)),
+                 batch.column(1).filter(pa.array(keep)),
+                 pa.array(cos[keep])],
+                ["vec_a", "vec_b", "cosine"])
+
     return (
-        cand.select("vec_a", "vec_b",
-                    F.round(dot / (nrm_a * nrm_b), 6).alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
+        cand.mapInArrow(rerank, "vec_a long, vec_b long, cosine double")
+        .distinct()
         .orderBy("vec_a", "vec_b")
     )
 

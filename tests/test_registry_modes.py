@@ -167,3 +167,36 @@ def test_reserved_registry_ids_rejected():
     for rid in (0, 1):
         with pytest.raises(CborLdError, match="UnsupportedRegistryId"):
             register_tables(rid, DEFAULT_TABLES)
+
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.integers(min_value=0, max_value=2**40))
+    def test_varint_roundtrip_property(n):
+        from cbor_ld_spark.kernel.tables import varint_decode, varint_encode
+
+        v = varint_encode(n)
+        assert varint_decode(v) == n
+        # continuation-bit invariant: all bytes but the last have it set
+        assert all(b & 0x80 for b in v[:-1]) and not (v[-1] & 0x80)
+        # ids < 128 degenerate to the classic single-byte scheme
+        if n < 128:
+            assert v == bytes([n])
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.integers(min_value=128, max_value=2**20))
+    def test_varint_envelope_roundtrip_property(rid):
+        from cbor_ld_spark.kernel.tables import (
+            DEFAULT_TABLES,
+            register_tables,
+        )
+
+        register_tables(rid, DEFAULT_TABLES)
+        doc = {"@context": "https://www.w3.org/ns/activitystreams",
+               "type": "Note"}
+        back = decode_document(encode_document(doc, registry_id=rid))
+        assert canonical_json(back) == canonical_json(doc)
+except ImportError:  # pragma: no cover
+    pass
