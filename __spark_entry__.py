@@ -1515,10 +1515,10 @@ def _winnow_fingerprints_oracle(k: int = 5, window: int = 4,
 
     cache: dict[str, int] = {}
 
-    def h(g: str) -> int:
+    def h(g: bytes) -> int:
         v = cache.get(g)
         if v is None:
-            v = signed(xxh64_bytes(g.encode("utf-8"), 42))
+            v = signed(xxh64_bytes(g, 42))
             cache[g] = v
         return v
 
@@ -1526,11 +1526,13 @@ def _winnow_fingerprints_oracle(k: int = 5, window: int = 4,
     for doc_id, text in rows:
         if text is None:
             continue
-        # cap mirrors winnowing_fingerprints max_chars (ASCII corpus, so
-        # UTF-16-unit vs code-point slicing cannot diverge here)
-        norm = ws.sub(" ", text[:max_chars].strip(" ")).lower()
-        n_grams = max(len(norm) - (k - 1), 1)
-        hs = [h(norm[i:i + k]) for i in range(n_grams)]
+        # byte-gram semantics, mirroring winnowing_fingerprints exactly
+        # (normalize the UTF-8 bytes, slide k-byte windows)
+        raw = text[:max_chars].encode("utf-8")
+        norm = re.sub(rb"\s+", b" ", raw.strip(b" ")).lower()
+        if len(norm) < k:
+            continue
+        hs = [h(norm[i:i + k]) for i in range(len(norm) - (k - 1))]
         if len(hs) < window:
             continue  # no fully-contained window -> doc absent
         fps = {min(hs[i:i + window]) for i in range(len(hs) - window + 1)}
