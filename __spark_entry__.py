@@ -1495,7 +1495,7 @@ _TFIDF_SQL = f"""
 def _winnow_fingerprints_oracle(k: int = 5, window: int = 4,
                                 max_chars: int = 65536,
                                 sf_dir: str | None = None) -> str:
-    """Data-trained winnowing oracle: char k-gram XXH64 minima replayed
+    """Data-trained winnowing oracle: byte k-gram XXH64 minima replayed
     driver-side (same technique as _dedup_oracle_model)."""
     import re
 
@@ -1510,10 +1510,10 @@ def _winnow_fingerprints_oracle(k: int = 5, window: int = 4,
         f"read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id"
     ).fetchall()
     con.close()
-    ws = re.compile(r"\s+", re.ASCII)
+    ws = re.compile(rb"\s+")
     mask = (1 << 64) - 1
 
-    cache: dict[str, int] = {}
+    cache: dict[bytes, int] = {}
 
     def h(g: bytes) -> int:
         v = cache.get(g)
@@ -1529,7 +1529,7 @@ def _winnow_fingerprints_oracle(k: int = 5, window: int = 4,
         # byte-gram semantics, mirroring winnowing_fingerprints exactly
         # (normalize the UTF-8 bytes, slide k-byte windows)
         raw = text[:max_chars].encode("utf-8")
-        norm = re.sub(rb"\s+", b" ", raw.strip(b" ")).lower()
+        norm = ws.sub(b" ", raw.strip(b" ")).lower()
         if len(norm) < k:
             continue
         hs = [h(norm[i:i + k]) for i in range(len(norm) - (k - 1))]

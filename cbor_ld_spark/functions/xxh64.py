@@ -18,11 +18,11 @@ Spark column values and their ``cast("string")`` forms.
 
 from __future__ import annotations
 
-_P1 = 0x9E3779B185EBCA87
-_P2 = 0xC2B2AE3D27D4EB4F
-_P3 = 0x165667B19E3779F9
-_P4 = 0x85EBCA77C2B2AE63
-_P5 = 0x27D4EB2F165667C5
+PRIME_1 = _P1 = 0x9E3779B185EBCA87
+PRIME_2 = _P2 = 0xC2B2AE3D27D4EB4F
+PRIME_3 = _P3 = 0x165667B19E3779F9
+PRIME_4 = _P4 = 0x85EBCA77C2B2AE63
+PRIME_5 = _P5 = 0x27D4EB2F165667C5
 _M = (1 << 64) - 1
 
 SPARK_SEED = 42

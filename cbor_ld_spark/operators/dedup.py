@@ -379,11 +379,17 @@ def embedding_near_duplicates_lsh(spark: SparkSession, sf_dir: str,
                             dtype=np.float64).reshape(n, -1)
             vb = np.asarray(batch.column(3).flatten(),
                             dtype=np.float64).reshape(n, -1)
-            cos = np.round(
-                np.einsum("ij,ij->i", va, vb)
-                / (np.linalg.norm(va, axis=1) * np.linalg.norm(vb, axis=1)),
-                6)
-            keep = cos >= thr
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.round(
+                    np.einsum("ij,ij->i", va, vb)
+                    / (np.linalg.norm(va, axis=1)
+                       * np.linalg.norm(vb, axis=1)),
+                    6)
+            # Spark/DuckDB order NaN above every number, so a zero-norm
+            # pair (cos = 0/0 = NaN) passes `cosine >= thr` there;
+            # `~(cos < thr)` reproduces that, where `cos >= thr` would
+            # silently drop it (numpy NaN comparisons are all-False)
+            keep = ~(cos < thr)
             yield pa.RecordBatch.from_arrays(
                 [batch.column(0).filter(pa.array(keep)),
                  batch.column(1).filter(pa.array(keep)),

@@ -235,14 +235,20 @@ def winnowing_fingerprints(docs: DataFrame, k: int = 5,
     import numpy as np
     import pyarrow as pa
 
-    from cbor_ld_spark.functions.xxh64 import SPARK_SEED
+    from cbor_ld_spark.functions.xxh64 import (
+        PRIME_1 as P1,
+        PRIME_2 as P2,
+        PRIME_3 as P3,
+        PRIME_5 as P5,
+        SPARK_SEED,
+        _signed,
+        xxh64_bytes,
+    )
 
     if k != 5:
         raise ValueError("vectorized winnowing is specialized to k=5 "
                          "(one 4-byte word + one tail byte per gram)")
     ws = re.compile(rb"\s+")
-    P1, P2, P3, P5 = (0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F,
-                      0x165667B19E3779F9, 0x27D4EB2F165667C5)
 
     def fmix(h):
         h ^= h >> np.uint64(33)
@@ -259,7 +265,12 @@ def winnowing_fingerprints(docs: DataFrame, k: int = 5,
         """(n_fps, xor) for one normalized doc, or None."""
         arr = np.frombuffer(data, dtype=np.uint8)
         if len(arr) < k:
-            return None  # single short gram -> no full window either
+            # one short gram = the whole text (matching the previous
+            # truncated-gram semantics); only window=1 can surface it
+            if 1 < window or len(arr) == 0:
+                return None
+            fp = _signed(xxh64_bytes(data, SPARK_SEED))
+            return 1, fp
         grams = np.lib.stride_tricks.sliding_window_view(arr, k)
         k4 = (grams[:, 0].astype(np.uint64)
               | grams[:, 1].astype(np.uint64) << np.uint64(8)

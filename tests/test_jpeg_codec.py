@@ -101,22 +101,24 @@ except ImportError:  # pragma: no cover
 
 def test_jpeg_decodes_real_world_files():
     """The decoder reads real-world baseline JPEGs (incl. 4:2:0 chroma
-    subsampling and grayscale), not just its own encoder's output."""
+    subsampling and grayscale), not just its own encoder's output.
+    One externally-encoded fixture is vendored so the check is
+    deterministic; system JPEGs add coverage when present."""
     import os
 
     candidates = [
-        "/mnt/sandboxing/model_tools_env/v1/python/install/lib/"
-        "python3.11/site-packages/IPython/core/tests/2x2.jpg",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "fixtures", "external_2x2.jpg"),
         "/mnt/sandboxing/model_tools_env/v1/python/install/lib/"
         "python3.11/test/imghdrdata/python.jpg",
         "/root/.rustup/toolchains/stable-x86_64-unknown-linux-gnu/"
         "share/doc/rust/html/embedded-book/assets/verify.jpeg",
     ]
     present = [p for p in candidates if os.path.exists(p)]
-    if not present:
-        pytest.skip("no system JPEGs on this box")
+    assert present, "vendored fixture must exist"
     for p in present:
-        data = open(p, "rb").read()
+        with open(p, "rb") as f:
+            data = f.read()
         px = decode_jpeg(data)
         from cbor_ld_spark.operators.media_codecs import jpeg_dimensions
 

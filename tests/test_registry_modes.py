@@ -190,13 +190,21 @@ try:
     def test_varint_envelope_roundtrip_property(rid):
         from cbor_ld_spark.kernel.tables import (
             DEFAULT_TABLES,
+            REGISTRY,
             register_tables,
         )
 
+        # registration mutates global state: always undo, so other
+        # tests' unknown-id expectations can't be order-poisoned
+        preexisting = rid in REGISTRY
         register_tables(rid, DEFAULT_TABLES)
-        doc = {"@context": "https://www.w3.org/ns/activitystreams",
-               "type": "Note"}
-        back = decode_document(encode_document(doc, registry_id=rid))
-        assert canonical_json(back) == canonical_json(doc)
+        try:
+            doc = {"@context": "https://www.w3.org/ns/activitystreams",
+                   "type": "Note"}
+            back = decode_document(encode_document(doc, registry_id=rid))
+            assert canonical_json(back) == canonical_json(doc)
+        finally:
+            if not preexisting:
+                REGISTRY.pop(rid, None)
 except ImportError:  # pragma: no cover
     pass
