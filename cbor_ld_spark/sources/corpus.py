@@ -168,13 +168,39 @@ def corpus_from_documents(spark: SparkSession, sf_dir: str,
     )
 
 
-def load_repos(spark: SparkSession, source: str) -> DataFrame:
-    """Read the repos corpus: Iceberg table name or parquet path.
+REPOS_SCHEMA = ("repo string, path string, commit string, lang string, "
+                "content string")
+
+
+def load_repos(spark: SparkSession, source: str,
+               fmt: str | None = None) -> DataFrame:
+    """Read the repos corpus: Iceberg table name, or a parquet / jsonl /
+    csv path (``fmt`` overrides the extension sniff).
 
     At production scale this is an Iceberg scan (hidden partitioning on
     ``bucket(N, repo)``); Catalyst pushes filters/pruning into the scan
-    either way.
+    either way.  The text formats carry an explicit schema so a
+    quarantined bad line never silently retypes a column (Spark's
+    schema inference would).
     """
-    if os.path.exists(source) or source.startswith(("file:", "s3:", "hdfs:")):
-        return spark.read.parquet(source)
-    return spark.read.table(source)
+    is_path = (os.path.exists(source)
+               or source.startswith(("file:", "s3:", "hdfs:", "dbfs:")))
+    if not is_path:
+        return spark.read.table(source)
+    if fmt is None:
+        low = source.rstrip("/").lower()
+        if low.endswith((".jsonl", ".json", ".ndjson")):
+            fmt = "jsonl"
+        elif low.endswith(".csv"):
+            fmt = "csv"
+        else:
+            fmt = "parquet"
+    if fmt == "jsonl":
+        return (spark.read.schema(REPOS_SCHEMA)
+                .option("mode", "PERMISSIVE").json(source))
+    if fmt == "csv":
+        return (spark.read.schema(REPOS_SCHEMA)
+                .option("header", "true")
+                .option("multiLine", "true")
+                .option("escape", '"').csv(source))
+    return spark.read.parquet(source)

@@ -24,8 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-REPOS_SCHEMA = ("repo string, path string, commit string, lang string, "
-                "content string")
+from ..sources.corpus import REPOS_SCHEMA
 
 
 def stream_corpus(spark: SparkSession, input_dir: str,

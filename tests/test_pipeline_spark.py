@@ -180,3 +180,32 @@ def test_entity_linking_across_documents(spark):
     # both credentials' proof nodes land in the same component
     members = comp.filter(F.col("component") == uuid_comp).count()
     assert members >= 8
+
+
+def test_load_repos_jsonl_and_csv(spark, tmp_path):
+    """Corpus interchange formats: jsonl/csv sources feed the same
+    kernel pipeline as parquet, with explicit (non-inferred) schemas."""
+    import json
+
+    from cbor_ld_spark.operators import process_corpus
+    from cbor_ld_spark.sources import load_repos, synthesize_corpus
+
+    rows = synthesize_corpus(spark, 40).collect()
+    jsonl = tmp_path / "corpus.jsonl"
+    with open(jsonl, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r.asDict()) + "\n")
+    got = load_repos(spark, str(jsonl))
+    assert got.count() == 40
+    assert got.columns == ["repo", "path", "commit", "lang", "content"]
+    # and it runs end-to-end through the kernel
+    ok = process_corpus(got).filter("ok").count()
+    assert ok > 0
+
+    csv = tmp_path / "corpus.csv"
+    (spark.createDataFrame(rows)
+     .coalesce(1).write.option("header", "true")
+     .option("escape", '"').mode("overwrite").csv(str(csv)))
+    got_csv = load_repos(spark, str(csv), fmt="csv")
+    assert got_csv.count() == 40
+    assert process_corpus(got_csv).filter("ok").count() == ok
