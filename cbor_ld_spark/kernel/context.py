@@ -138,16 +138,24 @@ def _context_cache_key(value: Any) -> str:
 
 # Loader identity tokens: two loaders may resolve the same context URL to
 # different documents in one process, so every memo key must carry which
-# loader produced the result.  Weak references let dead loaders be swept
-# without re-tokenizing live ones (a full clear would orphan every live
-# loader's _PROCESS_CACHE entries); the counter never repeats, so tokens
-# stay distinct across sweeps.  A dead loader's id() may be reused, but
-# the ``ref() is loader`` check catches that and mints a fresh token.
+# loader produced the result.  The token lives ON the loader object (it
+# dies with it — no cache to manage, no id()-reuse hazard, and the
+# lookup is one getattr in the memo hot path); the weakref map is only
+# the fallback for exotic slotted loaders that reject attributes.
 _LOADER_TOKENS: dict[int, tuple[Any, int]] = {}
 _LOADER_COUNTER = iter(range(1, 1 << 62)).__next__
 
 
 def _loader_token(loader) -> int:
+    token = getattr(loader, "_cbor_ld_token", None)
+    if token is not None:
+        return token
+    token = _LOADER_COUNTER()
+    try:
+        loader._cbor_ld_token = token
+        return token
+    except AttributeError:
+        pass
     hit = _LOADER_TOKENS.get(id(loader))
     if hit is not None and hit[0]() is loader:
         return hit[1]
@@ -155,7 +163,6 @@ def _loader_token(loader) -> int:
         for k in [k for k, (ref, _t) in _LOADER_TOKENS.items()
                   if ref() is None]:
             del _LOADER_TOKENS[k]
-    token = _LOADER_COUNTER()
     _LOADER_TOKENS[id(loader)] = (weakref.ref(loader), token)
     return token
 
