@@ -1495,13 +1495,13 @@ _TFIDF_SQL = f"""
 def _winnow_fingerprints_oracle(k: int = 5, window: int = 4,
                                 max_chars: int = 65536,
                                 sf_dir: str | None = None) -> str:
-    """Data-trained winnowing oracle: byte k-gram XXH64 minima replayed
-    driver-side (same technique as _dedup_oracle_model)."""
-    import re
-
+    """Data-trained winnowing oracle: the operator's own pure
+    per-document summary function replayed driver-side (same technique
+    as _dedup_oracle_model) — operator and oracle share
+    ``text._winnow_doc_summary`` verbatim, so they cannot drift."""
     import duckdb
 
-    from cbor_ld_spark.functions.xxh64 import _signed as signed, xxh64_bytes
+    from cbor_ld_spark.operators.text import _winnow_doc_summary
 
     sf_dir = sf_dir or _oracle_sf_dir()
     con = duckdb.connect()
@@ -1510,36 +1510,15 @@ def _winnow_fingerprints_oracle(k: int = 5, window: int = 4,
         f"read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id"
     ).fetchall()
     con.close()
-    ws = re.compile(rb"\s+")
-    mask = (1 << 64) - 1
-
-    cache: dict[bytes, int] = {}
-
-    def h(g: bytes) -> int:
-        v = cache.get(g)
-        if v is None:
-            v = signed(xxh64_bytes(g, 42))
-            cache[g] = v
-        return v
 
     out = []
     for doc_id, text in rows:
         if text is None:
             continue
-        # byte-gram semantics, mirroring winnowing_fingerprints exactly
-        # (normalize the UTF-8 bytes, slide k-byte windows)
-        raw = text[:max_chars].encode("utf-8")
-        norm = ws.sub(b" ", raw.strip(b" ")).lower()
-        if len(norm) < k:
+        summary = _winnow_doc_summary(text, k, window, max_chars)
+        if summary is None:
             continue
-        hs = [h(norm[i:i + k]) for i in range(len(norm) - (k - 1))]
-        if len(hs) < window:
-            continue  # no fully-contained window -> doc absent
-        fps = {min(hs[i:i + window]) for i in range(len(hs) - window + 1)}
-        acc = 0
-        for fp in fps:
-            acc ^= fp & mask
-        out.append((doc_id, len(fps), signed(acc)))
+        out.append((doc_id, summary[0], summary[1]))
     return _values_oracle(
         out, [("doc_id", "BIGINT"), ("n_fingerprints", "BIGINT"),
               ("fp_checksum", "BIGINT")], "doc_id")

@@ -163,7 +163,14 @@ def _loader_token(loader) -> int:
         for k in [k for k, (ref, _t) in _LOADER_TOKENS.items()
                   if ref() is None]:
             del _LOADER_TOKENS[k]
-    _LOADER_TOKENS[id(loader)] = (weakref.ref(loader), token)
+    try:
+        ref = weakref.ref(loader)
+    except TypeError:
+        # __slots__ without __weakref__ rejects both attribute assignment
+        # and weak references: hand out a fresh token per call (correct —
+        # just unmemoized — rather than raising)
+        return token
+    _LOADER_TOKENS[id(loader)] = (ref, token)
     return token
 
 

@@ -137,6 +137,13 @@ def varint_decode(bs: bytes) -> int:
             if i != len(bs) - 1:
                 raise EncodeError("UnsupportedRegistryId",
                                   "trailing bytes after registry varint")
+            if i > 0 and b == 0:
+                # minimal-encoding rule: a multi-byte varint whose final
+                # byte is 0 aliases a shorter encoding (e.g. 0x81 0x00
+                # decodes to 1, colliding with the single-byte tag form) —
+                # two distinct byte forms must not decode identically
+                raise EncodeError("UnsupportedRegistryId",
+                                  "non-minimal registry varint")
             return n
         shift += 7
         if shift > 63:

@@ -459,6 +459,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     comps_in_scan, segments = scan
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
+    for _cid, hs, vs, _tq in comps:
+        # upsampling is integer replication; non-divisor factors (3:2)
+        # would silently repeat(0) into an empty plane downstream —
+        # reject with a typed error instead
+        if hs == 0 or vs == 0 or hmax % hs or vmax % vs:
+            raise MediaDecodeError(
+                f"unsupported JPEG sampling factors ({hs}x{vs} vs max "
+                f"{hmax}x{vmax})")
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
 
@@ -468,6 +476,20 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     seg_idx = 0
     br = _BitReader(segments[0])
     total_mcus = mcus_x * mcus_y
+    # entropy-decode bomb guards: the MCU loop is interpreted Python, so
+    # bound its work *before* entering it.  (a) hard block cap — 2^17
+    # blocks ≈ 8 MP grayscale, far above any legit corpus image here;
+    # (b) every block consumes >= 2 bits (one DC code + one EOB), so a
+    # tiny payload claiming huge dimensions is provably truncated and
+    # quarantines in O(1) instead of O(claimed pixels).
+    blocks_per_mcu = sum(comps[idx][1] * comps[idx][2]
+                         for idx, _td, _ta in comps_in_scan)
+    total_blocks = total_mcus * blocks_per_mcu
+    if total_blocks > (1 << 17):
+        raise MediaDecodeError(
+            f"JPEG entropy-decode work out of bounds ({total_blocks} blocks)")
+    if total_blocks * 2 > sum(len(s) for s in segments) * 8:
+        raise MediaDecodeError("truncated JPEG scan data")
     for m in range(total_mcus):
         if restart and m and m % restart == 0:
             seg_idx += 1

@@ -90,6 +90,11 @@ def connected_components(edges: DataFrame, max_iter: int = 25,
     holds at 10^12 scale); both paths produce identical output.
     """
     spark = edges.sparkSession
+    # One materialization serves both the hybrid-path gate (count) and
+    # whichever path runs: without this, the union+distinct edge lineage
+    # would execute twice (once for count, once for the collect / sym
+    # build) — a full extra shuffle at scale.
+    edges = edges.localCheckpoint()
     n_edges = edges.count()
     if n_edges <= driver_threshold:
         return _driver_union_find(spark, edges)

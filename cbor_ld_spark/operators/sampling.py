@@ -75,14 +75,20 @@ def pack_shards(docs: DataFrame, shard_tokens: int = 2048,
     for pid in sorted(totals):
         offsets[pid] = acc
         acc += totals[pid]
-    offset_col = F.coalesce(*[
-        F.when(F.col("_pid") == pid, F.lit(off))
-        for pid, off in sorted(offsets.items())
-    ]) if offsets else F.lit(0)
-    assigned = per_doc.select(
-        "doc_id", "n_tokens",
-        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens") + offset_col)
-                / shard_tokens).alias("shard_id"))
+    # Broadcast-joined (pid, offset) map instead of a coalesce(when...)
+    # chain — the chain's O(n_partitions) expression tree won't codegen
+    # at cluster partition counts (same shape as text.term_dictionary).
+    off_df = docs.sparkSession.createDataFrame(
+        [(pid, off) for pid, off in sorted(offsets.items())],
+        "_off_pid int, _offset bigint")
+    assigned = (
+        per_doc
+        .join(F.broadcast(off_df), per_doc["_pid"] == off_df["_off_pid"])
+        .select(
+            "doc_id", "n_tokens",
+            F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")
+                     + F.col("_offset"))
+                    / shard_tokens).alias("shard_id")))
     if not summary:
         return assigned.orderBy("doc_id")
     return (

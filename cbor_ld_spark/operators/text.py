@@ -194,17 +194,143 @@ def term_dictionary(docs: DataFrame, min_count: int = 2) -> DataFrame:
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
-    offset_col = F.coalesce(*[
-        F.when(F.col("_pid") == pid, F.lit(off))
-        for pid, off in sorted(offsets.items())
-    ]) if offsets else F.lit(0)
+    # Broadcast-join the tiny (pid, offset) map rather than a
+    # coalesce(when(...)) chain: the chain is O(n_partitions) expression
+    # nodes and stops codegen-ing at the 10^4-10^5 partitions a 100 TB
+    # range-partition implies; a BroadcastHashJoin is O(1) plan size.
+    off_df = docs.sparkSession.createDataFrame(
+        [(pid, off) for pid, off in sorted(offsets.items())],
+        "_off_pid int, _offset bigint")
     return (
         ranked
+        .join(F.broadcast(off_df), ranked["_pid"] == off_df["_off_pid"])
         .select("term", "occurrences",
-                ((F.col("_local_rank") + offset_col) * 2 + 98)
+                ((F.col("_local_rank") + F.col("_offset")) * 2 + 98)
                 .alias("term_id"))
         .orderBy("term")
     )
+
+
+_WS_BYTES = None  # compiled lazily (re import kept out of module import)
+
+
+def _winnow_norm(text: str, max_chars: int) -> bytes:
+    """Winnowing normalization: Unicode lowercase (matching the Spark
+    ``lower`` the sibling operators use via ``_norm``), THEN UTF-8
+    encode + byte-level whitespace collapse.  Shared verbatim by the
+    operator and the DuckDB oracle generator so they can never drift.
+    """
+    global _WS_BYTES
+    if _WS_BYTES is None:
+        import re
+        _WS_BYTES = re.compile(rb"\s+")
+    raw = text[:max_chars].lower().encode("utf-8")
+    return _WS_BYTES.sub(b" ", raw.strip(b" "))
+
+
+def _winnow_gram_hashes(norm: bytes, k: int):
+    """Signed-int64 XXH64(seed 42) of every k-byte gram, vectorized.
+
+    Bit-exact replica of Spark's ``xxhash64`` over the gram bytes
+    (validated against ``functions/xxh64.py`` / ``F.xxhash64`` in
+    ``tests/test_xxh64.py``) for ANY k >= 1: grams shorter than 32
+    bytes take XXH64's small-input path, longer ones run the 4-lane
+    32-byte stripe loop — all as uint64 numpy lane arithmetic over the
+    sliding-window gram matrix, no per-gram Python.
+    """
+    import numpy as np
+
+    from cbor_ld_spark.functions.xxh64 import (
+        PRIME_1 as P1,
+        PRIME_2 as P2,
+        PRIME_3 as P3,
+        PRIME_4 as P4,
+        PRIME_5 as P5,
+        SPARK_SEED,
+    )
+
+    def u(x):
+        return np.uint64(x & ((1 << 64) - 1))
+
+    def rotl(x, r):
+        return (x << np.uint64(r)) | (x >> np.uint64(64 - r))
+
+    arr = np.frombuffer(norm, dtype=np.uint8)
+    g64 = np.lib.stride_tricks.sliding_window_view(arr, k).astype(np.uint64)
+    n = g64.shape[0]
+
+    def word(off, nbytes):
+        w = g64[:, off].copy()
+        for j in range(1, nbytes):
+            w |= g64[:, off + j] << np.uint64(8 * j)
+        return w
+
+    i = 0
+    if k >= 32:
+        v = [np.full(n, u(SPARK_SEED + P1 + P2), dtype=np.uint64),
+             np.full(n, u(SPARK_SEED + P2), dtype=np.uint64),
+             np.full(n, u(SPARK_SEED), dtype=np.uint64),
+             np.full(n, u(SPARK_SEED - P1), dtype=np.uint64)]
+        while i + 32 <= k:
+            for lane in range(4):
+                v[lane] = rotl(v[lane] + word(i + 8 * lane, 8) * u(P2),
+                               31) * u(P1)
+            i += 32
+        h = rotl(v[0], 1) + rotl(v[1], 7) + rotl(v[2], 12) + rotl(v[3], 18)
+        for lane in range(4):
+            h ^= rotl(v[lane] * u(P2), 31) * u(P1)
+            h = h * u(P1) + u(P4)
+        h += u(k)
+    else:
+        h = np.full(n, u(SPARK_SEED + P5 + k), dtype=np.uint64)
+    while i + 8 <= k:
+        h ^= rotl(word(i, 8) * u(P2), 31) * u(P1)
+        h = rotl(h, 27) * u(P1) + u(P4)
+        i += 8
+    if i + 4 <= k:
+        h ^= word(i, 4) * u(P1)
+        h = rotl(h, 23) * u(P2) + u(P3)
+        i += 4
+    while i < k:
+        h ^= g64[:, i] * u(P5)
+        h = rotl(h, 11) * u(P1)
+        i += 1
+    h ^= h >> np.uint64(33)
+    h *= u(P2)
+    h ^= h >> np.uint64(29)
+    h *= u(P3)
+    h ^= h >> np.uint64(32)
+    return h.view(np.int64)  # Spark longs order signed
+
+
+def _winnow_doc_summary(text: str, k: int, window: int, max_chars: int):
+    """(n_fingerprints, xor_checksum) for one document, or None.
+
+    Pure function of the text — the oracle generator replays this
+    driver-side, so it IS the semantics.
+    """
+    import numpy as np
+
+    from cbor_ld_spark.functions.xxh64 import (
+        SPARK_SEED,
+        _signed,
+        xxh64_bytes,
+    )
+
+    norm = _winnow_norm(text, max_chars)
+    if len(norm) < k:
+        # one short gram = the whole text (matching the previous
+        # truncated-gram semantics); only window=1 can surface it
+        if 1 < window or len(norm) == 0:
+            return None
+        return 1, _signed(xxh64_bytes(norm, SPARK_SEED))
+    signed = _winnow_gram_hashes(norm, k)
+    if len(signed) < window:
+        return None
+    mins = np.unique(
+        np.lib.stride_tricks.sliding_window_view(signed, window)
+        .min(axis=1))
+    return len(mins), int(np.bitwise_xor.reduce(mins))
 
 
 def winnowing_fingerprints(docs: DataFrame, k: int = 5,
@@ -218,8 +344,8 @@ def winnowing_fingerprints(docs: DataFrame, k: int = 5,
     set.  Guarantee: two documents sharing any substring of length >=
     window + k - 1 bytes share at least one fingerprint
     (Schleimer/Wilkerson/Aiken, SIGMOD'03).  Hash values equal Spark's
-    ``xxhash64`` of the gram (bit-validated numpy replica), so the
-    data-trained oracle replays them exactly.
+    ``xxhash64`` of the gram (bit-validated numpy replica, any k), so
+    the data-trained oracle replays them exactly.
 
     Output is the per-doc summary (count + XOR checksum of the set) —
     one row per document.  Scale shape: winnowing is a pure per-document
@@ -230,64 +356,10 @@ def winnowing_fingerprints(docs: DataFrame, k: int = 5,
     ``max_chars`` caps per-document work so one pathological 100 MB row
     cannot dominate a task.
     """
-    import re
-
-    import numpy as np
     import pyarrow as pa
 
-    from cbor_ld_spark.functions.xxh64 import (
-        PRIME_1 as P1,
-        PRIME_2 as P2,
-        PRIME_3 as P3,
-        PRIME_5 as P5,
-        SPARK_SEED,
-        _signed,
-        xxh64_bytes,
-    )
-
-    if k != 5:
-        raise ValueError("vectorized winnowing is specialized to k=5 "
-                         "(one 4-byte word + one tail byte per gram)")
-    ws = re.compile(rb"\s+")
-
-    def fmix(h):
-        h ^= h >> np.uint64(33)
-        h *= np.uint64(P2)
-        h ^= h >> np.uint64(29)
-        h *= np.uint64(P3)
-        h ^= h >> np.uint64(32)
-        return h
-
-    def rotl(x, r):
-        return (x << np.uint64(r)) | (x >> np.uint64(64 - r))
-
-    def doc_fps(data: bytes):
-        """(n_fps, xor) for one normalized doc, or None."""
-        arr = np.frombuffer(data, dtype=np.uint8)
-        if len(arr) < k:
-            # one short gram = the whole text (matching the previous
-            # truncated-gram semantics); only window=1 can surface it
-            if 1 < window or len(arr) == 0:
-                return None
-            fp = _signed(xxh64_bytes(data, SPARK_SEED))
-            return 1, fp
-        grams = np.lib.stride_tricks.sliding_window_view(arr, k)
-        k4 = (grams[:, 0].astype(np.uint64)
-              | grams[:, 1].astype(np.uint64) << np.uint64(8)
-              | grams[:, 2].astype(np.uint64) << np.uint64(16)
-              | grams[:, 3].astype(np.uint64) << np.uint64(24))
-        h = np.full(len(grams), SPARK_SEED + P5 + k, dtype=np.uint64)
-        h ^= k4 * np.uint64(P1)
-        h = rotl(h, 23) * np.uint64(P2) + np.uint64(P3)
-        h ^= grams[:, 4].astype(np.uint64) * np.uint64(P5)
-        h = rotl(h, 11) * np.uint64(P1)
-        signed = fmix(h).view(np.int64)  # Spark longs order signed
-        if len(signed) < window:
-            return None
-        mins = np.unique(
-            np.lib.stride_tricks.sliding_window_view(signed, window)
-            .min(axis=1))
-        return len(mins), np.bitwise_xor.reduce(mins)
+    if k < 1 or window < 1:
+        raise ValueError("winnowing needs k >= 1 and window >= 1")
 
     def compute(batches):
         for b in batches:
@@ -295,9 +367,7 @@ def winnowing_fingerprints(docs: DataFrame, k: int = 5,
             for mid, text in zip(b.column(0), b.column(1)):
                 if not text.is_valid:
                     continue
-                raw = text.as_py()[:max_chars].encode("utf-8")
-                norm = ws.sub(b" ", raw.strip(b" ")).lower()
-                out = doc_fps(norm)
+                out = _winnow_doc_summary(text.as_py(), k, window, max_chars)
                 if out is None:
                     continue
                 ids.append(mid.as_py())

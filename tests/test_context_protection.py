@@ -126,3 +126,29 @@ def test_keyword_like_id_does_not_strip_protected_term():
     ], LOADER)
     d = active.get("name")
     assert d is not None and d.iri == "https://ex.org/name" and d.protected
+
+
+def test_loader_token_slotted_loader_no_weakref():
+    """A loader whose class uses __slots__ without __weakref__ rejects
+    both attribute assignment and weak references; _loader_token must
+    fall back to unmemoized fresh tokens rather than raise (ADVICE r3)."""
+    from cbor_ld_spark.kernel.context import _loader_token
+
+    class Slotted:
+        __slots__ = ("docs",)
+
+        def __init__(self):
+            self.docs = {}
+
+    s = Slotted()
+    t1 = _loader_token(s)
+    t2 = _loader_token(s)
+    assert isinstance(t1, int) and isinstance(t2, int)
+    # fresh tokens are correct (cache misses), just unmemoized
+    assert t1 != t2
+
+    class Plain:
+        pass
+
+    p = Plain()
+    assert _loader_token(p) == _loader_token(p)

@@ -125,3 +125,45 @@ def test_jpeg_decodes_real_world_files():
         w, h = jpeg_dimensions(data)
         assert px.shape[:2] == (h, w)
         assert px.dtype == np.uint8
+
+
+def test_jpeg_entropy_bomb_quarantines_cheaply():
+    """A tiny payload claiming huge-but-under-pixel-cap dimensions must
+    be rejected BEFORE the interpreted MCU loop runs (2-bits-per-block
+    lower bound), and over-cap block counts get the typed work guard."""
+    import time
+
+    px = _gradient(8, 8, 3)
+    data = bytearray(encode_jpeg(px))
+    idx = bytes(data).find(b"\xff\xc0")
+    # claim 4096x4096 (inside the 2^26 pixel cap -> 786k blocks at
+    # 4:4:4) with the original ~tiny scan payload
+    data[idx + 5:idx + 9] = struct.pack(">HH", 1 << 12, 1 << 12)
+    t0 = time.monotonic()
+    with pytest.raises(MediaDecodeError,
+                       match="out of bounds|truncated JPEG scan"):
+        decode_jpeg(bytes(data))
+    assert time.monotonic() - t0 < 1.0
+    # just under the block cap but scan data far too short: the
+    # truncation bound fires in O(1)
+    data[idx + 5:idx + 9] = struct.pack(">HH", 1 << 10, 1 << 10)
+    t0 = time.monotonic()
+    with pytest.raises(MediaDecodeError, match="truncated JPEG scan"):
+        decode_jpeg(bytes(data))
+    assert time.monotonic() - t0 < 1.0
+
+
+def test_jpeg_bad_sampling_factors_typed_error():
+    """Non-divisor sampling factors (3 vs max 2 would repeat(0)) raise a
+    typed MediaDecodeError instead of a downstream numpy shape error."""
+    px = _gradient(16, 16, 3)
+    data = bytearray(encode_jpeg(px))
+    idx = bytes(data).find(b"\xff\xc0")
+    # SOF: len(2) prec(1) h(2) w(2) ncomp(1) then per-comp (id, HV, tq);
+    # our encoder writes 4:4:4 (HV=0x11 everywhere) — set comp0 to 3x3
+    # and leave the rest at 1x1 -> hmax=3, 3%1==0 fine, so instead set
+    # comp1 to 2x2 with comp0 3x3: hmax=3, 3%2 != 0
+    data[idx + 11] = 0x33
+    data[idx + 14] = 0x22
+    with pytest.raises(MediaDecodeError, match="sampling factors"):
+        decode_jpeg(bytes(data))

@@ -208,3 +208,24 @@ try:
                 REGISTRY.pop(rid, None)
 except ImportError:  # pragma: no cover
     pass
+
+
+def test_varint_non_minimal_rejected():
+    """Two distinct byte forms must not decode identically: a multi-byte
+    varint ending in 0x00 aliases a shorter encoding (0x81 0x00 -> 1,
+    colliding with the single-byte tag form) and is rejected."""
+    from cbor_ld_spark.kernel import CborLdError
+    from cbor_ld_spark.kernel.cbor import dumps
+    from cbor_ld_spark.kernel.tables import varint_decode
+
+    with pytest.raises(Exception, match="non-minimal"):
+        varint_decode(b"\x81\x00")
+    with pytest.raises(Exception, match="non-minimal"):
+        varint_decode(b"\x80\x81\x00")
+    # minimal multi-byte forms still decode
+    assert varint_decode(b"\x80\x01") == 128
+    # end-to-end: tag 0x06|0x81 + rest b"\x00" claims registry id 1 in
+    # varint clothing — rejected, not aliased to the single-byte form
+    data = dumps(CborTag((0x06 << 8) | 0x81, [b"\x00", CborMap([])]))
+    with pytest.raises(CborLdError, match="UnsupportedRegistryId"):
+        decode_document(data)

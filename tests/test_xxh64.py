@@ -45,3 +45,51 @@ def test_dedup_oracle_model_matches_spark(spark):
         assert m["sig_of"][doc_id] == sig, doc_id
     for doc_id, sim in sims.items():
         assert m["sim_of"][doc_id] == sim, doc_id
+
+
+def test_winnow_gram_hashes_any_k():
+    """The vectorized gram hasher is bit-exact vs the scalar XXH64
+    replica for every k band (tail-only, 4-byte, 8-byte words, and the
+    >=32-byte stripe loop)."""
+    import random
+
+    import numpy as np
+
+    from cbor_ld_spark.functions.xxh64 import (
+        SPARK_SEED,
+        _signed,
+        xxh64_bytes,
+    )
+    from cbor_ld_spark.operators.text import _winnow_gram_hashes
+
+    rng = random.Random(1234)
+    data = bytes(rng.randrange(256) for _ in range(257))
+    for k in (1, 2, 3, 4, 5, 7, 8, 9, 12, 13, 16, 31, 32, 33, 40, 64, 65):
+        got = _winnow_gram_hashes(data, k)
+        n = len(data) - k + 1
+        assert len(got) == n
+        expect = np.array(
+            [_signed(xxh64_bytes(data[i:i + k], SPARK_SEED))
+             for i in range(n)], dtype=np.int64)
+        assert np.array_equal(got, expect), k
+
+
+def test_winnow_gram_hashes_match_spark_xxhash64(spark):
+    """End-to-end: the gram hashes equal Spark's F.xxhash64 over the
+    gram bytes for k in {3, 5, 8, 40}."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from cbor_ld_spark.operators.text import _winnow_gram_hashes
+
+    rng = random.Random(99)
+    data = bytes(rng.randrange(256) for _ in range(120))
+    for k in (3, 5, 8, 40):
+        grams = [data[i:i + k] for i in range(len(data) - k + 1)]
+        df = spark.createDataFrame(
+            [(i, g) for i, g in enumerate(grams)], "i int, g binary")
+        rows = df.select("i", F.xxhash64("g").alias("h")) \
+            .orderBy("i").collect()
+        got = _winnow_gram_hashes(data, k)
+        assert [int(x) for x in got] == [r["h"] for r in rows], k
