@@ -487,21 +487,44 @@ def _kg_canonical_dedup(spark, sf_dir):
               "canonical_subjects long")
 
 
+_SKETCH_RSD = 0.02  # approx_count_distinct relative standard deviation
+
+
 def _kg_cardinality_sketch(spark, sf_dir):
     """Node-cardinality sketches (approx_count_distinct; SURVEY §2B).
 
     HLL sketches are the 10^12-scale way to size dictionaries and plan
-    bucket counts without an exact distinct shuffle.
+    bucket counts without an exact distinct shuffle.  To make the sketch
+    value-verifiable by the strict hash gate, the query also computes
+    the exact distincts (the *gate-scale verification tier* — never the
+    10^12 path) and emits, per dimension, the exact count plus a boolean
+    asserting the sketch landed within 3x its configured rsd of it; the
+    oracle hash-matches the exact counts and expects TRUE for every
+    bound (HLL is deterministic for a fixed input, so this is stable).
     """
     from cbor_ld_spark.operators import process_corpus, triples_table
     from cbor_ld_spark.sources import corpus_from_documents
 
     t = triples_table(process_corpus(corpus_from_documents(spark, sf_dir)))
-    return t.agg(
-        F.approx_count_distinct("subj", 0.02).alias("approx_subjects"),
-        F.approx_count_distinct("pred", 0.02).alias("approx_predicates"),
-        F.approx_count_distinct("obj", 0.02).alias("approx_objects"),
+    agg = t.agg(
+        F.approx_count_distinct("subj", _SKETCH_RSD).alias("a_subj"),
+        F.approx_count_distinct("pred", _SKETCH_RSD).alias("a_pred"),
+        F.approx_count_distinct("obj", _SKETCH_RSD).alias("a_obj"),
+        F.countDistinct("subj").alias("exact_subjects"),
+        F.countDistinct("pred").alias("exact_predicates"),
+        F.countDistinct("obj").alias("exact_objects"),
         F.count(F.lit(1)).alias("triples"),
+    )
+
+    def within(approx, exact):
+        return (F.abs(F.col(approx) - F.col(exact))
+                <= F.ceil(F.lit(3 * _SKETCH_RSD) * F.col(exact)))
+
+    return agg.select(
+        "exact_subjects", "exact_predicates", "exact_objects", "triples",
+        within("a_subj", "exact_subjects").alias("subjects_within_rsd"),
+        within("a_pred", "exact_predicates").alias("predicates_within_rsd"),
+        within("a_obj", "exact_objects").alias("objects_within_rsd"),
     )
 
 
@@ -696,10 +719,11 @@ def _variant_outcomes():
     ``doc_id % 1024`` (entity-UUID templating), so every corpus-level KG
     aggregate is derivable from the k single-document kernel runs below.
     Each entry: (vidx, ok, error_kind, roundtrip_ok, triples) where
-    triples is a list of (subj_template, entity_dependent, pred) — the
-    subject with the fixture's template UUID in place, plus a flag for
-    whether the realized subject varies with the per-doc entity UUID
-    (IRI containing the UUID, or a doc-sha-prefixed blank label).
+    triples is a list of (subj_template, subj_entity_dependent, pred,
+    obj_template, obj_entity_dependent) — templates with the fixture's
+    template UUID in place, plus flags for whether the realized value
+    varies with the per-doc entity UUID (IRI containing the UUID, or a
+    doc-sha-prefixed blank label).
     Only sniff-passing variants (lang == json, object-shaped, @context
     present) appear — mirroring ``jsonld_sniff``.
     """
@@ -722,11 +746,12 @@ def _variant_outcomes():
             f"variant {i}: outcome depends on entity uuid"
         triples = []
         if ok and a[7] > 0:
-            subj_a, pred_a = a[8], a[9]
-            subj_b, pred_b = b[8], b[9]
+            subj_a, pred_a, obj_a = a[8], a[9], a[10]
+            subj_b, pred_b, obj_b = b[8], b[9], b[10]
             assert pred_a == pred_b, f"variant {i}: predicate templated"
-            for sa, sb, p in zip(subj_a, subj_b, pred_a):
-                triples.append((sa, sa != sb, p))
+            for sa, sb, p, oa, ob in zip(subj_a, subj_b, pred_a,
+                                         obj_a, obj_b):
+                triples.append((sa, sa != sb, p, oa, oa != ob))
         out.append((i, ok, error_kind, rt, triples))
     return out
 
@@ -775,6 +800,44 @@ def _roundtrip_violations_oracle() -> str:
     """
 
 
+def _cardinality_sketch_oracle() -> str:
+    """Exact distinct subjects/predicates/objects from cycling math
+    (same template || entity-hash injectivity argument as
+    _triples_by_pred_oracle, extended to objects), with TRUE for every
+    within-rsd bound — the Spark side computes the booleans from its
+    own HLL sketches vs its own exact counts, so a sketch drifting past
+    3x rsd hash-mismatches loudly."""
+    from cbor_ld_spark.sources import payload_variants
+
+    k = len(payload_variants())
+    rows = []
+    for i, ok, _ek, _rt, triples in _variant_outcomes():
+        for subj, sdep, pred, obj, odep in triples:
+            rows.append(
+                f"({i}, {_sql_str(subj)}, {str(bool(sdep)).upper()}, "
+                f"{_sql_str(pred)}, {_sql_str(obj)}, "
+                f"{str(bool(odep)).upper()})")
+    vals = ", ".join(rows)
+    # chr(31) separator: an entity-dependent key can never collide with
+    # a literal template that happens to end in a hash-like suffix
+    sk = "subj || CASE WHEN sdep THEN chr(31) || eh ELSE '' END"
+    ok_ = "obj || CASE WHEN odep THEN chr(31) || eh ELSE '' END"
+    return f"""
+        WITH t(vidx, subj, sdep, pred, obj, odep) AS (VALUES {vals}),
+        d AS (SELECT doc_id % {k} AS vidx,
+                     md5('ent:' || (doc_id % 1024)::VARCHAR) AS eh
+              FROM documents)
+        SELECT count(DISTINCT {sk})::BIGINT AS exact_subjects,
+               count(DISTINCT pred)::BIGINT AS exact_predicates,
+               count(DISTINCT {ok_})::BIGINT AS exact_objects,
+               count(*)::BIGINT AS triples,
+               TRUE AS subjects_within_rsd,
+               TRUE AS predicates_within_rsd,
+               TRUE AS objects_within_rsd
+        FROM d JOIN t USING (vidx)
+    """
+
+
 def _triples_by_pred_oracle() -> str:
     """Per-predicate triple + distinct-subject counts from cycling math.
 
@@ -789,7 +852,7 @@ def _triples_by_pred_oracle() -> str:
     k = len(payload_variants())
     rows = []
     for i, ok, _ek, _rt, triples in _variant_outcomes():
-        for subj, dep, pred in triples:
+        for subj, dep, pred, _obj, _odep in triples:
             rows.append(f"({i}, {_sql_str(subj)}, "
                         f"{str(bool(dep)).upper()}, {_sql_str(pred)})")
     vals = ", ".join(rows)
@@ -1590,6 +1653,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_doc_results": _doc_results_oracle(),
         "kg_roundtrip_violations": _roundtrip_violations_oracle(),
         "kg_triples_by_pred": _triples_by_pred_oracle(),
+        "kg_cardinality_sketch": _cardinality_sketch_oracle(),
         "kg_canonical_dedup": _canonical_dedup_oracle(),
         "kg_entity_components": _entity_components_oracle(),
         # data-trained oracles need the gate-scale parquet; if it is

@@ -44,7 +44,8 @@ def triple_pr(emitted: DataFrame, reference: DataFrame) -> DataFrame:
 
 
 def salted_join(big: DataFrame, small: DataFrame, key: str,
-                salt: int = 16, how: str = "inner") -> DataFrame:
+                salt: int = 16, how: str = "inner",
+                keep_salt: bool = False) -> DataFrame:
     """Equi-join where ``big[key]`` is skewed: salt big, replicate small.
 
     big gains a uniform pseudo-random salt in [0, S); small is exploded
@@ -73,4 +74,5 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
     small_s = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
     out = big_s.join(small_s, [key, "_salt"], how)
-    return out.drop("_salt")
+    # keep_salt exposes the assignment for determinism tests/diagnostics
+    return out if keep_salt else out.drop("_salt")

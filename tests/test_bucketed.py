@@ -83,3 +83,30 @@ def test_graph_bucketed_materialization(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS kgtest.edges")
         spark.sql("DROP TABLE IF EXISTS kgtest.nodes")
         spark.sql("DROP DATABASE IF EXISTS kgtest")
+
+
+def test_dedup_first_pipeline_plan_hygiene(spark, tmp_path):
+    """The dedup-first kernel dataflow plans exactly one shuffle (the
+    content_sha dropDuplicates), exactly one Python stage (the kernel
+    mapInArrow over *distinct* contents, below the join-back), and no
+    row-at-a-time Python anywhere — same plan-hygiene bar as the
+    bucketed-join assertions above."""
+    from cbor_ld_spark.operators import process_corpus
+    from cbor_ld_spark.sources import corpus_from_documents
+
+    src = str(tmp_path / "repos.parquet")
+    corpus_from_documents(spark, "/root/testdata/sf0.001") \
+        .write.parquet(src)
+    repos = spark.read.parquet(src)
+    out = process_corpus(repos)
+    out.count()  # resolve AQE to the final plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+
+    assert plan.count("MapInArrow") == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    # the single Python stage sits BELOW the join-back (parents print
+    # first): everything after the provenance join is JVM-side
+    join_pos = max(plan.find("BroadcastHashJoin"), plan.find("SortMergeJoin"))
+    assert join_pos >= 0, plan
+    assert plan.find("MapInArrow") > join_pos, plan

@@ -274,3 +274,36 @@ def test_streaming_dedup_keep_first(spark):
         assert final.select("content_hash").distinct().count() == 13
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_streaming_dedup_matches_batch(spark):
+    """Stream/batch parity (r3 verdict item 8): one availableNow drain
+    of stream_dedup_keep_first over the real documents table emits
+    exactly the batch dedup_keep_first content-hash set, one row per
+    distinct hash.  (doc_id may differ: the stream keeps first-ARRIVED,
+    the batch keeps min doc_id — the invariant is the dedup set.)"""
+    import os
+    import shutil
+    import tempfile
+
+    from cbor_ld_spark.operators.dedup import dedup_keep_first
+    from cbor_ld_spark.streaming import stream_dedup_keep_first
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text")
+    base = tempfile.mkdtemp(prefix="kgdedup_parity_")
+    inp, out, ckpt = (os.path.join(base, d) for d in ("in", "out", "ckpt"))
+    try:
+        docs.write.parquet(inp)
+        stream = (spark.readStream
+                  .schema("doc_id long, text string").parquet(inp))
+        q = stream_dedup_keep_first(stream, out, ckpt)
+        q.awaitTermination(120)
+        streamed = spark.read.parquet(out)
+        batch = dedup_keep_first(docs)
+        s_hashes = sorted(r["content_hash"] for r in streamed.collect())
+        b_hashes = sorted(r["content_hash"] for r in batch.collect())
+        assert s_hashes == b_hashes
+        assert len(s_hashes) == len(set(s_hashes))
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
