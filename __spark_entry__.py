@@ -263,6 +263,22 @@ def _multimodal_audio_features(spark, sf_dir):
     return audio_features(synthesize_media(spark, 300)).orderBy("media_id")
 
 
+def _multimodal_video_frames(spark, sf_dir):
+    """Real MJPEG-in-AVI frame sampling (r4): RIFF demux + baseline JPEG
+    decode per frame, aHash + dims per sampled frame; value-verified via
+    the pure-function-of-media_id oracle (the PNG payload column is
+    dropped — the metadata tier is the hash-compared surface)."""
+    from cbor_ld_spark.operators.multimodal import (
+        sample_frames,
+        synthesize_media,
+    )
+
+    return (sample_frames(synthesize_media(spark, 300), every_ms=125)
+            .select("media_id", "frame_idx", "ts_ms", "ok",
+                    "width", "height", "phash")
+            .orderBy("media_id", "frame_idx"))
+
+
 def _rel_pricing_summary(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
@@ -582,6 +598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf_top_terms": _text_tfidf_top_terms,
         "multimodal_image_features": _multimodal_image_features,
         "multimodal_audio_features": _multimodal_audio_features,
+        "multimodal_video_frames": _multimodal_video_frames,
         "rel_pricing_summary": _rel_pricing_summary,
         "rel_top_customers": _rel_top_customers,
         "rel_orders_with_returns": _rel_orders_with_returns,
@@ -1587,6 +1604,31 @@ def _winnow_fingerprints_oracle(k: int = 5, window: int = 4,
               ("fp_checksum", "BIGINT")], "doc_id")
 
 
+def _multimodal_video_oracle(n_rows: int = 300,
+                             every_ms: int = 125,
+                             max_frames: int = 8) -> str:
+    """Video-frame oracle: the media corpus AND the demux+decode are
+    pure functions of media_id (synthesize_media_row / video_frame_rows
+    shared with the Spark stage) — replay both driver-side."""
+    from cbor_ld_spark.operators.multimodal import (
+        synthesize_media_row,
+        video_frame_rows,
+    )
+
+    rows = []
+    for i in range(n_rows):
+        mid, kind, _mt, payload, _src = synthesize_media_row(i)
+        if kind == "video":
+            rows.extend(r[:7] for r in video_frame_rows(
+                mid, payload, every_ms, max_frames, with_pixels=False))
+    return _values_oracle(
+        rows,
+        [("media_id", "BIGINT"), ("frame_idx", "INTEGER"),
+         ("ts_ms", "BIGINT"), ("ok", "VARCHAR"), ("width", "INTEGER"),
+         ("height", "INTEGER"), ("phash", "VARCHAR")],
+        "media_id, frame_idx")
+
+
 def _multimodal_image_oracle(n_rows: int = 300) -> str:
     """The media corpus is a pure function of media_id
     (operators/multimodal.py synthesize_media_row) and so is the feature
@@ -1635,6 +1677,7 @@ def _data_trained_oracles() -> dict[str, str]:
                 "ann_lsh_topk": _lsh_topk_oracle(),
                 "multimodal_image_features": _multimodal_image_oracle(),
                 "multimodal_audio_features": _multimodal_audio_oracle(),
+                "multimodal_video_frames": _multimodal_video_oracle(),
                 "dedup_embedding_lsh": _embedding_lsh_dedup_oracle(),
                 "text_winnow_fingerprints": _winnow_fingerprints_oracle(),
                 "sample_stratified": _sample_stratified_oracle(),

@@ -1,0 +1,133 @@
+"""Minimal RIFF/AVI container codec for MJPEG streams (stdlib struct).
+
+Closes the last media-tier seam: with a real baseline JPEG codec in the
+repo (``operators/jpeg_codec.py``), video only needs the *container*
+layer — and AVI 1.0 with an MJPEG ``vids`` stream is ~plain RIFF chunk
+walking.  Both directions are implemented so the synthesized corpus
+(``multimodal.synthesize_media_row``) carries genuinely demuxable
+payloads and ``sample_frames`` is a real pixel tier end-to-end, the
+same bar the image formats meet.
+
+Format facts used here are public structure definitions (Microsoft
+AVI RIFF reference: MainAVIHeader / AVIStreamHeader /
+BITMAPINFOHEADER, 'movi' record naming ``##dc``/``##db``, even-byte
+chunk padding, 'idx1' entries).  Strictness follows the pipeline's
+quarantine contract: malformed containers raise a typed
+``MediaDecodeError`` (``media_codecs.py``), never a bare crash, and
+decode work is bounded by the payload length plus an explicit frame
+cap — there is no dimension-claimed amplification the way entropy
+coding allows (reference precedent for the guard shape:
+``jpeg_codec.py`` bomb guards).
+"""
+
+from __future__ import annotations
+
+import struct
+
+from .media_codecs import MediaDecodeError
+
+MAX_FRAMES = 4096  # hard demux cap: bounds downstream JPEG-decode work
+
+
+def encode_avi_mjpeg(frames: list[bytes], width: int, height: int,
+                     us_per_frame: int = 100_000) -> bytes:
+    """JPEG-per-frame list -> AVI 1.0 bytes ('vids'/'MJPG' stream).
+
+    ``frames`` are complete JFIF payloads (``jpeg_codec.encode_jpeg``
+    output); ``us_per_frame`` is the frame interval in microseconds
+    (100_000 = 10 fps).
+    """
+    if not frames:
+        raise ValueError("encode_avi_mjpeg needs at least one frame")
+    if us_per_frame <= 0:
+        raise ValueError("us_per_frame must be positive")
+
+    def chunk(ckid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return ckid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(four: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", four + body)
+
+    max_size = max(len(f) for f in frames)
+    avih = struct.pack(
+        "<14I", us_per_frame, max_size * 1_000_000 // us_per_frame,
+        0, 0x10,  # padding, AVIF_HASINDEX
+        len(frames), 0, 1, max_size, width, height, 0, 0, 0, 0)
+    # strh, 56 bytes: fccType fccHandler flags prio+lang initial_frames
+    # scale rate start length suggested_buffer quality sample_size
+    # rcFrame[4 shorts]
+    strh = (b"vids" + b"MJPG"
+            + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1,
+                          1_000_000 // us_per_frame, 0, len(frames),
+                          max_size, 0xFFFFFFFF, 0)
+            + struct.pack("<4H", 0, 0, width, height))
+    strf = struct.pack("<IiiHH4sIiiII", 40, width, height, 1, 24,
+                       b"MJPG", width * height * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+
+    movi_body = b"".join(chunk(b"00dc", f) for f in frames)
+    movi = lst(b"movi", movi_body)
+    # idx1 offsets are relative to the 'movi' fourcc position
+    idx_entries, off = [], 4
+    for f in frames:
+        idx_entries.append(struct.pack("<4sIII", b"00dc", 0x10, off, len(f)))
+        off += 8 + len(f) + (len(f) % 2)
+    idx1 = chunk(b"idx1", b"".join(idx_entries))
+
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_mjpeg(payload: bytes) -> tuple[int, int, int, list[bytes]]:
+    """AVI bytes -> (us_per_frame, width, height, [jpeg_frame, ...]).
+
+    Walks the RIFF chunk tree: 'avih' supplies timing + dimensions,
+    stream-0 records (``00dc``/``00db``) inside 'movi' supply the JPEG
+    payloads in presentation order.  Raises ``MediaDecodeError`` for
+    anything malformed (truncated chunk, missing headers, >MAX_FRAMES).
+    """
+    if len(payload) < 12 or payload[:4] != b"RIFF" \
+            or payload[8:12] != b"AVI ":
+        raise MediaDecodeError("not a RIFF/AVI payload")
+    riff_size = struct.unpack("<I", payload[4:8])[0]
+    if riff_size + 8 > len(payload) + 1:  # +1: tolerate odd-pad slack
+        raise MediaDecodeError("truncated AVI (RIFF size exceeds payload)")
+
+    us_per_frame = None
+    width = height = None
+    frames: list[bytes] = []
+
+    def walk(buf: bytes, in_movi: bool) -> None:
+        nonlocal us_per_frame, width, height
+        pos = 0
+        while pos + 8 <= len(buf):
+            ckid = buf[pos:pos + 4]
+            size = struct.unpack("<I", buf[pos + 4:pos + 8])[0]
+            body = buf[pos + 8:pos + 8 + size]
+            if len(body) != size:
+                raise MediaDecodeError("truncated AVI chunk")
+            if ckid == b"LIST":
+                if size < 4:
+                    raise MediaDecodeError("malformed AVI LIST")
+                walk(body[4:], in_movi or body[:4] == b"movi")
+            elif ckid == b"avih":
+                if size < 40:
+                    raise MediaDecodeError("short avih header")
+                vals = struct.unpack("<10I", body[:40])
+                us_per_frame = vals[0]
+                width, height = vals[8], vals[9]
+            elif in_movi and ckid in (b"00dc", b"00db"):
+                if len(frames) >= MAX_FRAMES:
+                    raise MediaDecodeError(
+                        f"AVI exceeds {MAX_FRAMES}-frame demux cap")
+                frames.append(body)
+            pos += 8 + size + (size % 2)
+
+    walk(payload[12:12 + riff_size - 4], False)
+    if us_per_frame is None or not us_per_frame:
+        raise MediaDecodeError("AVI missing avih timing header")
+    if not frames:
+        raise MediaDecodeError("AVI contains no stream-0 video records")
+    return us_per_frame, int(width), int(height), frames

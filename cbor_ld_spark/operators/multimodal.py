@@ -9,9 +9,10 @@ stages.  Decode tiers (operators/media_codecs.py, stdlib+numpy only):
   operators/jpeg_codec.py), GIF (LZW, operators/gif_codec.py) —
   features, perceptual aHash, and resize are genuine transforms.
 * **audio**: WAV 16-bit PCM fully decoded (duration, rms, peak).
-* **video**: frame demux genuinely needs an av library; ``sample_frames``
-  remains a deterministic stub behind the clearly-marked ``strict``
-  seam — the one honest stub left in the media tier.
+* **video**: real MJPEG-in-AVI demux since r4 (operators/avi_codec.py
+  RIFF container walk + the repo's own JPEG decoder per frame) —
+  ``sample_frames`` is a genuine pixel tier end-to-end; no media stub
+  remains.
 
 Scale notes: media rows are large, so the operators repartition by
 ``pmod(xxhash64(media_id), n)`` before the Python stage to bound batch
@@ -22,7 +23,6 @@ pruning keeps it out of the scan).
 
 from __future__ import annotations
 
-import hashlib
 from typing import Iterator
 
 import pandas as pd
@@ -65,7 +65,6 @@ def synthesize_media_row(i: int) -> tuple:
 
     from .media_codecs import encode_png, encode_ppm, encode_wav
 
-    seed = hashlib.sha256(str(i).encode()).digest()
     kind = ("image", "audio", "video")[i % 3]
     if kind == "image":
         rng = np.random.default_rng(i)
@@ -92,17 +91,29 @@ def synthesize_media_row(i: int) -> tuple:
         samples = (np.sin(t * freq) * 12000).astype("<i2")
         payload, mt = encode_wav(samples, 8000), "audio/wav"
     else:
-        payload = b"FAKEVIDEO" + seed * (1 + i % 4)
-        mt = "video/x-fake"
+        # real MJPEG-in-AVI: per-frame baseline JPEGs in a RIFF
+        # container (both codecs are this repo's own)
+        from .avi_codec import encode_avi_mjpeg
+        from .jpeg_codec import encode_jpeg
+
+        rng = np.random.default_rng(2000 + i)
+        w, h = 8 + i % 16, 8 + (i // 3) % 16
+        n_frames = 2 + i % 7                       # 2..8 frames
+        us = (250_000, 200_000, 125_000, 100_000)[i % 4]  # 4/5/8/10 fps
+        jpegs = [encode_jpeg(rng.integers(0, 256, size=(h, w, 3),
+                                          dtype=np.uint8))
+                 for _ in range(n_frames)]
+        payload, mt = (encode_avi_mjpeg(jpegs, w, h, us),
+                       "video/x-msvideo")
     return (i, kind, mt, payload, f"src{i % 5}")
 
 
 def synthesize_media(spark: SparkSession, n_rows: int) -> DataFrame:
     """Deterministic media corpus with *real decodable payloads*.
 
-    Images cycle png / ppm / baseline jpeg / gif (all real, decodable
-    payloads); audio is real 16-bit PCM WAV (seeded sine); video is an
-    honest fake container (demux is stubbed anyway).
+    Images cycle png / ppm / baseline jpeg / gif; audio is real 16-bit
+    PCM WAV (seeded sine); video is real MJPEG-in-AVI (2-8 JPEG frames,
+    4-10 fps).  Every payload decodes for real.
     """
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -117,9 +128,9 @@ def _decode_image(payload: bytes, strict: bool):
     """Sniff + decode: (format, width, height, pixels).
 
     Every recognized image format decodes real pixels since r3;
-    ``strict`` is retained for API stability (no image seam remains —
-    the parameter only gates the video demux stub in sample_frames).
-    Raises MediaDecodeError for undecodable bytes.
+    ``strict`` is retained for API stability (no media seam remains
+    anywhere since the r4 AVI demux).  Raises MediaDecodeError for
+    undecodable bytes.
     """
     from .media_codecs import (
         MediaDecodeError,
@@ -165,8 +176,6 @@ def image_feature_row(mid: int, payload: bytes | None,
         fmt, w, hgt, px = _decode_image(payload, strict)
         ph = average_hash(px) if px is not None else None
         return (int(mid), "ok", fmt, w, hgt, len(payload), ph)
-    except NotImplementedError:
-        raise
     except Exception as e:
         return (int(mid), type(e).__name__, None, None, None,
                 len(payload), None)
@@ -219,8 +228,6 @@ def resize_images(media: DataFrame, width: int, height: int,
                                          "(metadata-tier format)")
                     out = encode_png(resize_nearest(px, width, height))
                     rows.append((int(mid), "ok", width, height, out))
-                except NotImplementedError:
-                    raise
                 except Exception as e:
                     rows.append((int(mid), type(e).__name__, width, height,
                                  None))
@@ -283,33 +290,72 @@ def audio_features(media: DataFrame) -> DataFrame:
 
 FRAME_SCHEMA = StructType([
     StructField("media_id", LongType(), False),
-    StructField("frame_idx", IntegerType(), False),
+    StructField("frame_idx", IntegerType(), False),  # source frame index
     StructField("ts_ms", LongType(), False),
-    StructField("frame", BinaryType(), False),
+    StructField("ok", StringType(), False),
+    StructField("width", IntegerType(), True),
+    StructField("height", IntegerType(), True),
+    StructField("phash", StringType(), True),
+    StructField("frame", BinaryType(), True),        # PNG re-encode
 ])
+
+
+def video_frame_rows(mid: int, payload: bytes | None, every_ms: int,
+                     max_frames: int, strict: bool = False,
+                     with_pixels: bool = True) -> list[tuple]:
+    """Sampled, decoded frames for one video row — pure function of the
+    payload, shared verbatim by the Spark stage and the driver-side
+    oracle generator (same contract as image_feature_row).
+
+    Demux the AVI container (avi_codec), pick every
+    ``round(every_ms*1000 / us_per_frame)``-th source frame up to
+    ``max_frames``, decode each JPEG for real, and emit (media_id,
+    source_frame_idx, ts_ms, "ok", width, height, aHash, PNG bytes).
+    A malformed container quarantines as one (mid, 0, 0, error-kind)
+    row; ``strict=True`` re-raises instead.  ``with_pixels=False``
+    skips the PNG re-encode (the oracle compares the metadata tier).
+    """
+    from .avi_codec import decode_avi_mjpeg
+    from .jpeg_codec import decode_jpeg
+    from .media_codecs import average_hash, encode_png
+
+    payload = bytes(payload) if payload is not None else b""
+    try:
+        us, _w, _h, jpegs = decode_avi_mjpeg(payload)
+        stride = max(1, round(every_ms * 1000 / us))
+        rows = []
+        for k in range(0, len(jpegs), stride):
+            if len(rows) >= max_frames:
+                break
+            px = decode_jpeg(jpegs[k])
+            rows.append((
+                int(mid), k, k * us // 1000, "ok",
+                int(px.shape[1]), int(px.shape[0]), average_hash(px),
+                encode_png(px) if with_pixels else None))
+        return rows
+    except Exception as e:
+        if strict:
+            raise
+        return [(int(mid), 0, 0, type(e).__name__,
+                 None, None, None, None)]
 
 
 def sample_frames(media: DataFrame, every_ms: int = 1000,
                   max_frames: int = 8, strict: bool = False) -> DataFrame:
-    """Video frame sampling (STUB: deterministic frames; real seam marked).
+    """Real video frame sampling: MJPEG-in-AVI demux + JPEG decode.
 
-    Container demux genuinely requires an av library absent from this
-    environment.  1 video row -> N frame rows: the fan-out happens inside
-    mapInPandas, keeping frame payloads in the same Arrow batch as their
-    source — that plumbing (schema, batch shape, fan-out) is the real,
-    tested part.
+    1 video row -> N frame rows: the fan-out happens inside mapInPandas,
+    keeping frame payloads in the same Arrow batch as their source.
+    Every frame is genuinely decoded (RIFF walk via avi_codec, pixels
+    via jpeg_codec) and re-encoded as PNG; undecodable containers
+    quarantine per-row unless ``strict``.
     """
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                payload = bytes(payload) if payload is not None else b""
-                if strict:
-                    raise NotImplementedError("real demux needs an av lib")
-                n = 1 + (payload[-1] if payload else 0) % max_frames
-                for k in range(n):
-                    frame = hashlib.sha256(payload + bytes([k])).digest()
-                    rows.append((int(mid), k, k * every_ms, frame))
+                rows.extend(video_frame_rows(mid, payload, every_ms,
+                                             max_frames, strict))
             yield pd.DataFrame(rows,
                                columns=[f.name for f in FRAME_SCHEMA.fields])
 

@@ -107,18 +107,36 @@ def test_audio_features_real_wav(spark):
 
 
 def test_frame_sampling_fanout(spark):
+    """Real AVI demux fan-out: every synthesized video decodes (ok="ok"
+    on all rows, strict=True raises nothing), frame counts match the
+    synthesis recipe (2-8 frames), timestamps follow the container's
+    frame interval, and the frame payloads are real PNG re-encodes of
+    the decoded JPEG pixels."""
+    from cbor_ld_spark.operators.media_codecs import decode_png
     from cbor_ld_spark.operators.multimodal import (
         sample_frames,
         synthesize_media,
     )
 
-    frames = sample_frames(synthesize_media(spark, 30))
-    per_video = frames.groupBy("media_id").agg(F.count("*").alias("n")).collect()
+    frames = sample_frames(synthesize_media(spark, 30), every_ms=100,
+                           strict=True)
+    rows = frames.orderBy("media_id", "frame_idx").collect()
+    assert all(r["ok"] == "ok" for r in rows)
+    per_video = {}
+    for r in rows:
+        per_video.setdefault(r["media_id"], []).append(r)
     assert len(per_video) == 10  # 10 videos
-    assert all(1 <= r["n"] <= 8 for r in per_video)
-    ts = frames.filter(F.col("media_id") == per_video[0]["media_id"]) \
-        .orderBy("frame_idx").collect()
-    assert [r["ts_ms"] for r in ts] == [i * 1000 for i in range(len(ts))]
+    for mid, vrows in per_video.items():
+        i = int(mid)
+        assert len(vrows) == 2 + i % 7  # synthesis recipe, stride 1
+        us = (250_000, 200_000, 125_000, 100_000)[i % 4]
+        assert [r["ts_ms"] for r in vrows] == \
+               [k * us // 1000 for k in range(len(vrows))]
+        w, h = 8 + i % 16, 8 + (i // 3) % 16
+        assert all((r["width"], r["height"]) == (w, h) for r in vrows)
+        px = decode_png(bytes(vrows[0]["frame"]))
+        assert px.shape == (h, w, 3)
+        assert len(vrows[0]["phash"]) == 16  # 64-bit aHash hex
 
 
 def test_streaming_ingest_exactly_once(spark):
