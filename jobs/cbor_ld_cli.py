@@ -23,6 +23,18 @@ reference tool can switch invocations unchanged:
 
 Superset: ``--registry N`` selects the compression-table registry
 (default 1); the reference CLI always uses the default registry.
+Custom tables — including varint ids >= 128, which the reference
+``todo!()``s (src/encode/mod.rs:62) — register from the TOML config:
+
+    [registry.1000.contexts]
+    "https://example.org/ctx/v1" = 32768
+
+    [registry.1000.types."https://w3id.org/security#cryptosuiteString"]
+    "my-suite-2026" = 1
+
+then ``--registry 1000`` encodes under the varint envelope and decode
+recognizes it (the table must be registered on both sides, like any
+out-of-band CBOR-LD registry agreement).
 """
 
 from __future__ import annotations
@@ -63,13 +75,19 @@ def _parse_mount(value: str):
 
 
 def _load_config(path: str):
-    """TOML config: ``offline = bool`` + ``[mount]`` table of iri = path."""
+    """TOML config: ``offline = bool``, ``[mount]`` table of iri = path,
+    and ``[registry.N]`` custom compression tables (contexts / types)."""
     import tomllib
 
     with open(path, "rb") as f:
         cfg = tomllib.load(f)
     mounts = [(iri, p) for iri, p in cfg.get("mount", {}).items()]
-    return mounts, bool(cfg.get("offline", False))
+    registries = {}
+    for rid, spec in cfg.get("registry", {}).items():
+        registries[int(rid)] = (dict(spec.get("contexts", {})),
+                                {t: dict(m)
+                                 for t, m in spec.get("types", {}).items()})
+    return mounts, bool(cfg.get("offline", False)), registries
 
 
 def _read_input(path):
@@ -99,9 +117,11 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
 
     mounts = list(args.mount)
+    registries = {}
     for cfg_path in args.config:
-        cfg_mounts, _offline = _load_config(cfg_path)
+        cfg_mounts, _offline, cfg_registries = _load_config(cfg_path)
         mounts.extend(cfg_mounts)
+        registries.update(cfg_registries)  # left-to-right merge
 
     from cbor_ld_spark.kernel import (
         CborLdError,
@@ -109,6 +129,10 @@ def main(argv=None) -> int:
         encode_document,
         parse_json_document,
     )
+    from cbor_ld_spark.kernel.tables import Tables, register_tables
+
+    for rid, (contexts, types) in registries.items():
+        register_tables(rid, Tables(contexts=contexts, types=types))
 
     loader = _build_loader(mounts)
     try:

@@ -89,3 +89,49 @@ def test_garbage_decode_fails_cleanly():
     r = _run(["decode"], stdin=b"\xff\xff\xff")
     assert r.returncode == 1
     assert b"error:" in r.stderr
+
+
+def test_registry_varint_via_config(tmp_path):
+    """r3 verdict item 9: the CLI round-trips a >=128-registry document
+    byte-stably — custom table registered from [registry.N] TOML on both
+    the encode and decode side, varint envelope on the wire."""
+    cfg = tmp_path / "reg.toml"
+    cfg.write_text(
+        '[registry.1000.contexts]\n'
+        '"https://www.w3.org/ns/activitystreams" = 32768\n')
+    doc = _read("note.jsonld")
+
+    r1 = _run(["-t", str(cfg), "encode", "-x",
+               os.path.join(SAMPLES, "note.jsonld"), "--registry", "1000"])
+    assert r1.returncode == 0, r1.stderr
+    hex1 = r1.stdout.decode()
+    # byte-stable: envelope tag low byte = first varint byte of 1000
+    # (0xE8), payload wrapped as [bstr(rest), inner]
+    assert hex1.startswith("d906e8"), hex1[:16]
+    r2 = _run(["-t", str(cfg), "encode", "-x",
+               os.path.join(SAMPLES, "note.jsonld"), "--registry", "1000"])
+    assert r2.stdout.decode() == hex1
+
+    # the pinned context id (32768) must actually be on the wire: the
+    # same doc under registry 1 (no table) encodes differently
+    base = _run(["encode", "-x", os.path.join(SAMPLES, "note.jsonld")])
+    assert base.stdout.decode() != hex1
+    assert "8000" in hex1  # 32768 big-endian in the context slot
+
+    d = _run(["-t", str(cfg), "decode", "-x"], stdin=hex1.encode())
+    assert d.returncode == 0, d.stderr
+    assert json.loads(d.stderr.decode()) == json.loads(doc)
+
+    # without the table registered, decode rejects the unknown id
+    d_bad = _run(["decode", "-x"], stdin=hex1.encode())
+    assert d_bad.returncode == 1
+    assert b"error" in d_bad.stderr
+
+
+def test_registry_config_reserved_id_rejected(tmp_path):
+    cfg = tmp_path / "reg.toml"
+    cfg.write_text('[registry.1.contexts]\n"https://x.example/v1" = 32768\n')
+    r = _run(["-t", str(cfg), "encode", "-x"],
+             stdin=_read("note.jsonld"))
+    assert r.returncode == 1
+    assert b"reserved" in r.stderr
