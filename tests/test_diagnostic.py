@@ -31,3 +31,24 @@ def test_renders_real_encoding():
     out = diagnostic(tree)
     assert "https://www.w3.org/ns/activitystreams" in out
     assert out.startswith("1537(")
+
+
+def test_byte_diff_states():
+    from cbor_ld_spark.kernel.diagnostic import byte_diff
+
+    # equal
+    assert byte_diff(b"\x01\x02", b"\x01\x02") == "0102"
+    # differing middle byte
+    assert byte_diff(b"\x01\xff\x03", b"\x01\x02\x03") == "01!{ff}03"
+    # expected longer -> missing tail (expected's bytes shown)
+    assert byte_diff(b"\x01", b"\x01\x02\x03") == "01-{0203}"
+    # value longer -> added tail
+    assert byte_diff(b"\x01\x02\x03", b"\x01") == "01+{0203}"
+    # state transitions merge into runs
+    assert byte_diff(b"\xaa\xbb\x0c", b"\x1a\x2b\x0c") == "!{aabb}0c"
+    # color mode emits ANSI and resets
+    s = byte_diff(b"\x01\xff", b"\x01\x02", color=True)
+    assert s.startswith("\x1b[32m01") and s.endswith("\x1b[0m")
+    assert "\x1b[31mff" in s
+    # both empty
+    assert byte_diff(b"", b"") == ""

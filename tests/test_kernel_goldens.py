@@ -40,8 +40,12 @@ def _read(name: str) -> str:
 
 @pytest.mark.parametrize("name,reg", GOLDEN_REG)
 def test_encode_byte_exact(name, reg):
+    from cbor_ld_spark.kernel.diagnostic import byte_diff
+
     expected = bytes.fromhex(_read(f"{name}.cbor.hex").strip())
-    assert encode_document(_read(f"{name}.jsonld"), registry_id=reg) == expected
+    got = encode_document(_read(f"{name}.jsonld"), registry_id=reg)
+    # F6 visualizer (reference tests/common.rs:107-155) on mismatch
+    assert got == expected, byte_diff(got, expected)
 
 
 @pytest.mark.parametrize("name,reg", GOLDEN_REG)
