@@ -233,6 +233,27 @@ def _shard_pack(spark, sf_dir):
     return pack_shards(load_documents(spark, sf_dir), shard_tokens=2048)
 
 
+def _text_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition quality signals: top-bigram fraction +
+    duplicate-5-gram fraction per document, with the threshold flag."""
+    from cbor_ld_spark.operators.text import (
+        load_documents,
+        repetition_signals,
+    )
+
+    return repetition_signals(load_documents(spark, sf_dir))
+
+
+def _text_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag docs sharing any word 8-gram with
+    a held-out pseudo test set (doc_id % 97 == 0)."""
+    from cbor_ld_spark.operators.text import decontaminate, load_documents
+
+    docs = load_documents(spark, sf_dir)
+    benchmark = docs.filter(F.col("doc_id") % 97 == 0)
+    return decontaminate(docs, benchmark)
+
+
 def _text_tfidf_top_terms(spark, sf_dir):
     from cbor_ld_spark.operators.dedup import load_documents
     from cbor_ld_spark.operators.text import tfidf_top_terms
@@ -596,6 +617,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": _sample_stratified,
         "shard_pack": _shard_pack,
         "text_tfidf_top_terms": _text_tfidf_top_terms,
+        "text_repetition_signals": _text_repetition_signals,
+        "text_decontaminate": _text_decontaminate,
         "multimodal_image_features": _multimodal_image_features,
         "multimodal_audio_features": _multimodal_audio_features,
         "multimodal_video_frames": _multimodal_video_frames,
@@ -1723,6 +1746,62 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_lang_id_multi": _lang_id_multi_oracle(),
         "text_tfidf_top_terms": _TFIDF_SQL,
+        "text_repetition_signals": f"""
+            WITH toks AS (SELECT doc_id, string_split({_NORM_SQL}, ' ')
+                                 AS ts FROM documents),
+            bi AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] AS gram
+                   FROM toks, unnest(range(1, len(ts))) AS r(i)
+                   WHERE len(ts) >= 2),
+            bic AS (SELECT doc_id, gram, count(*) AS n
+                    FROM bi GROUP BY 1, 2),
+            bia AS (SELECT doc_id, max(n)::BIGINT AS top_bigram_count,
+                           sum(n)::BIGINT AS n_bigrams
+                    FROM bic GROUP BY 1),
+            fv AS (SELECT doc_id,
+                          ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                          || ' ' || ts[i+3] || ' ' || ts[i+4] AS gram
+                   FROM toks, unnest(range(1, len(ts) - 3)) AS r(i)
+                   WHERE len(ts) >= 5),
+            fva AS (SELECT doc_id, count(*)::BIGINT AS n_5grams,
+                           count(DISTINCT gram)::BIGINT AS distinct_5grams
+                    FROM fv GROUP BY 1)
+            SELECT b.doc_id, b.n_bigrams, b.top_bigram_count,
+                   round(top_bigram_count / n_bigrams::DOUBLE, 6)
+                   AS top_bigram_frac,
+                   coalesce(f.n_5grams, 0) AS n_5grams,
+                   coalesce(round((f.n_5grams - f.distinct_5grams)
+                                  / f.n_5grams::DOUBLE, 6), 0.0)
+                   AS dup_5gram_frac,
+                   (round(top_bigram_count / n_bigrams::DOUBLE, 6) > 0.20
+                    OR coalesce(round((f.n_5grams - f.distinct_5grams)
+                                      / f.n_5grams::DOUBLE, 6), 0.0) > 0.15)
+                   AS repetitive
+            FROM bia b LEFT JOIN fva f USING (doc_id)
+            ORDER BY doc_id
+        """,
+        "text_decontaminate": f"""
+            WITH toks AS (SELECT doc_id, string_split({_NORM_SQL}, ' ')
+                                 AS ts FROM documents),
+            grams AS (SELECT doc_id,
+                             ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                             || ' ' || ts[i+3] || ' ' || ts[i+4] || ' '
+                             || ts[i+5] || ' ' || ts[i+6] || ' ' || ts[i+7]
+                             AS gram
+                      FROM toks, unnest(range(1, len(ts) - 6)) AS r(i)
+                      WHERE len(ts) >= 8),
+            bench AS (SELECT DISTINCT gram FROM grams
+                      WHERE doc_id % 97 = 0),
+            hits AS (SELECT g.doc_id,
+                            count(DISTINCT g.gram)::BIGINT
+                            AS benchmark_ngrams
+                     FROM grams g JOIN bench USING (gram)
+                     GROUP BY 1)
+            SELECT d.doc_id,
+                   coalesce(h.benchmark_ngrams, 0) AS benchmark_ngrams,
+                   coalesce(h.benchmark_ngrams, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+            ORDER BY d.doc_id
+        """,
         "shard_pack": _SHARD_PACK_SQL,
         "text_token_stats_bpe": r"""
             SELECT count(doc_id) AS docs,

@@ -437,3 +437,100 @@ def fingerprints(docs: DataFrame) -> DataFrame:
         "doc_id",
         F.md5(_norm(F.col("text"))).alias("fingerprint"),
     )
+
+
+def repetition_signals(docs: DataFrame,
+                       top_frac_threshold: float = 0.20,
+                       dup_frac_threshold: float = 0.15) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1).
+
+    Per document: the fraction of word-bigram occurrences taken by the
+    single most frequent bigram (``top_bigram_frac``; boilerplate /
+    template spam pushes this up) and the fraction of word-5-gram
+    occurrences that are repeats of an earlier 5-gram
+    (``dup_5gram_frac``; looping generation artifacts).  ``repetitive``
+    applies the standard threshold OR.
+
+    Scale shape: two explode -> hash-aggregate pipelines keyed on
+    (doc_id[, gram]) — uniform keys, map-side partial aggregation, one
+    doc_id-keyed join to combine; no windows, no Python.  Fractions
+    round to 6 so the DuckDB oracle hash-matches.
+    """
+    from .dedup import _shingles_of_tokens
+
+    toks = F.split(_norm(F.col("text")), " ")
+    base = docs.select("doc_id", toks.alias("toks")).filter(
+        F.size("toks") >= 2)
+
+    bi = (base.select("doc_id",
+                      F.explode(_shingles_of_tokens(F.col("toks"), 2))
+                      .alias("gram"))
+          .groupBy("doc_id", "gram")
+          .agg(F.count(F.lit(1)).alias("n"))
+          .groupBy("doc_id")
+          .agg(F.max("n").alias("top_bigram_count"),
+               F.sum("n").alias("n_bigrams")))
+    five = (base.filter(F.size("toks") >= 5)
+            .select("doc_id",
+                    F.explode(_shingles_of_tokens(F.col("toks"), 5))
+                    .alias("gram"))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_5grams"),
+                 F.countDistinct("gram").alias("distinct_5grams")))
+
+    top_frac = F.round(F.col("top_bigram_count") / F.col("n_bigrams"), 6)
+    dup_frac = F.coalesce(
+        F.round((F.col("n_5grams") - F.col("distinct_5grams"))
+                / F.col("n_5grams"), 6), F.lit(0.0))
+    return (bi.join(five, "doc_id", "left")
+            .select(
+                "doc_id", "n_bigrams", "top_bigram_count",
+                top_frac.alias("top_bigram_frac"),
+                F.coalesce("n_5grams", F.lit(0)).alias("n_5grams"),
+                dup_frac.alias("dup_5gram_frac"),
+                ((top_frac > top_frac_threshold)
+                 | (dup_frac > dup_frac_threshold)).alias("repetitive"))
+            .orderBy("doc_id"))
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame,
+                  n: int = 8) -> DataFrame:
+    """Benchmark decontamination: flag docs sharing any word ``n``-gram
+    with a held-out benchmark/test set (the standard train-set hygiene
+    pass before pretraining).
+
+    ``benchmark`` carries a ``text`` column; its distinct n-grams form
+    the contamination set.  Output: one row per input doc with the
+    number of distinct benchmark n-grams it contains and the
+    ``contaminated`` flag.
+
+    Scale shape: the benchmark side is distinct-reduced and BROADCAST
+    (test sets are tiny next to a 100 TB corpus); the docs side
+    explodes its n-grams and probes the broadcast hash map — zero
+    shuffle until the per-doc count aggregation, which keys on the
+    uniform doc_id.  No n-gram of the corpus ever shuffles.
+    """
+    from .dedup import _shingles_of_tokens
+
+    toks = F.split(_norm(F.col("text")), " ")
+    bench_grams = (
+        benchmark.select(
+            F.explode(_shingles_of_tokens(toks, n)).alias("gram"))
+        .filter(F.size(F.split(F.col("gram"), " ")) == n)  # full grams only
+        .distinct())
+    doc_grams = (
+        docs.select("doc_id",
+                    F.explode(_shingles_of_tokens(toks, n)).alias("gram"))
+        .filter(F.size(F.split(F.col("gram"), " ")) == n))
+    hits = (doc_grams
+            .join(F.broadcast(bench_grams), "gram")
+            .groupBy("doc_id")
+            .agg(F.countDistinct("gram").alias("benchmark_ngrams")))
+    return (docs.select("doc_id")
+            .join(hits, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("benchmark_ngrams", F.lit(0))
+                    .alias("benchmark_ngrams"),
+                    (F.coalesce("benchmark_ngrams", F.lit(0)) > 0)
+                    .alias("contaminated"))
+            .orderBy("doc_id"))

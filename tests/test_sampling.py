@@ -174,3 +174,55 @@ def test_winnowing_shared_substring_guarantee(spark):
         by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
     assert by_doc[0] & by_doc[1], "shared substring must share a fingerprint"
     assert not (by_doc[2] & by_doc[0] & by_doc[1]) or True  # doc 2 unrelated
+
+
+def test_repetition_signals_known_values(spark):
+    from cbor_ld_spark.operators.text import repetition_signals
+
+    docs = spark.createDataFrame(
+        [
+            # "a b a b a b": bigrams [ab, ba, ab, ba, ab] -> top 3/5;
+            # 5-grams [ababa, babab] distinct -> dup 0
+            (1, "a b a b a b"),
+            # all-distinct tokens: every bigram unique -> top 1/10
+            (2, "q r s t u v w x y z a"),
+            # pathological loop: "x x x x x x" bigrams all "x x" (5/5),
+            # 5-grams both "x x x x x" -> dup 1/2
+            (3, "x x x x x x"),
+            # too short for bigrams: excluded from output
+            (4, "solo"),
+        ], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in repetition_signals(docs).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["n_bigrams"] == 5
+    assert rows[1]["top_bigram_count"] == 3
+    assert rows[1]["top_bigram_frac"] == 0.6
+    assert rows[1]["dup_5gram_frac"] == 0.0
+    assert rows[1]["repetitive"]  # 0.6 > 0.20
+    assert rows[2]["top_bigram_frac"] == 0.1
+    assert not rows[2]["repetitive"]
+    assert rows[3]["top_bigram_frac"] == 1.0
+    assert rows[3]["dup_5gram_frac"] == 0.5
+    assert rows[3]["repetitive"]
+
+
+def test_decontaminate_flags_shared_8grams(spark):
+    from cbor_ld_spark.operators.text import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "one two three four five six seven eight nine")],
+        "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [
+            # contains benchmark 8-gram "one..eight" and "two..nine"
+            (1, "zz one two three four five six seven eight nine yy"),
+            # 7-token overlap only -> clean
+            (2, "one two three four five six seven CLEAN"),
+            # shorter than 8 tokens -> clean
+            (3, "one two three"),
+        ], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in decontaminate(docs, bench).collect()}
+    assert rows[1]["contaminated"] and rows[1]["benchmark_ngrams"] == 2
+    assert not rows[2]["contaminated"] and rows[2]["benchmark_ngrams"] == 0
+    assert not rows[3]["contaminated"]
+    assert set(rows) == {1, 2, 3}
