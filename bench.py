@@ -33,7 +33,7 @@ KG_CORPUS_ROWS = int(os.environ.get("SPARK_GRAFT_KG_ROWS", "40000"))
 def make_spark(cores: int, shuffle_partitions: int | None = None):
     from pyspark.sql import SparkSession
 
-    return (
+    b = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(f"cbor_ld_spark-bench-{cores}")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cores))
@@ -41,8 +41,14 @@ def make_spark(cores: int, shuffle_partitions: int | None = None):
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    # JVM tuning A/B hook (e.g. "-XX:ParallelGCThreads=4"): applied at
+    # JVM launch, so it only takes effect for the first session of a
+    # fresh `python3 bench.py` process — one config per invocation.
+    jvm_opts = os.environ.get("SPARK_GRAFT_JAVA_OPTS")
+    if jvm_opts:
+        b = b.config("spark.driver.extraJavaOptions", jvm_opts)
+    return b.getOrCreate()
 
 
 def kg_pipeline_run(spark, n_rows: int, dedup_content: bool = False) -> dict:
