@@ -254,6 +254,28 @@ def _text_decontaminate(spark, sf_dir):
     return decontaminate(docs, benchmark)
 
 
+def _multimodal_frame_dedup(spark, sf_dir):
+    """Cross-video duplicate-frame detection: decode every sampled frame
+    (real AVI demux + JPEG decode), group by perceptual aHash, keep
+    hashes seen in more than one video — finds the shared intro/title
+    cards a real video corpus is full of.  Scale shape: the frame tier
+    is one mapInPandas, then a hash-groupBy on the uniform 64-bit
+    phash; no pixels ever shuffle (only the 16-char hash column)."""
+    from cbor_ld_spark.operators.multimodal import (
+        sample_frames,
+        synthesize_media,
+    )
+
+    frames = sample_frames(synthesize_media(spark, 300), every_ms=125)
+    return (frames.filter(F.col("ok") == "ok")
+            .groupBy("phash")
+            .agg(F.countDistinct("media_id").alias("n_videos"),
+                 F.count(F.lit(1)).alias("n_frames"),
+                 F.min("media_id").alias("first_media_id"))
+            .filter(F.col("n_videos") > 1)
+            .orderBy("phash"))
+
+
 def _text_tfidf_top_terms(spark, sf_dir):
     from cbor_ld_spark.operators.dedup import load_documents
     from cbor_ld_spark.operators.text import tfidf_top_terms
@@ -622,6 +644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_features": _multimodal_image_features,
         "multimodal_audio_features": _multimodal_audio_features,
         "multimodal_video_frames": _multimodal_video_frames,
+        "multimodal_frame_dedup": _multimodal_frame_dedup,
         "rel_pricing_summary": _rel_pricing_summary,
         "rel_top_customers": _rel_top_customers,
         "rel_orders_with_returns": _rel_orders_with_returns,
@@ -1652,6 +1675,34 @@ def _multimodal_video_oracle(n_rows: int = 300,
         "media_id, frame_idx")
 
 
+def _multimodal_frame_dedup_oracle(n_rows: int = 300,
+                                   every_ms: int = 125,
+                                   max_frames: int = 8) -> str:
+    """Frame-dedup oracle: replay the frame rows driver-side (pure
+    function of media_id) and aggregate the phash groups in SQL."""
+    from cbor_ld_spark.operators.multimodal import (
+        synthesize_media_row,
+        video_frame_rows,
+    )
+
+    rows = []
+    for i in range(n_rows):
+        mid, kind, _mt, payload, _src = synthesize_media_row(i)
+        if kind == "video":
+            rows.extend((r[0], r[6]) for r in video_frame_rows(
+                mid, payload, every_ms, max_frames, with_pixels=False)
+                if r[3] == "ok")
+    vals = ", ".join(f"({m}, '{p}')" for m, p in rows)
+    return f"""
+        WITH f(media_id, phash) AS (VALUES {vals})
+        SELECT phash, count(DISTINCT media_id)::BIGINT AS n_videos,
+               count(*)::BIGINT AS n_frames,
+               min(media_id)::BIGINT AS first_media_id
+        FROM f GROUP BY phash HAVING count(DISTINCT media_id) > 1
+        ORDER BY phash
+    """
+
+
 def _multimodal_image_oracle(n_rows: int = 300) -> str:
     """The media corpus is a pure function of media_id
     (operators/multimodal.py synthesize_media_row) and so is the feature
@@ -1701,6 +1752,7 @@ def _data_trained_oracles() -> dict[str, str]:
                 "multimodal_image_features": _multimodal_image_oracle(),
                 "multimodal_audio_features": _multimodal_audio_oracle(),
                 "multimodal_video_frames": _multimodal_video_oracle(),
+                "multimodal_frame_dedup": _multimodal_frame_dedup_oracle(),
                 "dedup_embedding_lsh": _embedding_lsh_dedup_oracle(),
                 "text_winnow_fingerprints": _winnow_fingerprints_oracle(),
                 "sample_stratified": _sample_stratified_oracle(),

@@ -100,9 +100,19 @@ def synthesize_media_row(i: int) -> tuple:
         w, h = 8 + i % 16, 8 + (i // 3) % 16
         n_frames = 2 + i % 7                       # 2..8 frames
         us = (250_000, 200_000, 125_000, 100_000)[i % 4]  # 4/5/8/10 fps
-        jpegs = [encode_jpeg(rng.integers(0, 256, size=(h, w, 3),
-                                          dtype=np.uint8))
-                 for _ in range(n_frames)]
+        frames_px = [rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+                     for _ in range(n_frames)]
+        if i % 2:
+            # half the videos open on a shared title card (the classic
+            # duplicated frame in a real video corpus: intro/outro
+            # cards): gray field + white top-left quadrant — its aHash
+            # is dimension-invariant and JPEG-noise-proof (large
+            # luminance margins), so cross-video frame dedup has real
+            # positives to find
+            card = np.full((h, w, 3), 128, dtype=np.uint8)
+            card[: h // 2, : w // 2] = 255
+            frames_px[0] = card
+        jpegs = [encode_jpeg(p) for p in frames_px]
         payload, mt = (encode_avi_mjpeg(jpegs, w, h, us),
                        "video/x-msvideo")
     return (i, kind, mt, payload, f"src{i % 5}")
