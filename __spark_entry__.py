@@ -254,6 +254,37 @@ def _text_decontaminate(spark, sf_dir):
     return decontaminate(docs, benchmark)
 
 
+def _kg_pagerank(spark, sf_dir):
+    """Fixed-iteration PageRank over the extracted entity graph (top 25
+    by centrality).  Value-verified against a full driver-side replay of
+    corpus -> kernel -> edges -> 5 PageRank iterations."""
+    from cbor_ld_spark.operators import process_corpus, triples_table
+    from cbor_ld_spark.operators.graph import entity_edges, pagerank
+    from cbor_ld_spark.sources import corpus_from_documents
+
+    t = triples_table(process_corpus(corpus_from_documents(spark, sf_dir)))
+    pr = pagerank(entity_edges(t))
+    return pr.orderBy(F.desc("rank"), "node").limit(25)
+
+
+def _kg_khop(spark, sf_dir):
+    """BFS k-hop neighborhood sizes from the 3 lexicographically-first
+    source entities (batched frontier expansion, one dataflow for all
+    seeds)."""
+    from cbor_ld_spark.operators import process_corpus, triples_table
+    from cbor_ld_spark.operators.graph import entity_edges, k_hop
+    from cbor_ld_spark.sources import corpus_from_documents
+
+    t = triples_table(process_corpus(corpus_from_documents(spark, sf_dir)))
+    e = entity_edges(t)
+    seeds = (e.select(F.col("src").alias("node")).distinct()
+             .orderBy("node").limit(3))
+    kh = k_hop(e, seeds, k=3)
+    return (kh.groupBy("root", "first_hop")
+            .agg(F.count(F.lit(1)).alias("n_nodes"))
+            .orderBy("root", "first_hop"))
+
+
 def _multimodal_frame_dedup(spark, sf_dir):
     """Cross-video duplicate-frame detection: decode every sampled frame
     (real AVI demux + JPEG decode), group by perceptual aHash, keep
@@ -661,6 +692,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_hex_roundtrip": _kg_hex_roundtrip,
         "kg_entity_components": _kg_entity_components,
         "kg_cardinality_sketch": _kg_cardinality_sketch,
+        "kg_pagerank": _kg_pagerank,
+        "kg_khop": _kg_khop,
         "kg_canonical_dedup": _kg_canonical_dedup,
     }
 
@@ -1675,6 +1708,103 @@ def _multimodal_video_oracle(n_rows: int = 300,
         "media_id, frame_idx")
 
 
+_REALIZED_EDGE_CACHE: dict[str, list] = {}
+
+
+def _realized_entity_edges(sf_dir: str) -> list[tuple[str, str]]:
+    """Distinct (src, dst) entity edges of the whole corpus, replayed
+    driver-side: content is a pure function of doc_id (variant cycling +
+    md5('ent:'||doc_id%1024) UUID templating — sources/corpus.py), so
+    the kernel runs once per distinct (variant, entity) pair and the
+    realized IRI/blank-label strings come out exactly as Spark's."""
+    import hashlib
+    import re
+
+    import duckdb
+
+    from cbor_ld_spark.functions.udfs import _process_one
+    from cbor_ld_spark.sources import payload_variants
+    from cbor_ld_spark.sources.corpus import _TEMPLATE_UUID, N_ENTITIES
+
+    cached = _REALIZED_EDGE_CACHE.get(sf_dir)
+    if cached is not None:
+        return cached
+    variants = payload_variants()
+    k = len(variants)
+    con = duckdb.connect()
+    pairs = con.execute(
+        f"SELECT DISTINCT doc_id % {k}, doc_id % {N_ENTITIES} FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')").fetchall()
+    con.close()
+    edges = set()
+    for v, e in pairs:
+        _name, lang, content, _enc = variants[v]
+        if not (lang == "json" and re.match(r"^[\s﻿]*\{", content)
+                and "@context" in content):
+            continue
+        h = hashlib.md5(f"ent:{e}".encode()).hexdigest()
+        uuid = f"{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}"
+        out = _process_one(content.replace(_TEMPLATE_UUID, uuid), 1, True)
+        if out[1] and out[7]:
+            for s, o, is_iri in zip(out[8], out[10], out[11]):
+                if is_iri:
+                    edges.add((s, o))
+    result = sorted(edges)
+    _REALIZED_EDGE_CACHE[sf_dir] = result
+    return result
+
+
+def _pagerank_oracle(iters: int = 5, damping: float = 0.85,
+                     top: int = 25, sf_dir: str | None = None) -> str:
+    """PageRank oracle: replay the exact fixed-iteration dataflow in
+    pure Python over the replayed edge list."""
+    from collections import Counter, defaultdict
+
+    edges = _realized_entity_edges(sf_dir or _oracle_sf_dir())
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    deg = Counter(s for s, _ in edges)
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        inbound: dict[str, float] = defaultdict(float)
+        for s, d in edges:
+            inbound[d] += rank[s] / deg[s]
+        rank = {v: (1.0 - damping) / n + damping * inbound.get(v, 0.0)
+                for v in nodes}
+    rows = sorted(((v, round(r, 6)) for v, r in rank.items()),
+                  key=lambda t: (-t[1], t[0]))[:top]
+    return _values_oracle(rows, [("node", "VARCHAR"), ("rank", "DOUBLE")],
+                          "rank DESC, node")
+
+
+def _khop_oracle(k: int = 3, n_seeds: int = 3,
+                 sf_dir: str | None = None) -> str:
+    """k-hop BFS layer sizes, replayed in pure Python."""
+    from collections import Counter, defaultdict
+
+    edges = _realized_entity_edges(sf_dir or _oracle_sf_dir())
+    adj: dict[str, set] = defaultdict(set)
+    for s, d in edges:
+        adj[s].add(d)
+    rows = []
+    for root in sorted(adj)[:n_seeds]:
+        visited = {root: 0}
+        frontier = [root]
+        for hop in range(1, k + 1):
+            nxt = sorted({d for u in frontier for d in adj.get(u, ())}
+                         - set(visited))
+            for v in nxt:
+                visited[v] = hop
+            frontier = nxt
+            if not nxt:
+                break
+        counts = Counter(h for h in visited.values() if h > 0)
+        rows += [(root, h, c) for h, c in sorted(counts.items())]
+    return _values_oracle(
+        rows, [("root", "VARCHAR"), ("first_hop", "INTEGER"),
+               ("n_nodes", "BIGINT")], "root, first_hop")
+
+
 def _multimodal_frame_dedup_oracle(n_rows: int = 300,
                                    every_ms: int = 125,
                                    max_frames: int = 8) -> str:
@@ -1772,6 +1902,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_roundtrip_violations": _roundtrip_violations_oracle(),
         "kg_triples_by_pred": _triples_by_pred_oracle(),
         "kg_cardinality_sketch": _cardinality_sketch_oracle(),
+        "kg_pagerank": _pagerank_oracle(),
+        "kg_khop": _khop_oracle(),
         "kg_canonical_dedup": _canonical_dedup_oracle(),
         "kg_entity_components": _entity_components_oracle(),
         # data-trained oracles need the gate-scale parquet; if it is
