@@ -254,6 +254,14 @@ def _text_decontaminate(spark, sf_dir):
     return decontaminate(docs, benchmark)
 
 
+def _ann_pq_topk(spark, sf_dir):
+    """Product-quantization ADC top-k + exact rerank (the memory-bound
+    ANN scale tier: m one-byte codes per vector)."""
+    from cbor_ld_spark.operators.similarity import pq_topk
+
+    return pq_topk(spark, sf_dir)
+
+
 def _kg_pagerank(spark, sf_dir):
     """Fixed-iteration PageRank over the extracted entity graph (top 25
     by centrality).  Value-verified against a full driver-side replay of
@@ -692,6 +700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_hex_roundtrip": _kg_hex_roundtrip,
         "kg_entity_components": _kg_entity_components,
         "kg_cardinality_sketch": _kg_cardinality_sketch,
+        "ann_pq_topk": _ann_pq_topk,
         "kg_pagerank": _kg_pagerank,
         "kg_khop": _kg_khop,
         "kg_canonical_dedup": _kg_canonical_dedup,
@@ -1708,6 +1717,80 @@ def _multimodal_video_oracle(n_rows: int = 300,
         "media_id, frame_idx")
 
 
+def _pq_topk_oracle(n_queries: int = 5, k: int = 5, m: int = 4,
+                    n_codes: int = 16, kmeans_iters: int = 5,
+                    rerank: int = 32, sf_dir: str | None = None) -> str:
+    """PQ oracle: share the operator's own pq_train, replay the ADC
+    scoring over the full table driver-side to get each query's
+    top-``rerank`` candidate ids, then express the exact cosine rerank
+    in SQL (the ivf_topk probe-join technique)."""
+    import duckdb
+    import numpy as np
+
+    from cbor_ld_spark.operators.similarity import pq_train
+
+    sf_dir = sf_dir or _oracle_sf_dir()
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, embedding::DOUBLE[] FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet') "
+        f"ORDER BY vec_id").fetchall()
+    con.close()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    vecs = np.array([r[1] for r in rows], dtype=np.float64)
+    vn = np.linalg.norm(vecs, axis=1, keepdims=True)
+    vn[vn == 0] = 1.0
+    normed = vecs / vn
+    splits, books = pq_train(normed[:4096], m, n_codes, kmeans_iters)
+
+    qmask = ids < n_queries
+    qmat, qids = normed[qmask], ids[qmask]
+    luts = [qmat[:, cols] @ books[s].T for s, cols in enumerate(splits)]
+    scores = np.zeros((len(ids), len(qids)), dtype=np.float64)
+    for s, cols in enumerate(splits):
+        sub = normed[:, cols]
+        cb = books[s]
+        d2 = (-2.0 * sub @ cb.T) + (cb * cb).sum(axis=1)
+        codes = np.argmin(d2, axis=1)
+        scores += luts[s][:, codes].T
+
+    cand_rows = []
+    order_ids = np.argsort(ids, kind="stable")
+    for qi, qid in enumerate(qids):
+        s_q = scores[:, qi]
+        top = order_ids[np.argsort(-s_q[order_ids], kind="stable")]
+        top = [int(ids[i]) for i in top if ids[i] != qid][:rerank]
+        cand_rows += [(int(qid), v) for v in top]
+
+    cand_vals = ", ".join(f"({q}, {v})" for q, v in cand_rows)
+    dot = ("list_sum(list_transform(list_zip(q.qv, a.v), "
+           "x -> x[1] * x[2]))")
+    nrm = "sqrt(list_sum(list_transform({0}, x -> x * x)))"
+    return f"""
+        WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                     FROM embeddings),
+        cand(query_id, vec_id) AS (VALUES {cand_vals}),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM emb
+              WHERE vec_id < {n_queries}),
+        scored AS (
+          SELECT c.query_id, c.vec_id,
+                 round({dot} / ({nrm.format('q.qv')}
+                                * {nrm.format('a.v')}), 6) AS cosine
+          FROM cand c
+          JOIN emb a ON a.vec_id = c.vec_id
+          JOIN q ON q.query_id = c.query_id),
+        ranked AS (
+          SELECT query_id, vec_id, cosine,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, vec_id)
+                 AS rank
+          FROM scored)
+        SELECT query_id, rank::INTEGER AS rank, vec_id, cosine
+        FROM ranked WHERE rank <= {k}
+        ORDER BY query_id, rank
+    """
+
+
 _REALIZED_EDGE_CACHE: dict[str, list] = {}
 
 
@@ -1902,6 +1985,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_roundtrip_violations": _roundtrip_violations_oracle(),
         "kg_triples_by_pred": _triples_by_pred_oracle(),
         "kg_cardinality_sketch": _cardinality_sketch_oracle(),
+        "ann_pq_topk": _pq_topk_oracle(),
         "kg_pagerank": _pagerank_oracle(),
         "kg_khop": _khop_oracle(),
         "kg_canonical_dedup": _canonical_dedup_oracle(),

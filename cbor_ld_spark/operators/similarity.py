@@ -312,3 +312,148 @@ def lsh_topk(spark: SparkSession, sf_dir: str, n_queries: int = 5,
         .select("query_id", "rank", "vec_id", "cosine")
         .orderBy("query_id", "rank")
     )
+
+
+def pq_train(sample, m: int, n_codes: int, kmeans_iters: int):
+    """Deterministic per-subspace codebooks from a normalized sample.
+
+    Subspaces are ``np.array_split`` column blocks; each codebook is
+    Lloyd k-means seeded with the first ``n_codes`` subvectors
+    (euclidean assignment, first-min tie-break) — the same deterministic
+    recipe ivf_topk uses, replayed verbatim by the oracle generator.
+    Returns (list of split column-offsets, list of (n_codes, sub_dim)
+    codebook arrays).
+    """
+    import numpy as np
+
+    dim = sample.shape[1]
+    splits = np.array_split(np.arange(dim), m)
+    books = []
+    for cols in splits:
+        sub = sample[:, cols]
+        k_eff = min(n_codes, len(sub))
+        cb = sub[:k_eff].copy()
+        for _ in range(kmeans_iters):
+            d2 = (-2.0 * sub @ cb.T) + (cb * cb).sum(axis=1)
+            assign = np.argmin(d2, axis=1)
+            for c in range(k_eff):
+                members = sub[assign == c]
+                if len(members):
+                    cb[c] = members.mean(axis=0)
+        books.append(cb)
+    return splits, books
+
+
+def pq_topk(spark: SparkSession, sf_dir: str, n_queries: int = 5,
+            k: int = 5, m: int = 4, n_codes: int = 16,
+            kmeans_iters: int = 5, rerank: int = 32) -> DataFrame:
+    """Product-quantization ADC top-k cosine search + exact rerank.
+
+    The memory-bound scale tier the exact/LSH/IVF family lacks: each
+    vector compresses to ``m`` one-byte codes (64 dims * 8 B -> 4 B,
+    128x), so at 10^12 vectors the scan reads codes, not vectors.
+
+    Train: per-subspace k-means codebooks on a driver-side sample
+    (deterministic, same recipe as IVF).  Encode: ONE ``mapInArrow``
+    pass — per batch, m argmin matmuls.  Search: asymmetric distance —
+    each query precomputes a (m, n_codes) dot-product lookup table;
+    scoring a vector is m table lookups + a sum, vectorized per batch,
+    and each batch emits only its per-query top-``rerank`` partial
+    candidates (top-R of a union contains the union's top-R), so the
+    shuffle is O(batches * n_queries * R), independent of corpus size.
+    Exact cosine rerank on the global top-``rerank`` yields the final
+    ranking — same candidate-bounded shape as lsh_topk/ivf_topk.
+    """
+    import numpy as np
+
+    emb = load_embeddings(spark, sf_dir)
+    sample = np.array(
+        [r["v"] for r in emb.orderBy("vec_id").limit(4096).collect()])
+    if len(sample) == 0:
+        return spark.createDataFrame(
+            [], "query_id long, rank int, vec_id long, cosine double")
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    splits, books = pq_train(sample / norms, m, n_codes, kmeans_iters)
+
+    # queries: normalized driver-side; LUT[q, s, c] = q_s . codebook_s[c]
+    qrows = emb.filter(F.col("vec_id") < n_queries) \
+        .orderBy("vec_id").collect()
+    qmat = np.array([r["v"] for r in qrows], dtype=np.float64)
+    qn = np.linalg.norm(qmat, axis=1, keepdims=True)
+    qn[qn == 0] = 1.0
+    qmat = qmat / qn
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    luts = [qmat[:, cols] @ books[s].T for s, cols in enumerate(splits)]
+
+    def score_batches(df):
+        import pyarrow as pa
+
+        dim = sample.shape[1]
+
+        def compute(batches):
+            for b in batches:
+                n = b.num_rows
+                if n == 0:
+                    continue
+                vecs = np.asarray(b.column(1).flatten(),
+                                  dtype=np.float64).reshape(n, dim)
+                vn = np.linalg.norm(vecs, axis=1, keepdims=True)
+                vn[vn == 0] = 1.0
+                vecs = vecs / vn
+                # encode: m argmin matmuls -> codes (n, m)
+                scores = np.zeros((n, len(qids)), dtype=np.float64)
+                for s, cols in enumerate(splits):
+                    sub = vecs[:, cols]
+                    cb = books[s]
+                    d2 = (-2.0 * sub @ cb.T) + (cb * cb).sum(axis=1)
+                    codes = np.argmin(d2, axis=1)
+                    scores += luts[s][:, codes].T
+                ids = np.asarray(b.column(0), dtype=np.int64)
+                # per-batch partial top-R per query (adc desc, vec_id asc)
+                out_q, out_v, out_s = [], [], []
+                r_eff = min(rerank, n)
+                order_ids = np.argsort(ids, kind="stable")
+                for qi in range(len(qids)):
+                    s_q = scores[:, qi]
+                    # sort by (-score, vec_id): stable argsort on vec_id
+                    # order first, then stable sort by -score
+                    by_id = order_ids
+                    top = by_id[np.argsort(-s_q[by_id],
+                                           kind="stable")[:r_eff]]
+                    out_q += [int(qids[qi])] * len(top)
+                    out_v += [int(i) for i in ids[top]]
+                    out_s += [float(x) for x in s_q[top]]
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(out_q, type=pa.int64()),
+                     pa.array(out_v, type=pa.int64()),
+                     pa.array(out_s, type=pa.float64())],
+                    ["query_id", "vec_id", "adc"])
+
+        return df.select("vec_id", "v").mapInArrow(
+            compute, "query_id long, vec_id long, adc double")
+
+    partials = score_batches(emb).filter(F.col("vec_id") != F.col("query_id"))
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("vec_id"))
+    cand = (partials.withColumn("r", F.row_number().over(wq))
+            .filter(F.col("r") <= rerank)
+            .select("query_id", "vec_id"))
+
+    queries = spark.createDataFrame(
+        [(r["vec_id"], r["v"]) for r in qrows],
+        "query_id long, qv array<double>")
+    scored = (
+        cand.join(emb, "vec_id")
+        .join(F.broadcast(queries), "query_id")
+        .select("query_id", "vec_id",
+                F.round(_dot("qv", "v") / (_norm2("qv") * _norm2("v")), 6)
+                .alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine")
+        .orderBy("query_id", "rank")
+    )

@@ -43,3 +43,46 @@ def test_ivf_deterministic(spark):
     a = ivf_topk(spark, SF, n_queries=3, k=3).collect()
     b = ivf_topk(spark, SF, n_queries=3, k=3).collect()
     assert a == b
+
+
+def test_pq_topk_recall_vs_exact(spark):
+    """PQ+rerank top-5 must substantially agree with exact cosine top-5
+    (ADC candidates at rerank=32 of 500 rows): require >=60% overlap
+    averaged over queries, and every returned cosine must equal the
+    exact cosine for that pair (the rerank IS exact)."""
+    from cbor_ld_spark.operators.similarity import cosine_topk, pq_topk
+
+    sf = "/root/testdata/sf0.001"
+    exact = cosine_topk(spark, sf).collect()
+    approx = pq_topk(spark, sf).collect()
+    ex = {}
+    for r in exact:
+        ex.setdefault(r["query_id"], {})[r["vec_id"]] = r["cosine"]
+    ap = {}
+    for r in approx:
+        ap.setdefault(r["query_id"], {})[r["vec_id"]] = r["cosine"]
+    assert set(ap) == set(ex)
+    overlap = 0
+    total = 0
+    for q in ex:
+        overlap += len(set(ex[q]) & set(ap[q]))
+        total += len(ex[q])
+        for v, c in ap[q].items():
+            if v in ex[q]:
+                assert ex[q][v] == c  # rerank cosine == exact cosine
+    assert overlap / total >= 0.6, f"PQ recall too low: {overlap}/{total}"
+
+
+def test_pq_train_deterministic():
+    import numpy as np
+
+    from cbor_ld_spark.operators.similarity import pq_train
+
+    rng = np.random.default_rng(3)
+    sample = rng.normal(size=(200, 16))
+    s1, b1 = pq_train(sample, 4, 8, 5)
+    s2, b2 = pq_train(sample, 4, 8, 5)
+    assert all((a == b).all() for a, b in zip(b1, b2))
+    assert [list(c) for c in s1] == [list(c) for c in s2]
+    # subspaces partition the dims
+    assert sorted(int(x) for c in s1 for x in c) == list(range(16))
