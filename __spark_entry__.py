@@ -262,6 +262,82 @@ def _ann_pq_topk(spark, sf_dir):
     return pq_topk(spark, sf_dir)
 
 
+def _kg_compression_stats(spark, sf_dir):
+    """CBOR-LD compression ratio per document class — the reference's
+    value proposition measured corpus-wide.  Lengths are constants per
+    class (the entity-UUID templating is length-preserving and the
+    urn:uuid codec emits fixed-width binary), which min==max asserts."""
+    from cbor_ld_spark.operators import process_corpus
+    from cbor_ld_spark.sources import corpus_from_documents
+
+    p = process_corpus(corpus_from_documents(spark, sf_dir))
+    cls = F.regexp_extract("path", r"/([^/]+)\.jsonld$", 1)
+    return (
+        p.filter(F.col("ok"))
+        .groupBy(cls.alias("doc_class"))
+        .agg(F.count(F.lit(1)).alias("docs"),
+             F.min("json_len").alias("json_len"),
+             F.min("cbor_len").alias("cbor_len"),
+             (F.max("json_len") == F.min("json_len")).alias("len_constant"),
+             F.round(F.min("cbor_len") / F.min("json_len").cast("double"), 6)
+             .alias("ratio"))
+        .orderBy("doc_class"))
+
+
+def _text_length_quantiles(spark, sf_dir):
+    """Token-length quantiles: exact continuous percentiles (p50/p90/
+    p99, hash-verified vs DuckDB quantile_cont) plus the
+    percentile_approx sketch asserted within a rank window — the same
+    verified-within-tolerance pattern as the HLL sketch."""
+    from cbor_ld_spark.operators.text import _norm
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_tok = F.size(F.split(_norm(F.col("text")), " "))
+    per = docs.select(n_tok.alias("n_tokens"))
+    agg = per.agg(
+        *[F.round(F.expr(f"percentile(n_tokens, {q})"), 6)
+          .alias(f"exact_p{int(q * 100)}") for q in (0.5, 0.9, 0.99)],
+        *[F.expr(f"percentile(n_tokens, {q})").alias(f"lo_{int(p_ * 100)}")
+          for q, p_ in ((0.45, 0.5), (0.85, 0.9), (0.97, 0.99))],
+        *[F.expr(f"percentile(n_tokens, {q})").alias(f"hi_{int(p_ * 100)}")
+          for q, p_ in ((0.55, 0.5), (0.95, 0.9), (1.0, 0.99))],
+        *[F.percentile_approx("n_tokens", q, 10000)
+          .alias(f"a_{int(q * 100)}") for q in (0.5, 0.9, 0.99)],
+        F.count(F.lit(1)).alias("docs"))
+    cols = ["docs", "exact_p50", "exact_p90", "exact_p99"]
+    bounds = [
+        (F.col(f"a_{p_}") >= F.col(f"lo_{p_}"))
+        & (F.col(f"a_{p_}") <= F.col(f"hi_{p_}"))
+        for p_ in (50, 90, 99)]
+    return agg.select(
+        *cols,
+        *[b.alias(f"approx_p{p_}_within_window")
+          for b, p_ in zip(bounds, (50, 90, 99))])
+
+
+def _dedup_incremental(spark, sf_dir):
+    """Continuous-ingest dedup: the NEW batch is the second half of the
+    corpus PLUS a simulated recrawl (every 5th history doc re-submitted
+    under a new id) — the anti-join against the seen-hash index must
+    admit the genuinely-new docs and drop the 50 recrawled duplicates.
+    At 10^12 scale the history side is a bucketed hash table and this
+    anti-join is the only work per ingest batch."""
+    from cbor_ld_spark.operators.text import _norm
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", F.md5(_norm(F.col("text"))).alias("content_hash"))
+    history = docs.filter(F.col("doc_id") < 250) \
+        .select("content_hash").distinct()
+    recrawl = (docs.filter((F.col("doc_id") < 250)
+                           & (F.col("doc_id") % 5 == 0))
+               .select((F.col("doc_id") + 10000).alias("doc_id"),
+                       "content_hash"))
+    new = docs.filter(F.col("doc_id") >= 250).unionByName(recrawl)
+    return (new.join(history, "content_hash", "left_anti")
+            .select("doc_id", "content_hash")
+            .orderBy("doc_id"))
+
+
 def _kg_pagerank(spark, sf_dir):
     """Fixed-iteration PageRank over the extracted entity graph (top 25
     by centrality).  Value-verified against a full driver-side replay of
@@ -701,6 +777,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_components": _kg_entity_components,
         "kg_cardinality_sketch": _kg_cardinality_sketch,
         "ann_pq_topk": _ann_pq_topk,
+        "kg_compression_stats": _kg_compression_stats,
+        "text_length_quantiles": _text_length_quantiles,
+        "dedup_incremental": _dedup_incremental,
         "kg_pagerank": _kg_pagerank,
         "kg_khop": _kg_khop,
         "kg_canonical_dedup": _kg_canonical_dedup,
@@ -1791,6 +1870,40 @@ def _pq_topk_oracle(n_queries: int = 5, k: int = 5, m: int = 4,
     """
 
 
+def _compression_stats_oracle() -> str:
+    """Per-class json/cbor lengths replayed from one kernel run per
+    variant (lengths are entity-independent: UUID templating is
+    length-preserving), docs counted by cycling math."""
+    import re
+
+    from cbor_ld_spark.functions.udfs import _process_one
+    from cbor_ld_spark.sources import payload_variants
+
+    variants = payload_variants()
+    k = len(variants)
+    rows = []
+    for i, (name, lang, content, _enc) in enumerate(variants):
+        if not (lang == "json" and re.match(r"^[\s﻿]*\{", content)
+                and "@context" in content):
+            continue
+        out = _process_one(content, 1, True)
+        if out[1]:
+            rows.append(f"({i}, {_sql_str(name)}, {out[4]}, {out[5]})")
+    vals = ", ".join(rows)
+    return f"""
+        WITH v(vidx, doc_class, json_len, cbor_len) AS (VALUES {vals}),
+        d AS (SELECT doc_id % {k} AS vidx FROM documents)
+        SELECT doc_class, count(*)::BIGINT AS docs,
+               json_len::INTEGER AS json_len,
+               cbor_len::INTEGER AS cbor_len,
+               TRUE AS len_constant,
+               round(cbor_len / json_len::DOUBLE, 6) AS ratio
+        FROM d JOIN v USING (vidx)
+        GROUP BY doc_class, json_len, cbor_len
+        ORDER BY doc_class
+    """
+
+
 _REALIZED_EDGE_CACHE: dict[str, list] = {}
 
 
@@ -1986,6 +2099,32 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples_by_pred": _triples_by_pred_oracle(),
         "kg_cardinality_sketch": _cardinality_sketch_oracle(),
         "ann_pq_topk": _pq_topk_oracle(),
+        "kg_compression_stats": _compression_stats_oracle(),
+        "text_length_quantiles": f"""
+            WITH t AS (SELECT len(string_split({_NORM_SQL}, ' ')) AS n
+                       FROM documents)
+            SELECT count(*)::BIGINT AS docs,
+                   round(quantile_cont(n, 0.5), 6) AS exact_p50,
+                   round(quantile_cont(n, 0.9), 6) AS exact_p90,
+                   round(quantile_cont(n, 0.99), 6) AS exact_p99,
+                   TRUE AS approx_p50_within_window,
+                   TRUE AS approx_p90_within_window,
+                   TRUE AS approx_p99_within_window
+            FROM t
+        """,
+        "dedup_incremental": f"""
+            WITH h AS (SELECT doc_id, md5({_NORM_SQL}) AS content_hash
+                       FROM documents),
+            newb AS (
+              SELECT doc_id, content_hash FROM h WHERE doc_id >= 250
+              UNION ALL
+              SELECT doc_id + 10000, content_hash FROM h
+              WHERE doc_id < 250 AND doc_id % 5 = 0)
+            SELECT doc_id, content_hash FROM newb
+            WHERE content_hash NOT IN
+                  (SELECT content_hash FROM h WHERE doc_id < 250)
+            ORDER BY doc_id
+        """,
         "kg_pagerank": _pagerank_oracle(),
         "kg_khop": _khop_oracle(),
         "kg_canonical_dedup": _canonical_dedup_oracle(),
