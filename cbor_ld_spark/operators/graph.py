@@ -93,26 +93,22 @@ def k_hop(edges: DataFrame, seeds: DataFrame, k: int = 3) -> DataFrame:
     root (BFS layering, deterministic).
     """
     edges = edges.localCheckpoint()
-    frontier = seeds.select(F.col("node").alias("root"),
-                            F.col("node"))
-    # visited holds (root, node, first_hop); seeds are hop 0 and excluded
-    visited = frontier.withColumn("first_hop", F.lit(0)).persist()
-    visited.count()
+    # layers[h] holds (root, node) first reached at hop h; each layer is
+    # localCheckpoint'd (one materializing job per hop — the take(1)/
+    # persist/count trio this replaces cost 3 jobs per hop), and the
+    # left_anti runs against the already-materialized previous layers.
+    layers = [seeds.select(F.col("node").alias("root"), F.col("node"))
+              .localCheckpoint()]
+    out = None
     for hop in range(1, k + 1):
         nxt = (
-            frontier.join(edges, frontier.node == edges.src)
+            layers[-1].join(edges, layers[-1].node == edges.src)
             .select("root", F.col("dst").alias("node"))
-            .distinct()
-            .join(visited, ["root", "node"], "left_anti")
-            .withColumn("first_hop", F.lit(hop)))
+            .distinct())
+        for prev in layers:
+            nxt = nxt.join(prev, ["root", "node"], "left_anti")
         nxt = nxt.localCheckpoint()
-        if not nxt.take(1):
-            break
-        new_visited = visited.unionByName(nxt).persist()
-        new_visited.count()
-        visited.unpersist()
-        visited = new_visited
-        frontier = nxt.select("root", "node")
-    result = visited.filter(F.col("first_hop") > 0).localCheckpoint()
-    visited.unpersist()
-    return result
+        layers.append(nxt)
+        hopped = nxt.withColumn("first_hop", F.lit(hop))
+        out = hopped if out is None else out.unionByName(hopped)
+    return out
