@@ -868,6 +868,16 @@ def _sql_str(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
 
 
+def _sniff_ok(lang: str, content: str) -> bool:
+    """Driver-side mirror of functions/udfs.jsonld_sniff — the gate on
+    which variants enter every KG oracle.  ONE definition: the three
+    oracle helpers below all call this."""
+    import re
+
+    return bool(lang == "json" and re.match(r"^[\s﻿]*\{", content)
+                and "@context" in content)
+
+
 _PROBE_UUID = "9e107d9d-372b-4c81-a634-5c91aa1edbe3"
 _MEMO: dict = {}
 
@@ -911,16 +921,13 @@ def _variant_outcomes():
     Only sniff-passing variants (lang == json, object-shaped, @context
     present) appear — mirroring ``jsonld_sniff``.
     """
-    import re
-
     from cbor_ld_spark.functions.udfs import _process_one
     from cbor_ld_spark.sources import payload_variants
     from cbor_ld_spark.sources.corpus import _TEMPLATE_UUID
 
     out = []
     for i, (_name, lang, content, _enc) in enumerate(payload_variants()):
-        if not (lang == "json" and re.match(r"^[\s﻿]*\{", content)
-                and "@context" in content):
+        if not _sniff_ok(lang, content):
             continue
         a = _process_one(content, 1, True)
         b = _process_one(content.replace(_TEMPLATE_UUID, _PROBE_UUID),
@@ -1874,8 +1881,6 @@ def _compression_stats_oracle() -> str:
     """Per-class json/cbor lengths replayed from one kernel run per
     variant (lengths are entity-independent: UUID templating is
     length-preserving), docs counted by cycling math."""
-    import re
-
     from cbor_ld_spark.functions.udfs import _process_one
     from cbor_ld_spark.sources import payload_variants
 
@@ -1883,8 +1888,7 @@ def _compression_stats_oracle() -> str:
     k = len(variants)
     rows = []
     for i, (name, lang, content, _enc) in enumerate(variants):
-        if not (lang == "json" and re.match(r"^[\s﻿]*\{", content)
-                and "@context" in content):
+        if not _sniff_ok(lang, content):
             continue
         out = _process_one(content, 1, True)
         if out[1]:
@@ -1914,7 +1918,6 @@ def _realized_entity_edges(sf_dir: str) -> list[tuple[str, str]]:
     the kernel runs once per distinct (variant, entity) pair and the
     realized IRI/blank-label strings come out exactly as Spark's."""
     import hashlib
-    import re
 
     import duckdb
 
@@ -1935,8 +1938,7 @@ def _realized_entity_edges(sf_dir: str) -> list[tuple[str, str]]:
     edges = set()
     for v, e in pairs:
         _name, lang, content, _enc = variants[v]
-        if not (lang == "json" and re.match(r"^[\s﻿]*\{", content)
-                and "@context" in content):
+        if not _sniff_ok(lang, content):
             continue
         h = hashlib.md5(f"ent:{e}".encode()).hexdigest()
         uuid = f"{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}"
@@ -2120,10 +2122,11 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT doc_id + 10000, content_hash FROM h
               WHERE doc_id < 250 AND doc_id % 5 = 0)
-            SELECT doc_id, content_hash FROM newb
-            WHERE content_hash NOT IN
-                  (SELECT content_hash FROM h WHERE doc_id < 250)
-            ORDER BY doc_id
+            SELECT n.doc_id, n.content_hash FROM newb n
+            WHERE NOT EXISTS (SELECT 1 FROM h
+                              WHERE h.doc_id < 250
+                                AND h.content_hash = n.content_hash)
+            ORDER BY n.doc_id
         """,
         "kg_pagerank": _pagerank_oracle(),
         "kg_khop": _khop_oracle(),

@@ -50,8 +50,12 @@ def encode_avi_mjpeg(frames: list[bytes], width: int, height: int,
         return chunk(b"LIST", four + body)
 
     max_size = max(len(f) for f in frames)
+    # dwMaxBytesPerSec is a u32; huge frames at high fps would overflow
+    # struct.pack with an untyped struct.error — clamp (informational
+    # field only)
+    bytes_per_sec = min(max_size * 1_000_000 // us_per_frame, 0xFFFFFFFF)
     avih = struct.pack(
-        "<14I", us_per_frame, max_size * 1_000_000 // us_per_frame,
+        "<14I", us_per_frame, bytes_per_sec,
         0, 0x10,  # padding, AVIF_HASINDEX
         len(frames), 0, 1, max_size, width, height, 0, 0, 0, 0)
     # strh, 56 bytes: fccType fccHandler flags prio+lang initial_frames

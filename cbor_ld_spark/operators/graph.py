@@ -47,14 +47,27 @@ def pagerank(edges: DataFrame, iters: int = 5,
     rank_0 = 1/N for the N distinct nodes (sources + destinations);
     rank_{t+1}(v) = (1-d)/N + d * sum(rank_t(u)/out_deg(u), u->v).
     Dangling-node mass is dropped (not redistributed) — deterministic
-    and mirrored verbatim by the oracle's unrolled CTEs; ranks are a
-    relative centrality ordering, not a probability distribution.
+    and mirrored verbatim by the oracle's replay; ranks are a relative
+    centrality ordering, not a probability distribution.
+
+    Float note: the inbound sum's addition order is partition-dependent
+    (FP non-associative), while the oracle sums sequentially.  The
+    divergence is ~1e-16 relative per iteration against a round-6
+    output granularity of 1e-6 — a boundary flip needs a rank within
+    ~1e-18 of a 0.5e-6 rounding edge (odds ~1e-12 per value), the
+    accepted residual for an order-free distributed aggregation.
     """
     edges = edges.localCheckpoint()  # cut lineage once; reused 5+1 times
+    # nodes is joined every iteration: materialize it once too, or each
+    # new_ranks join would re-run the union+distinct shuffle
     nodes = (edges.select(F.col("src").alias("node"))
              .unionByName(edges.select(F.col("dst").alias("node")))
-             .distinct())
+             .distinct()
+             .localCheckpoint())
     n = nodes.count()
+    if n == 0:
+        return edges.sparkSession.createDataFrame(
+            [], "node string, rank double")
     deg = out_degrees(edges)
     # (src, dst, out_deg) reused every iteration
     e = edges.join(deg, "src").localCheckpoint()

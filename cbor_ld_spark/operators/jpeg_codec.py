@@ -477,15 +477,17 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     br = _BitReader(segments[0])
     total_mcus = mcus_x * mcus_y
     # entropy-decode bomb guards: the MCU loop is interpreted Python, so
-    # bound its work *before* entering it.  (a) hard block cap — 2^17
-    # blocks ≈ 8 MP grayscale, far above any legit corpus image here;
-    # (b) every block consumes >= 2 bits (one DC code + one EOB), so a
-    # tiny payload claiming huge dimensions is provably truncated and
+    # bound its work *before* entering it.  (a) per-COMPONENT block cap
+    # — 2^17 blocks per scan component ≈ 8 MP at that component's full
+    # resolution, so an ordinary 4:4:4 or 4:2:0 photo up to ~8 MP still
+    # decodes while a claimed-dimensions bomb quarantines; (b) every
+    # block consumes >= 2 bits (one DC code + one EOB), so a tiny
+    # payload claiming huge dimensions is provably truncated and
     # quarantines in O(1) instead of O(claimed pixels).
     blocks_per_mcu = sum(comps[idx][1] * comps[idx][2]
                          for idx, _td, _ta in comps_in_scan)
     total_blocks = total_mcus * blocks_per_mcu
-    if total_blocks > (1 << 17):
+    if total_blocks > (1 << 17) * max(1, len(comps_in_scan)):
         raise MediaDecodeError(
             f"JPEG entropy-decode work out of bounds ({total_blocks} blocks)")
     if total_blocks * 2 > sum(len(s) for s in segments) * 8:

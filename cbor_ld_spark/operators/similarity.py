@@ -412,15 +412,17 @@ def pq_topk(spark: SparkSession, sf_dir: str, n_queries: int = 5,
                 ids = np.asarray(b.column(0), dtype=np.int64)
                 # per-batch partial top-R per query (adc desc, vec_id asc)
                 out_q, out_v, out_s = [], [], []
-                r_eff = min(rerank, n)
                 order_ids = np.argsort(ids, kind="stable")
                 for qi in range(len(qids)):
                     s_q = scores[:, qi]
+                    # self-match excluded BEFORE truncation: the query
+                    # occupying a top-R slot of its own batch would
+                    # push out the batch's R-th best real candidate
+                    by_id = order_ids[ids[order_ids] != qids[qi]]
                     # sort by (-score, vec_id): stable argsort on vec_id
                     # order first, then stable sort by -score
-                    by_id = order_ids
                     top = by_id[np.argsort(-s_q[by_id],
-                                           kind="stable")[:r_eff]]
+                                           kind="stable")[:rerank]]
                     out_q += [int(qids[qi])] * len(top)
                     out_v += [int(i) for i in ids[top]]
                     out_s += [float(x) for x in s_q[top]]
@@ -433,7 +435,7 @@ def pq_topk(spark: SparkSession, sf_dir: str, n_queries: int = 5,
         return df.select("vec_id", "v").mapInArrow(
             compute, "query_id long, vec_id long, adc double")
 
-    partials = score_batches(emb).filter(F.col("vec_id") != F.col("query_id"))
+    partials = score_batches(emb)
     wq = Window.partitionBy("query_id").orderBy(
         F.col("adc").desc(), F.col("vec_id"))
     cand = (partials.withColumn("r", F.row_number().over(wq))
