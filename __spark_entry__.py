@@ -391,6 +391,18 @@ def _multimodal_frame_dedup(spark, sf_dir):
             .orderBy("phash"))
 
 
+def _text_compression_signal(spark, sf_dir):
+    """Deflate-compressibility entropy proxy per document (CCNet-style
+    quality signal) — data-trained oracle replays the shared
+    _compression_row pure function."""
+    from cbor_ld_spark.operators.text import (
+        compression_ratio_signal,
+        load_documents,
+    )
+
+    return compression_ratio_signal(load_documents(spark, sf_dir))
+
+
 def _text_tfidf_top_terms(spark, sf_dir):
     from cbor_ld_spark.operators.dedup import load_documents
     from cbor_ld_spark.operators.text import tfidf_top_terms
@@ -755,6 +767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_pack": _shard_pack,
         "text_tfidf_top_terms": _text_tfidf_top_terms,
         "text_repetition_signals": _text_repetition_signals,
+        "text_compression_signal": _text_compression_signal,
         "text_decontaminate": _text_decontaminate,
         "multimodal_image_features": _multimodal_image_features,
         "multimodal_audio_features": _multimodal_audio_features,
@@ -1877,6 +1890,33 @@ def _pq_topk_oracle(n_queries: int = 5, k: int = 5, m: int = 4,
     """
 
 
+def _compression_signal_oracle(level: int = 6, max_chars: int = 65536,
+                               threshold: float = 0.35,
+                               sf_dir: str | None = None) -> str:
+    """Replay the shared _compression_row over the documents table."""
+    import duckdb
+
+    from cbor_ld_spark.operators.text import _compression_row
+
+    sf_dir = sf_dir or _oracle_sf_dir()
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, text FROM "
+        f"read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+    con.close()
+    out = []
+    for doc_id, text in rows:
+        if text is None:
+            continue
+        u, d, r = _compression_row(text, level, max_chars)
+        out.append((doc_id, u, d, r, r < threshold))
+    return _values_oracle(
+        out, [("doc_id", "BIGINT"), ("utf8_len", "BIGINT"),
+              ("deflate_len", "BIGINT"), ("ratio", "DOUBLE"),
+              ("low_entropy", "BOOLEAN")], "doc_id")
+
+
 def _compression_stats_oracle() -> str:
     """Per-class json/cbor lengths replayed from one kernel run per
     variant (lengths are entity-independent: UUID templating is
@@ -2102,6 +2142,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_cardinality_sketch": _cardinality_sketch_oracle(),
         "ann_pq_topk": _pq_topk_oracle(),
         "kg_compression_stats": _compression_stats_oracle(),
+        "text_compression_signal": _compression_signal_oracle(),
         "text_length_quantiles": f"""
             WITH t AS (SELECT len(string_split({_NORM_SQL}, ' ')) AS n
                        FROM documents)

@@ -534,3 +534,58 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
                     (F.coalesce("benchmark_ngrams", F.lit(0)) > 0)
                     .alias("contaminated"))
             .orderBy("doc_id"))
+
+
+def _compression_row(text: str, level: int, max_chars: int):
+    """(utf8_len, deflate_len, ratio) for one doc — pure function shared
+    by the Spark stage and the oracle generator (same zlib build in
+    this deployment; on heterogeneous clusters pin the Python env, as
+    for any UDF)."""
+    import zlib
+
+    raw = text[:max_chars].encode("utf-8")
+    if not raw:
+        return 0, 0, 1.0
+    comp = len(zlib.compress(raw, level))
+    return len(raw), comp, round(comp / len(raw), 6)
+
+
+def compression_ratio_signal(docs: DataFrame, level: int = 6,
+                             max_chars: int = 65536,
+                             threshold: float = 0.35) -> DataFrame:
+    """Deflate-compressibility quality signal (the CCNet/RedPajama-style
+    entropy proxy): templated or looping text compresses far below
+    natural prose, so ``ratio = deflate_len / utf8_len`` separates
+    boilerplate from content cheaply — no model, no tokenizer.
+
+    Scale shape: a pure per-document map — ONE ``mapInArrow`` stage,
+    zero shuffles before the presentation sort; ``max_chars`` bounds
+    per-row work like winnowing's cap.
+    """
+    import pyarrow as pa
+
+    def compute(batches):
+        for b in batches:
+            ids, ulen, dlen, ratio = [], [], [], []
+            for mid, text in zip(b.column(0), b.column(1)):
+                if not text.is_valid:
+                    continue
+                u, d, r = _compression_row(text.as_py(), level, max_chars)
+                ids.append(mid.as_py())
+                ulen.append(u)
+                dlen.append(d)
+                ratio.append(r)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, type=pa.int64()),
+                 pa.array(ulen, type=pa.int64()),
+                 pa.array(dlen, type=pa.int64()),
+                 pa.array(ratio, type=pa.float64())],
+                ["doc_id", "utf8_len", "deflate_len", "ratio"])
+
+    out = (docs.select("doc_id", "text")
+           .mapInArrow(compute,
+                       "doc_id long, utf8_len long, deflate_len long, "
+                       "ratio double"))
+    return (out.select("doc_id", "utf8_len", "deflate_len", "ratio",
+                       (F.col("ratio") < threshold).alias("low_entropy"))
+            .orderBy("doc_id"))

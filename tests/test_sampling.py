@@ -226,3 +226,24 @@ def test_decontaminate_flags_shared_8grams(spark):
     assert not rows[2]["contaminated"] and rows[2]["benchmark_ngrams"] == 0
     assert not rows[3]["contaminated"]
     assert set(rows) == {1, 2, 3}
+
+
+def test_compression_signal_separates_boilerplate(spark):
+    from cbor_ld_spark.operators.text import compression_ratio_signal
+
+    docs = spark.createDataFrame(
+        [(1, "the " * 2000),                      # pure repetition
+         (2, "x"),                                # tiny
+         (3, None),                               # null -> skipped
+         (4, "".join(__import__("random").Random(5).choices(
+             [chr(33 + j) for j in range(90)], k=4000)))],  # high-entropy
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in compression_ratio_signal(docs).collect()}
+    assert set(rows) == {1, 2, 4}
+    assert rows[1]["low_entropy"] and rows[1]["ratio"] < 0.05
+    assert not rows[4]["low_entropy"] and rows[4]["ratio"] > 0.8
+    assert rows[1]["utf8_len"] == 8000
+    # deterministic across runs
+    again = {r["doc_id"]: r["ratio"]
+             for r in compression_ratio_signal(docs).collect()}
+    assert again == {k: r["ratio"] for k, r in rows.items()}
