@@ -114,3 +114,99 @@ def repo_stats_stream(processed_stream, checkpoint_dir: str, out_dir: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+SESSION_STATE_SCHEMA = StructType([
+    StructField("start_tl", LongType(), False),
+    StructField("last_tl", LongType(), False),
+    StructField("n_events", LongType(), False),
+    StructField("value_milli", LongType(), False),  # sum(value)*1000, exact
+    StructField("session_seq", LongType(), False),
+])
+
+SESSION_OUTPUT_SCHEMA = StructType([
+    StructField("user_id", LongType(), False),
+    StructField("session_seq", LongType(), False),
+    StructField("n_events", LongType(), False),
+    StructField("start_tl", LongType(), False),
+    StructField("duration_secs", LongType(), False),
+    StructField("value_milli", LongType(), False),
+])
+
+
+def _session_update_fn(gap_secs: int):
+    def update(key, pdfs: Iterator[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:  # not used (NoTimeout) — defensive
+            state.remove()
+            return
+        if state.exists:
+            start, last, n, vm, seq = state.get
+        else:
+            start = last = -1
+            n = vm = 0
+            seq = 0
+        closed = []
+        rows = pd.concat(list(pdfs)).sort_values("tl")
+        for tl, vmilli in zip(rows["tl"], rows["vmilli"]):
+            tl, vmilli = int(tl), int(vmilli)
+            if last >= 0 and tl - last > gap_secs:
+                closed.append((key[0], seq, n, start, last - start, vm))
+                seq += 1
+                start, n, vm = tl, 0, 0
+            if last < 0:
+                start = tl
+            last = tl
+            n += 1
+            vm += vmilli
+        state.update((start, last, n, vm, seq))
+        if closed:
+            yield pd.DataFrame(
+                closed, columns=[f.name for f in SESSION_OUTPUT_SCHEMA])
+
+    return update
+
+
+def session_stream(events, checkpoint_dir: str, out_dir: str,
+                   gap_minutes: int = 30, available_now: bool = True):
+    """Streaming gap sessionization (applyInPandasWithState): the
+    stateful twin of ``operators/events.sessionize``.
+
+    Emits a session row the moment a later event of the same user
+    closes it (gap exceeded); the still-open tail session per user
+    lives in the state store across micro-batches/restarts.  Values
+    accumulate as exact milli-units so stream and batch sums agree
+    bit-for-bit (floats would drift by accumulation order).  Batch
+    parity is pinned by test: closed stream sessions ==
+    ``sessionize()`` minus each user's final (still-open) session.
+
+    Scale: state is one tuple per user (bounded by user cardinality);
+    events shuffle once on the group key, the same key the batch
+    sessionize shuffles on.
+    """
+    from pyspark.sql import functions as F
+
+    prepared = events.select(
+        F.col("user_id"),
+        F.col("ts").cast("timestamp").cast("long").alias("tl"),
+        F.round(F.col("value") * 1000).cast("long").alias("vmilli"))
+    sessions = (
+        prepared
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_update_fn(gap_minutes * 60),
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        ))
+    writer = (
+        sessions.writeStream
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

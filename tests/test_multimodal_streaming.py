@@ -325,3 +325,65 @@ def test_streaming_dedup_matches_batch(spark):
         assert len(s_hashes) == len(set(s_hashes))
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_streaming_sessionize_matches_batch(spark):
+    """Stateful streaming sessionizer parity: after two drains over a
+    growing event log, the CLOSED stream sessions equal the batch
+    sessionize() result minus each user's final (still-open) session —
+    counts, starts, durations, and exact milli-value sums."""
+    import os
+    import shutil
+    import tempfile
+    from datetime import datetime
+
+    from cbor_ld_spark.operators.events import sessionize
+    from cbor_ld_spark.streaming import session_stream
+
+    def ev(uid, minute, value):
+        return (uid, datetime(2026, 1, 1, minute // 60, minute % 60), value)
+
+    batch1 = [ev(1, 0, 1.5), ev(1, 10, 2.25), ev(1, 70, 4.0),
+              ev(2, 5, 1.0)]
+    batch2 = [ev(1, 75, 0.5), ev(1, 200, 9.0),
+              ev(2, 50, 3.0), ev(2, 55, 1.125)]
+    schema = "user_id long, ts timestamp_ntz, value double"
+
+    base = tempfile.mkdtemp(prefix="kgsess_")
+    inp, out, ckpt = (os.path.join(base, d) for d in ("in", "out", "ckpt"))
+    try:
+        spark.createDataFrame(batch1, schema) \
+            .write.mode("append").parquet(inp)
+        stream = spark.readStream.schema(schema).parquet(inp)
+        session_stream(stream, ckpt, out).awaitTermination(120)
+        spark.createDataFrame(batch2, schema) \
+            .write.mode("append").parquet(inp)
+        stream2 = spark.readStream.schema(schema).parquet(inp)
+        session_stream(stream2, ckpt, out).awaitTermination(120)
+
+        got = {(r["user_id"], r["session_seq"]):
+               (r["n_events"], r["start_tl"], r["duration_secs"],
+                r["value_milli"])
+               for r in spark.read.parquet(out).collect()}
+
+        all_events = spark.createDataFrame(batch1 + batch2, schema)
+        batch = sessionize(all_events).collect()
+        last_seq = {}
+        for r in batch:
+            last_seq[r["user_id"]] = max(
+                last_seq.get(r["user_id"], 0), r["session_seq"])
+        expected = {}
+        for r in batch:
+            if r["session_seq"] == last_seq[r["user_id"]]:
+                continue  # still open in the stream
+            tl = int(r["started_at"].timestamp())
+            expected[(r["user_id"], r["session_seq"] - 1)] = (
+                r["n_events"],
+                r["duration_secs"],
+                int(round(r["session_value"] * 1000)))
+        assert {k: (v[0], v[2], v[3]) for k, v in got.items()} == expected
+        # user 1: sessions closed at minute 70 (gap 60) and 200 (gap 125);
+        # user 2: one closed session (gap 45 between minutes 5 and 50)
+        assert len(got) == 3
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
