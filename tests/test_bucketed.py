@@ -110,3 +110,34 @@ def test_dedup_first_pipeline_plan_hygiene(spark, tmp_path):
     join_pos = max(plan.find("BroadcastHashJoin"), plan.find("SortMergeJoin"))
     assert join_pos >= 0, plan
     assert plan.find("MapInArrow") > join_pos, plan
+
+
+def test_pq_topk_plan_hygiene(spark):
+    """PQ: exactly ONE Python stage (the encode+ADC-score mapInArrow);
+    candidate join-back and query join are broadcast (the corpus never
+    shuffles for the join); no row-at-a-time Python."""
+    from cbor_ld_spark.operators.similarity import pq_topk
+
+    out = pq_topk(spark, "/root/testdata/sf0.001")
+    out.count()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInArrow") == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_pagerank_plan_no_python_no_kernel_rerun(spark):
+    """PageRank iterations run on the localCheckpoint'd edge/node frames:
+    the final plan contains no Python stages and scans checkpointed
+    RDDs, never the original lineage."""
+    from cbor_ld_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame(
+        [(f"n{i}", f"n{(i * 7) % 50}") for i in range(200)],
+        "src string, dst string")
+    pr = pagerank(e, iters=3)
+    plan = pr._jdf.queryExecution().executedPlan().toString()
+    # result frame is itself a checkpoint scan: iterations already ran
+    assert "Scan ExistingRDD" in plan, plan
+    assert "BatchEvalPython" not in plan and "MapInArrow" not in plan
