@@ -193,6 +193,8 @@ def load_repos(spark: SparkSession, source: str,
             fmt = "jsonl"
         elif low.endswith(".csv"):
             fmt = "csv"
+        elif low.endswith(".orc"):
+            fmt = "orc"
         else:
             fmt = "parquet"
     if fmt == "jsonl":
@@ -203,4 +205,6 @@ def load_repos(spark: SparkSession, source: str,
                 .option("header", "true")
                 .option("multiLine", "true")
                 .option("escape", '"').csv(source))
+    if fmt == "orc":
+        return spark.read.orc(source)
     return spark.read.parquet(source)

@@ -209,3 +209,18 @@ def test_load_repos_jsonl_and_csv(spark, tmp_path):
     got_csv = load_repos(spark, str(csv), fmt="csv")
     assert got_csv.count() == 40
     assert process_corpus(got_csv).filter("ok").count() == ok
+
+
+def test_load_repos_orc(spark, tmp_path):
+    """ORC source (columnar interchange besides parquet) feeds the same
+    kernel pipeline; extension sniff and explicit fmt both work."""
+    from cbor_ld_spark.operators import process_corpus
+    from cbor_ld_spark.sources import load_repos, synthesize_corpus
+
+    orc = tmp_path / "corpus.orc"
+    synthesize_corpus(spark, 40).write.orc(str(orc))
+    got = load_repos(spark, str(orc))
+    assert got.count() == 40
+    assert got.columns == ["repo", "path", "commit", "lang", "content"]
+    assert process_corpus(got).filter("ok").count() > 0
+    assert load_repos(spark, str(orc), fmt="orc").count() == 40
