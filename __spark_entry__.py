@@ -338,6 +338,29 @@ def _dedup_incremental(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def _kg_degree_distribution(spark, sf_dir):
+    """Undirected-degree histogram of the entity graph — the skew
+    audit (mega-entities show up as the heavy-degree tail that the
+    linking/pagerank stages must absorb).  Two hash aggregations on
+    uniform keys."""
+    from cbor_ld_spark.operators import process_corpus, triples_table
+    from cbor_ld_spark.operators.graph import entity_edges
+    from cbor_ld_spark.sources import corpus_from_documents
+
+    t = triples_table(process_corpus(corpus_from_documents(spark, sf_dir)))
+    e = entity_edges(t).filter(F.col("src") != F.col("dst"))
+    und = (e.select(F.least("src", "dst").alias("a"),
+                    F.greatest("src", "dst").alias("b"))
+           .distinct())
+    degrees = (und.select(F.col("a").alias("node"))
+               .unionByName(und.select(F.col("b").alias("node")))
+               .groupBy("node")
+               .agg(F.count(F.lit(1)).alias("degree")))
+    return (degrees.groupBy("degree")
+            .agg(F.count(F.lit(1)).alias("n_nodes"))
+            .orderBy("degree"))
+
+
 def _kg_pagerank(spark, sf_dir):
     """Fixed-iteration PageRank over the extracted entity graph (top 25
     by centrality).  Value-verified against a full driver-side replay of
@@ -793,6 +816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_compression_stats": _kg_compression_stats,
         "text_length_quantiles": _text_length_quantiles,
         "dedup_incremental": _dedup_incremental,
+        "kg_degree_distribution": _kg_degree_distribution,
         "kg_pagerank": _kg_pagerank,
         "kg_khop": _kg_khop,
         "kg_canonical_dedup": _kg_canonical_dedup,
@@ -2015,6 +2039,22 @@ def _pagerank_oracle(iters: int = 5, damping: float = 0.85,
                           "rank DESC, node")
 
 
+def _degree_distribution_oracle(sf_dir: str | None = None) -> str:
+    """Degree histogram replayed over the realized edge list."""
+    from collections import Counter
+
+    edges = _realized_entity_edges(sf_dir or _oracle_sf_dir())
+    und = {(min(s, d), max(s, d)) for s, d in edges if s != d}
+    deg: Counter = Counter()
+    for a, b in und:
+        deg[a] += 1
+        deg[b] += 1
+    hist = Counter(deg.values())
+    return _values_oracle(
+        sorted(hist.items()),
+        [("degree", "BIGINT"), ("n_nodes", "BIGINT")], "degree")
+
+
 def _khop_oracle(k: int = 3, n_seeds: int = 3,
                  sf_dir: str | None = None) -> str:
     """k-hop BFS layer sizes, replayed in pure Python."""
@@ -2169,6 +2209,7 @@ def oracle_sql() -> dict[str, str]:
                                 AND h.content_hash = n.content_hash)
             ORDER BY n.doc_id
         """,
+        "kg_degree_distribution": _degree_distribution_oracle(),
         "kg_pagerank": _pagerank_oracle(),
         "kg_khop": _khop_oracle(),
         "kg_canonical_dedup": _canonical_dedup_oracle(),
