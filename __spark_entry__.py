@@ -761,11 +761,24 @@ def _events_by_type(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordering matters: the driver's correctness harness checks the FIRST 50
+    # entries in registry order.  Queries that have not yet earned a driver
+    # correctness row (newest operators) are placed early; the long-stable
+    # rel_*/events_by_type/events_hourly singles (driver-green since r2 and
+    # unchanged since) sit past the cap.
     return {
         "kg_corpus_shape": _kg_corpus_shape,
         "kg_doc_results": _kg_doc_results,
         "kg_triples_by_pred": _kg_triples_by_pred,
         "kg_roundtrip_violations": _kg_roundtrip_violations,
+        "ann_pq_topk": _ann_pq_topk,
+        "kg_compression_stats": _kg_compression_stats,
+        "text_length_quantiles": _text_length_quantiles,
+        "dedup_incremental": _dedup_incremental,
+        "kg_degree_distribution": _kg_degree_distribution,
+        "kg_pagerank": _kg_pagerank,
+        "kg_khop": _kg_khop,
+        "kg_canonical_dedup": _kg_canonical_dedup,
         "text_token_stats": _text_token_stats,
         "text_quality": _text_quality,
         "text_lang_id": _text_lang_id,
@@ -796,6 +809,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_features": _multimodal_audio_features,
         "multimodal_video_frames": _multimodal_video_frames,
         "multimodal_frame_dedup": _multimodal_frame_dedup,
+        "events_sessions": _events_sessions,
+        "events_session_stats": _events_session_stats,
+        "events_user_activity": _events_user_activity,
+        "kg_hex_roundtrip": _kg_hex_roundtrip,
+        "kg_entity_components": _kg_entity_components,
+        "kg_cardinality_sketch": _kg_cardinality_sketch,
+        # --- past the driver's 50-query window: stable since r2, unchanged ---
         "rel_pricing_summary": _rel_pricing_summary,
         "rel_top_customers": _rel_top_customers,
         "rel_orders_with_returns": _rel_orders_with_returns,
@@ -806,20 +826,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_revenue_rollup": _rel_revenue_rollup,
         "events_by_type": _events_by_type,
         "events_hourly": _events_hourly,
-        "events_sessions": _events_sessions,
-        "events_session_stats": _events_session_stats,
-        "events_user_activity": _events_user_activity,
-        "kg_hex_roundtrip": _kg_hex_roundtrip,
-        "kg_entity_components": _kg_entity_components,
-        "kg_cardinality_sketch": _kg_cardinality_sketch,
-        "ann_pq_topk": _ann_pq_topk,
-        "kg_compression_stats": _kg_compression_stats,
-        "text_length_quantiles": _text_length_quantiles,
-        "dedup_incremental": _dedup_incremental,
-        "kg_degree_distribution": _kg_degree_distribution,
-        "kg_pagerank": _kg_pagerank,
-        "kg_khop": _kg_khop,
-        "kg_canonical_dedup": _kg_canonical_dedup,
     }
 
 
