@@ -92,13 +92,25 @@ def tables_for_registry(registry_id: int) -> Tables:
         raise EncodeError("UnknownCompressionTable", str(registry_id)) from None
 
 
-def register_tables(registry_id: int, tables: Tables) -> None:
+_BUILTIN_IDS = frozenset(REGISTRY)
+
+
+def register_tables(registry_id: int, tables: Tables,
+                    replace: bool = False) -> None:
     """Register a custom compression table (spec: registry entries >= 2
     are open for private/registered use).  Ids 0 (uncompressed) and 1
-    (default) are reserved."""
+    (default) are reserved.  Registering over a built-in id (e.g. 100,
+    VC barcodes) silently changes decode semantics for existing
+    payloads, so it is rejected unless ``replace=True`` is passed
+    explicitly."""
     if registry_id in (0, 1):
         raise EncodeError("UnsupportedRegistryId",
                           f"{registry_id} is reserved")
+    if registry_id in _BUILTIN_IDS and not replace:
+        raise EncodeError(
+            "UnsupportedRegistryId",
+            f"{registry_id} is a built-in table (pass replace=True to "
+            "override)")
     REGISTRY[registry_id] = tables
 
 

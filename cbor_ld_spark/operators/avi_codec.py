@@ -41,8 +41,17 @@ def encode_avi_mjpeg(frames: list[bytes], width: int, height: int,
         raise ValueError("encode_avi_mjpeg needs at least one frame")
     if us_per_frame <= 0:
         raise ValueError("us_per_frame must be positive")
+    if any(len(f) > 0xFFFFFFFF for f in frames):
+        raise ValueError(
+            "AVI frame exceeds the RIFF u32 size limit")
 
     def chunk(ckid: bytes, body: bytes) -> bytes:
+        # RIFF chunk sizes are u32; oversized bodies must fail loudly, not
+        # as an untyped struct.error (mirrors the bytes_per_sec guard)
+        if len(body) > 0xFFFFFFFF:
+            raise ValueError(
+                f"AVI chunk {ckid!r} body {len(body)} bytes exceeds the "
+                "RIFF u32 size limit")
         pad = b"\x00" if len(body) % 2 else b""
         return ckid + struct.pack("<I", len(body)) + body + pad
 
@@ -81,6 +90,10 @@ def encode_avi_mjpeg(frames: list[bytes], width: int, height: int,
     idx1 = chunk(b"idx1", b"".join(idx_entries))
 
     body = b"AVI " + hdrl + movi + idx1
+    if len(body) > 0xFFFFFFFF:
+        raise ValueError(
+            f"AVI total body {len(body)} bytes exceeds the RIFF u32 size "
+            "limit")
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
@@ -103,33 +116,43 @@ def decode_avi_mjpeg(payload: bytes) -> tuple[int, int, int, list[bytes]]:
     width = height = None
     frames: list[bytes] = []
 
-    def walk(buf: bytes, in_movi: bool) -> None:
-        nonlocal us_per_frame, width, height
-        pos = 0
-        while pos + 8 <= len(buf):
-            ckid = buf[pos:pos + 4]
-            size = struct.unpack("<I", buf[pos + 4:pos + 8])[0]
-            body = buf[pos + 8:pos + 8 + size]
-            if len(body) != size:
-                raise MediaDecodeError("truncated AVI chunk")
-            if ckid == b"LIST":
-                if size < 4:
-                    raise MediaDecodeError("malformed AVI LIST")
-                walk(body[4:], in_movi or body[:4] == b"movi")
-            elif ckid == b"avih":
-                if size < 40:
-                    raise MediaDecodeError("short avih header")
-                vals = struct.unpack("<10I", body[:40])
-                us_per_frame = vals[0]
-                width, height = vals[8], vals[9]
-            elif in_movi and ckid in (b"00dc", b"00db"):
-                if len(frames) >= MAX_FRAMES:
-                    raise MediaDecodeError(
-                        f"AVI exceeds {MAX_FRAMES}-frame demux cap")
-                frames.append(body)
-            pos += 8 + size + (size % 2)
-
-    walk(payload[12:12 + riff_size - 4], False)
+    # Iterative chunk walk: a crafted payload of deeply nested 12-byte LIST
+    # headers must hit the typed-error/quarantine contract, never a
+    # RecursionError.  The explicit stack holds (buffer, resume-pos,
+    # in_movi) continuations; each nested LIST consumes >=12 payload
+    # bytes, so stack depth is bounded by len(payload)/12.
+    buf = payload[12:12 + riff_size - 4]
+    pos, in_movi = 0, False
+    stack: list[tuple[bytes, int, bool]] = []
+    while True:
+        if pos + 8 > len(buf):
+            if not stack:
+                break
+            buf, pos, in_movi = stack.pop()
+            continue
+        ckid = buf[pos:pos + 4]
+        size = struct.unpack("<I", buf[pos + 4:pos + 8])[0]
+        body = buf[pos + 8:pos + 8 + size]
+        if len(body) != size:
+            raise MediaDecodeError("truncated AVI chunk")
+        pos += 8 + size + (size % 2)
+        if ckid == b"LIST":
+            if size < 4:
+                raise MediaDecodeError("malformed AVI LIST")
+            stack.append((buf, pos, in_movi))
+            in_movi = in_movi or body[:4] == b"movi"
+            buf, pos = body[4:], 0
+        elif ckid == b"avih":
+            if size < 40:
+                raise MediaDecodeError("short avih header")
+            vals = struct.unpack("<10I", body[:40])
+            us_per_frame = vals[0]
+            width, height = vals[8], vals[9]
+        elif in_movi and ckid in (b"00dc", b"00db"):
+            if len(frames) >= MAX_FRAMES:
+                raise MediaDecodeError(
+                    f"AVI exceeds {MAX_FRAMES}-frame demux cap")
+            frames.append(body)
     if us_per_frame is None or not us_per_frame:
         raise MediaDecodeError("AVI missing avih timing header")
     if not frames:

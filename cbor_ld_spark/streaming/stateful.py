@@ -150,6 +150,18 @@ def _session_update_fn(gap_secs: int):
         rows = pd.concat(list(pdfs)).sort_values("tl")
         for tl, vmilli in zip(rows["tl"], rows["vmilli"]):
             tl, vmilli = int(tl), int(vmilli)
+            if last >= 0 and tl < last:
+                # Cross-batch out-of-order event (sorting is per micro-batch
+                # only): merge it into the open session without moving the
+                # session clock backwards — closed sessions are never
+                # reopened and durations can never go negative.  A batch
+                # replay over the full ordered history may split sessions
+                # differently around such stragglers; that residual is
+                # inherent to unbuffered streaming sessionization.
+                n += 1
+                vm += vmilli
+                start = min(start, tl)
+                continue
             if last >= 0 and tl - last > gap_secs:
                 closed.append((key[0], seq, n, start, last - start, vm))
                 seq += 1

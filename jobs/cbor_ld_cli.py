@@ -131,11 +131,12 @@ def main(argv=None) -> int:
     )
     from cbor_ld_spark.kernel.tables import Tables, register_tables
 
-    for rid, (contexts, types) in registries.items():
-        register_tables(rid, Tables(contexts=contexts, types=types))
-
     loader = _build_loader(mounts)
     try:
+        # inside the error envelope: a TOML registry id colliding with a
+        # built-in table (e.g. 100) is a typed EncodeError, not a traceback
+        for rid, (contexts, types) in registries.items():
+            register_tables(rid, Tables(contexts=contexts, types=types))
         if args.command == "encode":
             doc = parse_json_document(_read_input(args.input))
             data = encode_document(doc, registry_id=args.registry,

@@ -87,6 +87,58 @@ def test_avi_frame_cap():
         decode_avi_mjpeg(payload)
 
 
+def test_avi_deeply_nested_lists_no_recursion_error():
+    """A crafted payload of ~5000 nested LIST headers must hit the typed
+    MediaDecodeError contract (missing avih), never a RecursionError —
+    the chunk walk is iterative with an explicit stack."""
+    import sys
+
+    depth = sys.getrecursionlimit() * 5
+    body = b"fooo"
+    for _ in range(depth):
+        inner = b"hdrl" + body
+        pad = b"\x00" if len(inner) % 2 else b""
+        body = b"LIST" + struct.pack("<I", len(inner)) + inner + pad
+    content = b"AVI " + body
+    payload = b"RIFF" + struct.pack("<I", len(content)) + content
+    with pytest.raises(MediaDecodeError, match="timing header"):
+        decode_avi_mjpeg(payload)
+
+
+def test_avi_nested_movi_frames_in_order():
+    """Frames split across sibling 'movi'-nested LISTs still come out in
+    presentation order under the iterative walk."""
+    f1, f2, f3 = b"AA", b"BB", b"CC"
+
+    def chunk(ckid, body):
+        pad = b"\x00" if len(body) % 2 else b""
+        return ckid + struct.pack("<I", len(body)) + body + pad
+
+    rec = b"".join(chunk(b"00dc", f) for f in (f1, f2))
+    inner_list = chunk(b"LIST", b"rec " + chunk(b"00dc", f3))
+    avih = chunk(b"avih", struct.pack(
+        "<14I", 100_000, 0, 0, 0, 3, 0, 1, 2, 8, 8, 0, 0, 0, 0))
+    movi = chunk(b"LIST", b"movi" + rec + inner_list)
+    content = b"AVI " + avih + movi
+    payload = b"RIFF" + struct.pack("<I", len(content)) + content
+    us, w, h, frames = decode_avi_mjpeg(payload)
+    assert (us, w, h) == (100_000, 8, 8)
+    assert frames == [f1, f2, f3]
+
+
+def test_avi_encode_u32_overflow_guard(monkeypatch):
+    """Total body length must be validated against the RIFF u32 limit with
+    a clear ValueError, not an untyped struct.error.  (Simulated: a fake
+    4 GiB frame via a len-lying bytes subclass — allocating one for real
+    would need 4 GiB.)"""
+    class _Huge(bytes):
+        def __len__(self):
+            return 0x1_0000_0001
+
+    with pytest.raises(ValueError, match="u32 size limit"):
+        encode_avi_mjpeg([_Huge(b"\xff\xd8")], 8, 8)
+
+
 def test_video_frame_rows_quarantine_and_strict():
     from cbor_ld_spark.operators.multimodal import video_frame_rows
 

@@ -387,3 +387,54 @@ def test_streaming_sessionize_matches_batch(spark):
         assert len(got) == 3
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_streaming_sessionize_out_of_order_across_batches(spark):
+    """Per-micro-batch sorting cannot order events across batches: a
+    straggler arriving in batch 2 with tl earlier than the open
+    session's last event must merge into the open session (counted,
+    value added, start extended down) without moving the session clock
+    backwards — no negative duration_secs, no reopened sessions."""
+    import os
+    import shutil
+    import tempfile
+    from datetime import datetime
+
+    from cbor_ld_spark.streaming import session_stream
+
+    def ev(uid, minute, value):
+        return (uid, datetime(2026, 1, 1, minute // 60, minute % 60), value)
+
+    # user 7: straggler INSIDE the open session's span (minute 5 < 10)
+    # user 8: straggler BEFORE the open session's start (minute 2 < 10)
+    batch1 = [ev(7, 0, 1.0), ev(7, 10, 2.0), ev(8, 10, 4.0)]
+    batch2 = [ev(7, 5, 0.25), ev(7, 100, 8.0),
+              ev(8, 2, 0.5), ev(8, 100, 8.0)]
+    schema = "user_id long, ts timestamp_ntz, value double"
+
+    base = tempfile.mkdtemp(prefix="kgsess_ooo_")
+    inp, out, ckpt = (os.path.join(base, d) for d in ("in", "out", "ckpt"))
+    try:
+        spark.createDataFrame(batch1, schema) \
+            .write.mode("append").parquet(inp)
+        stream = spark.readStream.schema(schema).parquet(inp)
+        session_stream(stream, ckpt, out).awaitTermination(120)
+        spark.createDataFrame(batch2, schema) \
+            .write.mode("append").parquet(inp)
+        stream2 = spark.readStream.schema(schema).parquet(inp)
+        session_stream(stream2, ckpt, out).awaitTermination(120)
+
+        got = {r["user_id"]:
+               (r["session_seq"], r["n_events"], r["start_tl"],
+                r["duration_secs"], r["value_milli"])
+               for r in spark.read.parquet(out).collect()}
+        # one closed session per user (the minute-100 event closes it)
+        assert set(got) == {7, 8}
+        assert all(r[3] >= 0 for r in got.values())
+        epoch = int(datetime(2026, 1, 1).timestamp())
+        # user 7: 0,10 + merged straggler 5 -> n=3, span [0, 600]
+        assert got[7] == (0, 3, epoch, 600, 3250)
+        # user 8: 10 + merged straggler 2 -> n=2, start extended to 120
+        assert got[8] == (0, 2, epoch + 120, 480, 4500)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

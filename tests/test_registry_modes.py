@@ -169,6 +169,47 @@ def test_reserved_registry_ids_rejected():
             register_tables(rid, DEFAULT_TABLES)
 
 
+def test_builtin_registry_ids_not_silently_replaced():
+    """Registering over a built-in table (100 = VC barcodes) would change
+    decode semantics for existing payloads — rejected without an
+    explicit replace=True."""
+    from cbor_ld_spark.kernel import CborLdError
+    from cbor_ld_spark.kernel.tables import (
+        DEFAULT_TABLES,
+        REGISTRY,
+        VC_BARCODES_TABLES,
+        register_tables,
+    )
+
+    with pytest.raises(CborLdError, match="built-in"):
+        register_tables(100, DEFAULT_TABLES)
+    assert REGISTRY[100] is VC_BARCODES_TABLES
+    try:
+        register_tables(100, DEFAULT_TABLES, replace=True)
+        assert REGISTRY[100] is DEFAULT_TABLES
+    finally:
+        REGISTRY[100] = VC_BARCODES_TABLES
+
+
+def test_cli_toml_builtin_registry_collision_is_typed_error(tmp_path):
+    """A TOML [registry.100] block must fail with the CLI's typed error
+    envelope (exit 1 + 'error:'), not replace the VC-barcodes table."""
+    import io
+    from contextlib import redirect_stderr
+
+    from jobs.cbor_ld_cli import main
+
+    cfg = tmp_path / "bad.toml"
+    cfg.write_text('[registry.100.contexts]\n"https://x.example/v1" = 32\n')
+    doc = tmp_path / "doc.json"
+    doc.write_text('{"@context": {}, "x": 1}')
+    err = io.StringIO()
+    with redirect_stderr(err):
+        rc = main(["-t", str(cfg), "encode", str(doc)])
+    assert rc == 1
+    assert "error:" in err.getvalue() and "built-in" in err.getvalue()
+
+
 try:
     from hypothesis import given, settings, strategies as st
 
