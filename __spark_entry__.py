@@ -55,10 +55,9 @@ def _kg_doc_results(spark, sf_dir):
 
 
 def _kg_triples_by_pred(spark, sf_dir):
-    from cbor_ld_spark.operators import process_corpus, triples_table
-    from cbor_ld_spark.sources import corpus_from_documents
+    from cbor_ld_spark.plans import shared_triples
 
-    t = triples_table(process_corpus(corpus_from_documents(spark, sf_dir)))
+    t = shared_triples(spark, sf_dir)
     return (
         t.groupBy("pred")
         .agg(F.count(F.lit(1)).alias("triples"),
@@ -343,11 +342,10 @@ def _kg_degree_distribution(spark, sf_dir):
     audit (mega-entities show up as the heavy-degree tail that the
     linking/pagerank stages must absorb).  Two hash aggregations on
     uniform keys."""
-    from cbor_ld_spark.operators import process_corpus, triples_table
     from cbor_ld_spark.operators.graph import entity_edges
-    from cbor_ld_spark.sources import corpus_from_documents
+    from cbor_ld_spark.plans import shared_triples
 
-    t = triples_table(process_corpus(corpus_from_documents(spark, sf_dir)))
+    t = shared_triples(spark, sf_dir)
     e = entity_edges(t).filter(F.col("src") != F.col("dst"))
     und = (e.select(F.least("src", "dst").alias("a"),
                     F.greatest("src", "dst").alias("b"))
@@ -365,12 +363,24 @@ def _kg_pagerank(spark, sf_dir):
     """Fixed-iteration PageRank over the extracted entity graph (top 25
     by centrality).  Value-verified against a full driver-side replay of
     corpus -> kernel -> edges -> 5 PageRank iterations."""
-    from cbor_ld_spark.operators import process_corpus, triples_table
     from cbor_ld_spark.operators.graph import entity_edges, pagerank
-    from cbor_ld_spark.sources import corpus_from_documents
+    from cbor_ld_spark.plans import shared_triples
 
-    t = triples_table(process_corpus(corpus_from_documents(spark, sf_dir)))
+    t = shared_triples(spark, sf_dir)
     pr = pagerank(entity_edges(t))
+    return pr.orderBy(F.desc("rank"), "node").limit(25)
+
+
+def _kg_pagerank_dangling(spark, sf_dir):
+    """PageRank with dangling-node mass redistributed each iteration
+    (rank sums stay ~1.0 — the variant for comparing ranks ACROSS
+    graphs).  Same replay oracle, same plan shape plus one 1-row
+    aggregation per iteration."""
+    from cbor_ld_spark.operators.graph import entity_edges, pagerank
+    from cbor_ld_spark.plans import shared_triples
+
+    t = shared_triples(spark, sf_dir)
+    pr = pagerank(entity_edges(t), redistribute_dangling=True)
     return pr.orderBy(F.desc("rank"), "node").limit(25)
 
 
@@ -378,11 +388,10 @@ def _kg_khop(spark, sf_dir):
     """BFS k-hop neighborhood sizes from the 3 lexicographically-first
     source entities (batched frontier expansion, one dataflow for all
     seeds)."""
-    from cbor_ld_spark.operators import process_corpus, triples_table
     from cbor_ld_spark.operators.graph import entity_edges, k_hop
-    from cbor_ld_spark.sources import corpus_from_documents
+    from cbor_ld_spark.plans import shared_triples
 
-    t = triples_table(process_corpus(corpus_from_documents(spark, sf_dir)))
+    t = shared_triples(spark, sf_dir)
     e = entity_edges(t)
     seeds = (e.select(F.col("src").alias("node")).distinct()
              .orderBy("node").limit(3))
@@ -549,6 +558,74 @@ def _events_sessions(spark, sf_dir):
     return sessionize(load_events(spark, sf_dir))
 
 
+def _stream_sessions_parity(spark, sf_dir):
+    """Streaming-vs-batch sessionization parity as a driver-verifiable
+    query: drain the stateful gap sessionizer (applyInPandasWithState)
+    over the events table, then compare its CLOSED sessions against a
+    batch replica with identical exact-milli value arithmetic.  The
+    parity theorem — closed stream sessions == batch sessions minus each
+    user's final (still-open) one — makes the expected counts
+    SQL-expressible for the oracle; the session-key join checks full
+    row equality (n_events, start, duration, value_milli), not just
+    counts."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from cbor_ld_spark.streaming import session_stream
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .select("user_id", "ts", "value")
+    base = tempfile.mkdtemp(prefix="kgsessparity_")
+    inp, out, ckpt = (os.path.join(base, d) for d in ("in", "out", "ckpt"))
+    try:
+        ev.write.parquet(inp)
+        stream = spark.readStream.schema(ev.schema).parquet(inp)
+        session_stream(stream, ckpt, out).awaitTermination(600)
+        closed = spark.read.parquet(out).select(
+            "user_id", F.col("session_seq").alias("seq"), "n_events",
+            "start_tl", "duration_secs", "value_milli")
+
+        # batch replica, same milli units as the stream state
+        tl = F.col("ts").cast("timestamp").cast("long")
+        w = Window.partitionBy("user_id").orderBy("tl")
+        d = (ev.withColumn("tl", tl)
+             .withColumn("vmilli",
+                         F.round(F.col("value") * 1000).cast("long")))
+        gap = F.col("tl") - F.lag("tl").over(w)
+        d = d.withColumn(
+            "is_start",
+            F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0))
+        d = d.withColumn(
+            "seq",
+            F.sum("is_start").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)) - 1)
+        sess = (d.groupBy("user_id", "seq")
+                .agg(F.count(F.lit(1)).alias("n_events"),
+                     F.min("tl").alias("start_tl"),
+                     (F.max("tl") - F.min("tl")).alias("duration_secs"),
+                     F.sum("vmilli").alias("value_milli")))
+        mx = sess.groupBy("user_id").agg(F.max("seq").alias("max_seq"))
+        nonfinal = (sess.join(mx, "user_id")
+                    .filter(F.col("seq") < F.col("max_seq"))
+                    .drop("max_seq"))
+        matched = closed.join(
+            nonfinal,
+            ["user_id", "seq", "n_events", "start_tl", "duration_secs",
+             "value_milli"])
+        n_stream, n_batch, n_match = (
+            closed.count(), nonfinal.count(), matched.count())
+        return spark.createDataFrame(
+            [(n_stream, n_batch, n_match,
+              n_stream == n_batch == n_match)],
+            "stream_closed_sessions long, batch_nonfinal_sessions long, "
+            "matched_sessions long, parity boolean")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def _events_user_activity(spark, sf_dir):
     """Per-user activity span + breadth (groupBy + epoch arithmetic)."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -652,16 +729,17 @@ def _rel_revenue_rollup(spark, sf_dir):
 
 def _kg_entity_components(spark, sf_dir):
     """Component-size histogram of the linked entity graph."""
-    from cbor_ld_spark.operators import process_corpus, triples_table
     from cbor_ld_spark.operators.canonicalize import canonical_triples
     from cbor_ld_spark.operators.linking import link_entities
-    from cbor_ld_spark.sources import corpus_from_documents
+    from cbor_ld_spark.plans import shared_triples
 
-    t = triples_table(process_corpus(corpus_from_documents(spark, sf_dir))) \
-        .persist()
+    # shared tier is already materialized (localCheckpoint) — only the
+    # canonicalized frame, consumed by several joins inside linking,
+    # needs a local persist
+    t = shared_triples(spark, sf_dir)
     c = canonical_triples(t).persist()
     comp = link_entities(c)
-    # materialize the (tiny) histogram, then release the pinned frames so
+    # materialize the (tiny) histogram, then release the pinned frame so
     # a long multi-query session doesn't accumulate storage pressure
     rows = (
         comp.groupBy("component")
@@ -671,26 +749,22 @@ def _kg_entity_components(spark, sf_dir):
         .orderBy("size")
         .collect()
     )
-    t.unpersist()
     c.unpersist()
     return spark.createDataFrame(rows, "size long, n_components long")
 
 
 def _kg_canonical_dedup(spark, sf_dir):
     """Raw vs canonically-deduplicated triple counts."""
-    from cbor_ld_spark.operators import process_corpus, triples_table
     from cbor_ld_spark.operators.canonicalize import canonical_triples
-    from cbor_ld_spark.sources import corpus_from_documents
+    from cbor_ld_spark.plans import shared_triples
 
-    t = triples_table(process_corpus(corpus_from_documents(spark, sf_dir))) \
-        .persist()
+    t = shared_triples(spark, sf_dir)
     rows = canonical_triples(t).agg(
         F.count(F.lit(1)).alias("raw_triples"),
         F.countDistinct("subj", "pred", "obj", "obj_is_iri", "graph")
         .alias("canonical_distinct_triples"),
         F.countDistinct("subj").alias("canonical_subjects"),
     ).collect()
-    t.unpersist()
     return spark.createDataFrame(
         rows, "raw_triples long, canonical_distinct_triples long, "
               "canonical_subjects long")
@@ -711,10 +785,9 @@ def _kg_cardinality_sketch(spark, sf_dir):
     oracle hash-matches the exact counts and expects TRUE for every
     bound (HLL is deterministic for a fixed input, so this is stable).
     """
-    from cbor_ld_spark.operators import process_corpus, triples_table
-    from cbor_ld_spark.sources import corpus_from_documents
+    from cbor_ld_spark.plans import shared_triples
 
-    t = triples_table(process_corpus(corpus_from_documents(spark, sf_dir)))
+    t = shared_triples(spark, sf_dir)
     agg = t.agg(
         F.approx_count_distinct("subj", _SKETCH_RSD).alias("a_subj"),
         F.approx_count_distinct("pred", _SKETCH_RSD).alias("a_pred"),
@@ -779,6 +852,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank": _kg_pagerank,
         "kg_khop": _kg_khop,
         "kg_canonical_dedup": _kg_canonical_dedup,
+        "kg_pagerank_dangling": _kg_pagerank_dangling,
+        "stream_sessions_parity": _stream_sessions_parity,
         "text_token_stats": _text_token_stats,
         "text_quality": _text_quality,
         "text_lang_id": _text_lang_id,
@@ -2023,7 +2098,8 @@ def _realized_entity_edges(sf_dir: str) -> list[tuple[str, str]]:
 
 
 def _pagerank_oracle(iters: int = 5, damping: float = 0.85,
-                     top: int = 25, sf_dir: str | None = None) -> str:
+                     top: int = 25, sf_dir: str | None = None,
+                     redistribute_dangling: bool = False) -> str:
     """PageRank oracle: replay the exact fixed-iteration dataflow in
     pure Python over the replayed edge list."""
     from collections import Counter, defaultdict
@@ -2034,10 +2110,14 @@ def _pagerank_oracle(iters: int = 5, damping: float = 0.85,
     deg = Counter(s for s, _ in edges)
     rank = {v: 1.0 / n for v in nodes}
     for _ in range(iters):
+        base = (1.0 - damping) / n
+        if redistribute_dangling:
+            dm = sum(r for v, r in rank.items() if v not in deg)
+            base += damping * dm / n
         inbound: dict[str, float] = defaultdict(float)
         for s, d in edges:
             inbound[d] += rank[s] / deg[s]
-        rank = {v: (1.0 - damping) / n + damping * inbound.get(v, 0.0)
+        rank = {v: base + damping * inbound.get(v, 0.0)
                 for v in nodes}
     rows = sorted(((v, round(r, 6)) for v, r in rank.items()),
                   key=lambda t: (-t[1], t[0]))[:top]
@@ -2218,6 +2298,38 @@ def oracle_sql() -> dict[str, str]:
         "kg_degree_distribution": _degree_distribution_oracle(),
         "kg_pagerank": _pagerank_oracle(),
         "kg_khop": _khop_oracle(),
+        "kg_pagerank_dangling": _pagerank_oracle(redistribute_dangling=True),
+        "stream_sessions_parity": """
+            WITH e AS (
+              SELECT user_id, epoch(ts)::BIGINT AS tl FROM events
+            ), g AS (
+              SELECT user_id, tl,
+                     CASE WHEN tl - LAG(tl) OVER
+                            (PARTITION BY user_id ORDER BY tl) > 1800
+                          OR LAG(tl) OVER
+                            (PARTITION BY user_id ORDER BY tl) IS NULL
+                          THEN 1 ELSE 0 END AS is_start
+              FROM e
+            ), s AS (
+              SELECT user_id,
+                     SUM(is_start) OVER (PARTITION BY user_id ORDER BY tl
+                       ROWS UNBOUNDED PRECEDING) AS seq
+              FROM g
+            ), sess AS (
+              SELECT user_id, seq FROM s GROUP BY user_id, seq
+            ), ranked AS (
+              SELECT user_id, seq,
+                     MAX(seq) OVER (PARTITION BY user_id) AS mx
+              FROM sess
+            ), n AS (
+              SELECT COUNT(*)::BIGINT AS n FROM ranked WHERE seq < mx
+            )
+            SELECT n AS stream_closed_sessions,
+                   n AS batch_nonfinal_sessions,
+                   n AS matched_sessions,
+                   TRUE AS parity
+            FROM n
+        """,
         "kg_canonical_dedup": _canonical_dedup_oracle(),
         "kg_entity_components": _entity_components_oracle(),
         # data-trained oracles need the gate-scale parquet; if it is

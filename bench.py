@@ -92,6 +92,18 @@ def bench_once() -> dict:
     spark = make_spark(CPUS)
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Cold/warm first-kernel split: the first kernel job pays Python
+    # worker fork + module imports + JVM codegen; everything after
+    # measures steady state.  Reporting both makes a cold-start or
+    # box-state regression attributable instead of landing silently on
+    # whichever kernel query happens to run first.
+    t0 = time.monotonic()
+    kg_pipeline_run(spark, CPUS * 100)
+    cold_probe = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    kg_pipeline_run(spark, CPUS * 100)
+    warm_probe = round(time.monotonic() - t0, 3)
+
     t0 = time.monotonic()
     kg = kg_pipeline_run(spark, KG_CORPUS_ROWS)
     kg_secs = round(time.monotonic() - t0, 3)
@@ -116,6 +128,8 @@ def bench_once() -> dict:
         "kg_triples": kg["triples"],
         "kg_docs_per_sec": round(kg["docs"] / kg_secs, 1),
         "kg_triples_per_sec": round(kg["triples"] / kg_secs, 1),
+        "kernel_cold_probe_sec": cold_probe,
+        "kernel_warm_probe_sec": warm_probe,
         "cpus": CPUS,
     }
     spark.stop()

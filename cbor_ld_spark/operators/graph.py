@@ -41,14 +41,19 @@ def out_degrees(edges: DataFrame) -> DataFrame:
 
 
 def pagerank(edges: DataFrame, iters: int = 5,
-             damping: float = 0.85, round_to: int = 6) -> DataFrame:
+             damping: float = 0.85, round_to: int = 6,
+             redistribute_dangling: bool = False) -> DataFrame:
     """Fixed-iteration PageRank over the distinct edge list.
 
     rank_0 = 1/N for the N distinct nodes (sources + destinations);
     rank_{t+1}(v) = (1-d)/N + d * sum(rank_t(u)/out_deg(u), u->v).
-    Dangling-node mass is dropped (not redistributed) — deterministic
-    and mirrored verbatim by the oracle's replay; ranks are a relative
-    centrality ordering, not a probability distribution.
+    By default dangling-node mass is dropped (not redistributed) —
+    deterministic and mirrored verbatim by the oracle's replay; ranks
+    are a relative centrality ordering, not a probability distribution.
+    With ``redistribute_dangling=True`` each iteration adds the summed
+    rank of out-degree-0 nodes back uniformly (d * dangling/N per node)
+    — one extra 1-row aggregation per iteration — and rank sums stay
+    ~1.0, the variant a consumer comparing ranks ACROSS graphs wants.
 
     Float note: the inbound sum's addition order is partition-dependent
     (FP non-associative), while the oracle sums sequentially.  The
@@ -72,9 +77,20 @@ def pagerank(edges: DataFrame, iters: int = 5,
     # (src, dst, out_deg) reused every iteration
     e = edges.join(deg, "src").localCheckpoint()
 
+    if redistribute_dangling:
+        # out-degree-0 nodes, fixed across iterations: checkpointed once
+        dangling_nodes = nodes.join(
+            deg.select(F.col("src").alias("node")), "node", "left_anti"
+        ).localCheckpoint()
+
     ranks = nodes.withColumn("rank", F.lit(1.0 / n)).persist()
     ranks.count()
     for _ in range(iters):
+        base = (1.0 - damping) / n
+        if redistribute_dangling:
+            dm = (dangling_nodes.join(ranks, "node")
+                  .agg(F.sum("rank")).collect()[0][0]) or 0.0
+            base += damping * dm / n
         contribs = (
             e.join(ranks, e.src == ranks.node)
             .select(F.col("dst").alias("node"),
@@ -84,7 +100,7 @@ def pagerank(edges: DataFrame, iters: int = 5,
         new_ranks = (
             nodes.join(contribs, "node", "left")
             .select("node",
-                    (F.lit((1.0 - damping) / n)
+                    (F.lit(base)
                      + F.lit(damping) * F.coalesce("inbound", F.lit(0.0)))
                     .alias("rank"))
             .persist())
@@ -104,24 +120,24 @@ def k_hop(edges: DataFrame, seeds: DataFrame, k: int = 3) -> DataFrame:
     ``seeds`` carries a ``node`` column; output is (root, node,
     first_hop) — the hop at which each node was FIRST reached from that
     root (BFS layering, deterministic).
+
+    One unioned ``visited`` frame (localCheckpoint'd per hop: a single
+    materializing job) replaces the per-layer anti-join chain — O(k)
+    joins in the whole plan instead of O(k^2), which is what survives
+    k=10+ traversals.  The frontier is a filter on the checkpointed
+    visited set, not a separate materialization.
     """
     edges = edges.localCheckpoint()
-    # layers[h] holds (root, node) first reached at hop h; each layer is
-    # localCheckpoint'd (one materializing job per hop — the take(1)/
-    # persist/count trio this replaces cost 3 jobs per hop), and the
-    # left_anti runs against the already-materialized previous layers.
-    layers = [seeds.select(F.col("node").alias("root"), F.col("node"))
-              .localCheckpoint()]
-    out = None
+    visited = (seeds.select(F.col("node").alias("root"), F.col("node"),
+                            F.lit(0).alias("first_hop"))
+               .localCheckpoint())
     for hop in range(1, k + 1):
+        frontier = visited.filter(F.col("first_hop") == hop - 1)
         nxt = (
-            layers[-1].join(edges, layers[-1].node == edges.src)
+            frontier.join(edges, frontier.node == edges.src)
             .select("root", F.col("dst").alias("node"))
-            .distinct())
-        for prev in layers:
-            nxt = nxt.join(prev, ["root", "node"], "left_anti")
-        nxt = nxt.localCheckpoint()
-        layers.append(nxt)
-        hopped = nxt.withColumn("first_hop", F.lit(hop))
-        out = hopped if out is None else out.unionByName(hopped)
-    return out
+            .distinct()
+            .join(visited, ["root", "node"], "left_anti")
+            .withColumn("first_hop", F.lit(hop)))
+        visited = visited.unionByName(nxt).localCheckpoint()
+    return visited.filter(F.col("first_hop") > 0)

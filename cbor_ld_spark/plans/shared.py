@@ -1,0 +1,53 @@
+"""Session-scoped shared triples materialization.
+
+At 100 TB the Python kernel pass (corpus -> parse/encode/verify/expand)
+is the expensive stage, and its output — the triples table — is
+materialized ONCE per corpus snapshot: ``jobs/build_kg.py`` writes it as
+a checkpointed parquet stage and ``plans/bucketed.py`` as bucketed
+tables, and every downstream graph consumer (linking, PageRank, k-hop,
+canonicalization, analytics) reads that materialization.  The same
+economics apply inside a multi-query session (bench suite, correctness
+harness, a notebook): the graph-query family shares one
+corpus->kernel->triples pass per (SparkContext, source dir) instead of
+re-deriving it per query.
+
+``localCheckpoint(eager=True)`` is the session-scale analogue of the
+bucketed write: one materializing job, lineage cut (no kernel re-run on
+any downstream action), blocks stored MEMORY_AND_DISK so a large tier
+spills instead of OOMing, and the ContextCleaner reclaims the blocks
+once the cache entry is dropped and GC'd.  Entries of stopped
+SparkContexts are evicted on the next miss so a long-lived driver
+process never pins dead-session storage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+_TRIPLES_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def shared_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-once triples table for this (session, corpus dir).
+
+    Semantically identical to
+    ``triples_table(process_corpus(corpus_from_documents(spark, sf_dir)))``
+    — callers needing non-default kernel options must derive their own.
+    """
+    from cbor_ld_spark.operators import process_corpus, triples_table
+    from cbor_ld_spark.sources import corpus_from_documents
+
+    key = (spark.sparkContext.applicationId, str(sf_dir))
+    df = _TRIPLES_CACHE.get(key)
+    if df is None:
+        for stale in [k for k in _TRIPLES_CACHE if k[0] != key[0]]:
+            _TRIPLES_CACHE.pop(stale, None)
+        t = triples_table(process_corpus(corpus_from_documents(spark, sf_dir)))
+        df = t.localCheckpoint(eager=True)
+        _TRIPLES_CACHE[key] = df
+    return df
+
+
+def clear_shared_triples() -> None:
+    """Drop all cache entries (tests / explicit storage release)."""
+    _TRIPLES_CACHE.clear()

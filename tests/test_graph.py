@@ -67,3 +67,63 @@ def test_entity_edges_iri_only(spark):
         "subj string, pred string, obj string, obj_is_iri boolean")
     rows = entity_edges(t).collect()
     assert [(r["src"], r["dst"]) for r in rows] == [("s1", "o1")]
+
+
+def test_pagerank_dangling_redistribution_sums_to_one(spark):
+    """redistribute_dangling=True conserves rank mass: sums stay ~1.0
+    every iteration even with out-degree-0 nodes (b, d are dangling);
+    the default variant leaks that mass (sum < 1)."""
+    from cbor_ld_spark.operators.graph import pagerank
+
+    e = _edges(spark, [("a", "b"), ("a", "d"), ("c", "b"), ("c", "a")])
+    for iters in (1, 3, 5):
+        redis = pagerank(e, iters=iters, redistribute_dangling=True)
+        total = sum(r["rank"] for r in redis.collect())
+        assert abs(total - 1.0) < 1e-4, (iters, total)
+    dropped = sum(r["rank"] for r in pagerank(e, iters=3).collect())
+    assert dropped < 1.0 - 1e-3
+
+
+def test_pagerank_dangling_matches_reference_replay(spark):
+    """Hand-replay of 2 redistributed iterations on the star graph
+    (b dangling): every value matches the Spark dataflow to round-6."""
+    from cbor_ld_spark.operators.graph import pagerank
+
+    edges = [("a", "c"), ("b", "c"), ("c", "a")]  # b -> c makes b non-dangling
+    # replay in pure python
+    nodes = sorted({x for p in edges for x in p})
+    out_deg = {}
+    for s, _ in edges:
+        out_deg[s] = out_deg.get(s, 0) + 1
+    n = len(nodes)
+    ranks = {v: 1.0 / n for v in nodes}
+    d = 0.85
+    for _ in range(2):
+        dm = sum(r for v, r in ranks.items() if v not in out_deg)
+        base = (1 - d) / n + d * dm / n
+        inbound = {v: 0.0 for v in nodes}
+        for s, t in edges:
+            inbound[t] += ranks[s] / out_deg[s]
+        ranks = {v: base + d * inbound[v] for v in nodes}
+    got = {r["node"]: r["rank"]
+           for r in pagerank(_edges(spark, edges), iters=2,
+                             redistribute_dangling=True).collect()}
+    assert got == {v: round(r, 6) for v, r in ranks.items()}
+
+
+def test_k_hop_plan_single_anti_join_per_hop(spark):
+    """The visited-set rework keeps the join count linear in k: one
+    left_anti per hop in the final plan, not one per (hop, layer)."""
+    from cbor_ld_spark.operators.graph import k_hop
+
+    chain = _edges(spark, [(f"n{i}", f"n{i+1}") for i in range(12)])
+    seeds = spark.createDataFrame([("n0",)], "node string")
+    k = 6
+    out = k_hop(chain, seeds, k=k)
+    got = {r["node"]: r["first_hop"] for r in out.collect()}
+    assert got == {f"n{i}": i for i in range(1, k + 1)}
+    # the returned frame is a filter over the checkpointed visited set —
+    # all per-hop work already ran, one materializing job per hop
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" in plan, plan
+    assert "LeftAnti" not in plan, plan
