@@ -384,6 +384,17 @@ def _kg_pagerank_dangling(spark, sf_dir):
     return pr.orderBy(F.desc("rank"), "node").limit(25)
 
 
+def _kg_triangles(spark, sf_dir):
+    """Triangle census of the entity graph (degree-ordered orientation:
+    wedges enumerate from the low-degree side, O(sqrt(m)) fan-out bound
+    — the skew-safe shape for mega-hub entities).  Value-verified
+    against a pure-Python replay over the realized edge list."""
+    from cbor_ld_spark.operators.graph import entity_edges, triangle_stats
+    from cbor_ld_spark.plans import shared_triples
+
+    return triangle_stats(entity_edges(shared_triples(spark, sf_dir)))
+
+
 def _kg_khop(spark, sf_dir):
     """BFS k-hop neighborhood sizes from the 3 lexicographically-first
     source entities (batched frontier expansion, one dataflow for all
@@ -851,6 +862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_degree_distribution": _kg_degree_distribution,
         "kg_pagerank": _kg_pagerank,
         "kg_khop": _kg_khop,
+        "kg_triangles": _kg_triangles,
         "kg_canonical_dedup": _kg_canonical_dedup,
         "kg_pagerank_dangling": _kg_pagerank_dangling,
         "stream_sessions_parity": _stream_sessions_parity,
@@ -886,7 +898,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_dedup": _multimodal_frame_dedup,
         "events_sessions": _events_sessions,
         "events_session_stats": _events_session_stats,
-        "events_user_activity": _events_user_activity,
         "kg_hex_roundtrip": _kg_hex_roundtrip,
         "kg_entity_components": _kg_entity_components,
         "kg_cardinality_sketch": _kg_cardinality_sketch,
@@ -901,6 +912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_revenue_rollup": _rel_revenue_rollup,
         "events_by_type": _events_by_type,
         "events_hourly": _events_hourly,
+        "events_user_activity": _events_user_activity,
     }
 
 
@@ -2125,6 +2137,36 @@ def _pagerank_oracle(iters: int = 5, damping: float = 0.85,
                           "rank DESC, node")
 
 
+def _triangle_oracle(sf_dir: str | None = None) -> str:
+    """Triangle census replayed in pure Python over the realized edges
+    (same rounding driver-side, so values match exactly)."""
+    from collections import defaultdict
+
+    edges = _realized_entity_edges(sf_dir or _oracle_sf_dir())
+    und = {(min(s, d), max(s, d)) for s, d in edges if s != d}
+    deg: dict[str, int] = defaultdict(int)
+    adj: dict[str, set] = defaultdict(set)
+    for a, b in und:
+        deg[a] += 1
+        deg[b] += 1
+        adj[a].add(b)
+        adj[b].add(a)
+    n_wedges = sum(d * (d - 1) // 2 for d in deg.values())
+    tri = 0
+    order = lambda v: (deg[v], v)  # noqa: E731 — degree-ordered orientation
+    for a, b in und:
+        lo, hi = (a, b) if order(a) < order(b) else (b, a)
+        for c in adj[lo]:
+            if order(c) > order(hi) and c in adj[hi]:
+                tri += 1
+    clustering = round(3.0 * tri / n_wedges, 6) if n_wedges else 0.0
+    return _values_oracle(
+        [(len(deg), len(und), n_wedges, tri, clustering)],
+        [("n_nodes", "BIGINT"), ("n_edges", "BIGINT"),
+         ("n_wedges", "BIGINT"), ("n_triangles", "BIGINT"),
+         ("global_clustering", "DOUBLE")], "n_nodes")
+
+
 def _degree_distribution_oracle(sf_dir: str | None = None) -> str:
     """Degree histogram replayed over the realized edge list."""
     from collections import Counter
@@ -2298,6 +2340,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_degree_distribution": _degree_distribution_oracle(),
         "kg_pagerank": _pagerank_oracle(),
         "kg_khop": _khop_oracle(),
+        "kg_triangles": _triangle_oracle(),
         "kg_pagerank_dangling": _pagerank_oracle(redistribute_dangling=True),
         "stream_sessions_parity": """
             WITH e AS (

@@ -230,16 +230,89 @@ def bench_scaling(n_low: int, n_high: int, rows: int, trials: int = 2) -> dict:
     }
 
 
+def bench_level(cores: int, rows: int) -> dict:
+    """One scaling measurement at one parallelism level (single JSON
+    line) — run as a SUBPROCESS by --scaling-pinned so each level gets
+    a fresh JVM that inherits the launcher's CPU affinity."""
+    spark = make_spark(cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    for _ in range(2):
+        kg_pipeline_run(spark, cores * 300)
+    t0 = time.monotonic()
+    kg = kg_pipeline_run(spark, rows)
+    secs = time.monotonic() - t0
+    spark.stop()
+    return {"cores": cores, "secs": round(secs, 3),
+            "docs": kg["docs"], "triples": kg["triples"],
+            "docs_per_sec": round(kg["docs"] / secs, 1)}
+
+
+def bench_scaling_pinned(n_low: int, n_high: int, rows: int,
+                         trials: int = 2) -> dict:
+    """Cluster-faithful N vs 4N: each level runs in its own subprocess
+    with the WHOLE process tree (JVM + Python kernel workers) bound to
+    exactly that many CPUs via taskset.
+
+    Why: at local[N] on a wider box, the unpinned low side really
+    consumes MORE than N cores — the JVM's N task threads, GC/JIT, and
+    the forked Python kernel workers overlap onto idle cores.  A real
+    N-core executor node cannot do that, so the unpinned low baseline
+    is inflated and the measured ratio understates true cluster scaling
+    efficiency.  Pinning makes "N cores" mean N cores; levels still
+    alternate so neither side systematically gets the hotter box.
+    """
+    import subprocess
+
+    me = os.path.abspath(__file__)
+
+    def run_level(cores: int) -> dict:
+        cpus = f"0-{cores - 1}"
+        cmd = ["taskset", "-c", cpus, sys.executable, me,
+               "--level", str(cores), "--rows", str(rows)]
+        out = subprocess.run(cmd, capture_output=True, text=True,
+                             timeout=1800, check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    best: dict[int, dict] = {}
+    for t in range(trials):
+        order = (n_high, n_low) if t % 2 else (n_low, n_high)
+        for cores in order:
+            r = run_level(cores)
+            if cores not in best or r["docs_per_sec"] > best[cores]["docs_per_sec"]:
+                best[cores] = r
+    speedup = best[n_high]["docs_per_sec"] / best[n_low]["docs_per_sec"]
+    return {
+        "metric": "kg_construct scaling efficiency "
+                  "(taskset-pinned N vs 4N cores, same input)",
+        "rows": rows,
+        "low_cores": n_low,
+        "high_cores": n_high,
+        "low": best[n_low],
+        "high": best[n_high],
+        "speedup": round(speedup, 3),
+        "efficiency": round(speedup / (n_high / n_low), 3),
+    }
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true",
                     help="run N vs 4N core scaling evidence instead")
+    ap.add_argument("--scaling-pinned", action="store_true",
+                    help="N vs 4N with taskset-pinned process trees "
+                         "(cluster-faithful core accounting)")
+    ap.add_argument("--level", type=int, default=0,
+                    help="internal: single pinned-level measurement")
     ap.add_argument("--rows", type=int, default=KG_CORPUS_ROWS)
     ap.add_argument("--low", type=int, default=4)
     ap.add_argument("--high", type=int, default=16)
     args = ap.parse_args()
 
-    if args.scaling:
+    if args.level:
+        print(json.dumps(bench_level(args.level, args.rows)))
+    elif args.scaling_pinned:
+        print(json.dumps(bench_scaling_pinned(args.low, args.high, args.rows)))
+    elif args.scaling:
         print(json.dumps(bench_scaling(args.low, args.high, args.rows)))
     else:
         print(json.dumps(bench_once()))

@@ -127,3 +127,51 @@ def test_k_hop_plan_single_anti_join_per_hop(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Scan ExistingRDD" in plan, plan
     assert "LeftAnti" not in plan, plan
+
+
+def test_triangle_stats_hand_checked(spark):
+    """K4 (4 triangles, clustering 1.0), a path (0), and a hub graph
+    where degree-ordered orientation must still count each triangle
+    exactly once."""
+    from cbor_ld_spark.operators.graph import triangle_stats
+
+    k4 = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    r = triangle_stats(_edges(spark, k4)).collect()[0]
+    assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (4, 6, 4)
+    assert r["global_clustering"] == 1.0  # 3*4 / 12 wedges
+
+    path = [("a", "b"), ("b", "c"), ("c", "d")]
+    r = triangle_stats(_edges(spark, path)).collect()[0]
+    assert r["n_triangles"] == 0 and r["n_wedges"] == 2
+    assert r["global_clustering"] == 0.0
+
+    # hub h connected to x0..x5, plus one closing edge x0-x1: exactly 1
+    # triangle; wedges = C(6,2)=15 at the hub + C(2,2->1) at x0 and x1
+    hub = [("h", f"x{i}") for i in range(6)] + [("x0", "x1")]
+    r = triangle_stats(_edges(spark, hub)).collect()[0]
+    assert r["n_triangles"] == 1 and r["n_wedges"] == 17
+    # direction/duplicate/self-loop invariance
+    noisy = hub + [("x3", "h"), ("h", "h"), ("x0", "x1")]
+    r2 = triangle_stats(_edges(spark, noisy)).collect()[0]
+    assert (r2["n_triangles"], r2["n_wedges"]) == (1, 17)
+
+
+def test_triangle_stats_matches_bruteforce(spark):
+    """Random graph vs itertools brute force."""
+    import itertools
+    import random
+
+    from cbor_ld_spark.operators.graph import triangle_stats
+
+    rng = random.Random(42)
+    nodes = [f"n{i}" for i in range(18)]
+    und = {tuple(sorted(rng.sample(nodes, 2))) for _ in range(60)}
+    adj = {v: set() for v in nodes}
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    expect = sum(1 for x, y, z in itertools.combinations(sorted(nodes), 3)
+                 if y in adj[x] and z in adj[x] and z in adj[y])
+    r = triangle_stats(_edges(spark, sorted(und))).collect()[0]
+    assert r["n_triangles"] == expect
+    assert r["n_edges"] == len(und)
