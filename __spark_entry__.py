@@ -384,6 +384,49 @@ def _kg_pagerank_dangling(spark, sf_dir):
     return pr.orderBy(F.desc("rank"), "node").limit(25)
 
 
+def _dedup_clusters(spark, sf_dir):
+    """Near-duplicate CLUSTER formation — the step after pair
+    generation: LSH candidate pairs (bucket join, never all-pairs) feed
+    the hybrid connected-components operator, and each cluster keeps
+    its minimum doc_id as canonical.  Doc ids ride as zero-padded
+    strings so CC's lexicographic min-label == numeric min."""
+    from cbor_ld_spark.operators.dedup import (
+        load_documents,
+        minhash_lsh_pairs,
+    )
+    from cbor_ld_spark.operators.linking import connected_components
+
+    pairs = minhash_lsh_pairs(load_documents(spark, sf_dir))
+
+    def pad(c):
+        return F.lpad(F.col(c).cast("string"), 12, "0")
+
+    edges = pairs.select(pad("doc_a").alias("src"),
+                         pad("doc_b").alias("dst"))
+    comp = connected_components(edges)
+    return (comp.groupBy("component")
+            .agg(F.count(F.lit(1)).alias("cluster_size"))
+            .select(F.col("component").cast("long")
+                    .alias("canonical_doc_id"), "cluster_size")
+            .orderBy("canonical_doc_id"))
+
+
+def _kg_neighbor_overlap(spark, sf_dir):
+    """Entity-merge candidates by neighborhood Jaccard (exact wedge
+    join with the degree-ratio prune; see operators/graph.py for the
+    10^12-scale mitigation story).  Value-verified against a
+    pure-Python replay over the realized edge list."""
+    from cbor_ld_spark.operators.graph import (
+        entity_edges,
+        neighborhood_overlap,
+    )
+    from cbor_ld_spark.plans import shared_triples
+
+    out = neighborhood_overlap(
+        entity_edges(shared_triples(spark, sf_dir)), threshold=0.5)
+    return out.orderBy("node_a", "node_b")
+
+
 def _kg_triangles(spark, sf_dir):
     """Triangle census of the entity graph (degree-ordered orientation:
     wedges enumerate from the low-degree side, O(sqrt(m)) fan-out bound
@@ -863,6 +906,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank": _kg_pagerank,
         "kg_khop": _kg_khop,
         "kg_triangles": _kg_triangles,
+        "kg_neighbor_overlap": _kg_neighbor_overlap,
+        "dedup_clusters": _dedup_clusters,
         "kg_canonical_dedup": _kg_canonical_dedup,
         "kg_pagerank_dangling": _kg_pagerank_dangling,
         "stream_sessions_parity": _stream_sessions_parity,
@@ -896,8 +941,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_features": _multimodal_audio_features,
         "multimodal_video_frames": _multimodal_video_frames,
         "multimodal_frame_dedup": _multimodal_frame_dedup,
-        "events_sessions": _events_sessions,
-        "events_session_stats": _events_session_stats,
         "kg_hex_roundtrip": _kg_hex_roundtrip,
         "kg_entity_components": _kg_entity_components,
         "kg_cardinality_sketch": _kg_cardinality_sketch,
@@ -913,6 +956,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_by_type": _events_by_type,
         "events_hourly": _events_hourly,
         "events_user_activity": _events_user_activity,
+        "events_session_stats": _events_session_stats,
+        "events_sessions": _events_sessions,
     }
 
 
@@ -2137,6 +2182,64 @@ def _pagerank_oracle(iters: int = 5, damping: float = 0.85,
                           "rank DESC, node")
 
 
+def _dedup_clusters_oracle() -> str:
+    """Union-find over the replayed LSH pair list."""
+    m = _dedup_oracle_model()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in m["pairs"]:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    clusters: dict[int, int] = {}
+    members = set()
+    for a, b in m["pairs"]:
+        members.add(a)
+        members.add(b)
+    for x in members:
+        clusters[find(x)] = clusters.get(find(x), 0) + 1
+    rows = sorted(clusters.items())
+    return _values_oracle(
+        rows, [("canonical_doc_id", "BIGINT"), ("cluster_size", "BIGINT")],
+        "canonical_doc_id")
+
+
+def _neighbor_overlap_oracle(threshold: float = 0.5,
+                             sf_dir: str | None = None) -> str:
+    """Neighborhood-Jaccard replay over the realized edge list."""
+    from collections import defaultdict
+    from itertools import combinations
+
+    edges = _realized_entity_edges(sf_dir or _oracle_sf_dir())
+    adj: dict[str, set] = defaultdict(set)
+    for s, d in edges:
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    rows = []
+    seen = set()
+    for c in adj:
+        for x, y in combinations(sorted(adj[c]), 2):
+            if (x, y) in seen:
+                continue
+            seen.add((x, y))
+            common = len(adj[x] & adj[y])
+            j = round(common / (len(adj[x]) + len(adj[y]) - common), 6)
+            if j >= threshold:
+                rows.append((x, y, common, j))
+    rows.sort()
+    return _values_oracle(
+        rows, [("node_a", "VARCHAR"), ("node_b", "VARCHAR"),
+               ("common_neighbors", "BIGINT"), ("jaccard", "DOUBLE")],
+        "node_a, node_b")
+
+
 def _triangle_oracle(sf_dir: str | None = None) -> str:
     """Triangle census replayed in pure Python over the realized edges
     (same rounding driver-side, so values match exactly)."""
@@ -2341,6 +2444,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank": _pagerank_oracle(),
         "kg_khop": _khop_oracle(),
         "kg_triangles": _triangle_oracle(),
+        "kg_neighbor_overlap": _neighbor_overlap_oracle(),
+        "dedup_clusters": _dedup_clusters_oracle(),
         "kg_pagerank_dangling": _pagerank_oracle(redistribute_dangling=True),
         "stream_sessions_parity": """
             WITH e AS (

@@ -175,3 +175,42 @@ def test_triangle_stats_matches_bruteforce(spark):
     r = triangle_stats(_edges(spark, sorted(und))).collect()[0]
     assert r["n_triangles"] == expect
     assert r["n_edges"] == len(und)
+
+
+def test_neighborhood_overlap_hand_checked(spark):
+    """Two nodes tied to the same hub set are merge candidates even
+    with no direct edge; the degree-ratio prune must not drop pairs
+    that pass the threshold."""
+    from cbor_ld_spark.operators.graph import neighborhood_overlap
+
+    # p and q share neighbors {h1, h2}; r touches only h1 plus noise n1
+    e = _edges(spark, [
+        ("p", "h1"), ("p", "h2"),
+        ("q", "h1"), ("q", "h2"),
+        ("r", "h1"), ("r", "n1"),
+    ])
+    got = {(x["node_a"], x["node_b"]):
+           (x["common_neighbors"], x["jaccard"])
+           for x in neighborhood_overlap(e, threshold=0.5).collect()}
+    # p,q: common {h1,h2}, deg 2+2 -> jaccard 2/(2+2-2) = 1.0
+    assert got[("p", "q")] == (2, 1.0)
+    # h1,h2: common {p,q}, deg h1=3, h2=2 -> 2/(3+2-2) ~ 0.667
+    assert got[("h1", "h2")] == (2, 0.666667)
+    # p,r / q,r: common {h1} -> 1/(2+2-1) = 1/3 < 0.5: excluded
+    assert ("p", "r") not in got and ("q", "r") not in got
+    # full jaccard sweep vs brute force at threshold 0
+    import itertools
+    adj = {}
+    for a, b in [("p", "h1"), ("p", "h2"), ("q", "h1"), ("q", "h2"),
+                 ("r", "h1"), ("r", "n1")]:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expect = {}
+    for x, y in itertools.combinations(sorted(adj), 2):
+        c = len(adj[x] & adj[y])
+        if c:
+            expect[(x, y)] = (c, round(c / (len(adj[x]) + len(adj[y]) - c), 6))
+    got0 = {(x["node_a"], x["node_b"]):
+            (x["common_neighbors"], x["jaccard"])
+            for x in neighborhood_overlap(e, threshold=1e-9).collect()}
+    assert got0 == expect
