@@ -427,6 +427,65 @@ def _kg_neighbor_overlap(spark, sf_dir):
     return out.orderBy("node_a", "node_b")
 
 
+_WIN_EPOCH = 1767225600  # 2026-01-01 00:00:00 UTC
+_WIN_SPAN = 4 * 3600     # event times spread over 4 hours
+
+
+def _stream_windowed_parity(spark, sf_dir):
+    """Watermarked tumbling-window aggregation as a driver-verifiable
+    query: stream the corpus (deterministic event_ts from doc_id) into
+    ``stream_windowed_health`` (1h windows, 2h watermark), then push the
+    watermark past every data window with a sentinel batch so append
+    mode finalizes them all.  The emitted windows must equal the batch
+    group-by — which is SQL-expressible because the corpus and the
+    sniff predicate are pure functions of doc_id."""
+    import os
+    import shutil
+    import tempfile
+
+    from cbor_ld_spark.sources import corpus_from_documents
+    from cbor_ld_spark.streaming import stream_windowed_health
+
+    corpus = corpus_from_documents(spark, sf_dir)
+    doc_id = F.split("path", "/")[1].cast("long")
+    b1 = corpus.withColumn(
+        "event_ts",
+        F.timestamp_seconds(
+            F.lit(_WIN_EPOCH) + (doc_id * 137) % _WIN_SPAN))
+    base = tempfile.mkdtemp(prefix="kgwinparity_")
+    inp, out, ckpt = (os.path.join(base, d) for d in ("in", "out", "ckpt"))
+    try:
+        b1.write.mode("append").parquet(inp)
+        stream_windowed_health(spark, inp, out, ckpt,
+                               window="1 hour",
+                               watermark="2 hours").awaitTermination(600)
+        # sentinel: max event time 12h pushes the watermark to 10h, past
+        # every data window end (<= 4h); its own window never finalizes
+        spark.createDataFrame(
+            [("zz/sentinel", "p", "c", "txt", "x")],
+            "repo string, path string, commit string, lang string, "
+            "content string"
+        ).withColumn(
+            "event_ts",
+            F.timestamp_seconds(F.lit(_WIN_EPOCH + 12 * 3600))
+        ).write.mode("append").parquet(inp)
+        stream_windowed_health(spark, inp, out, ckpt,
+                               window="1 hour",
+                               watermark="2 hours").awaitTermination(600)
+        rows = (spark.read.parquet(out)
+                .filter(F.col("repo") != "zz/sentinel")
+                .select(F.col("window_start").cast("long")
+                        .alias("window_epoch"),
+                        "repo", "rows", "jsonld_candidates", "bytes")
+                .collect())
+        return spark.createDataFrame(
+            rows, "window_epoch long, repo string, rows long, "
+                  "jsonld_candidates long, bytes long"
+        ).orderBy("window_epoch", "repo")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def _kg_triangles(spark, sf_dir):
     """Triangle census of the entity graph (degree-ordered orientation:
     wedges enumerate from the low-degree side, O(sqrt(m)) fan-out bound
@@ -911,6 +970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_canonical_dedup": _kg_canonical_dedup,
         "kg_pagerank_dangling": _kg_pagerank_dangling,
         "stream_sessions_parity": _stream_sessions_parity,
+        "stream_windowed_parity": _stream_windowed_parity,
         "text_token_stats": _text_token_stats,
         "text_quality": _text_quality,
         "text_lang_id": _text_lang_id,
@@ -941,7 +1001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_features": _multimodal_audio_features,
         "multimodal_video_frames": _multimodal_video_frames,
         "multimodal_frame_dedup": _multimodal_frame_dedup,
-        "kg_hex_roundtrip": _kg_hex_roundtrip,
+
         "kg_entity_components": _kg_entity_components,
         "kg_cardinality_sketch": _kg_cardinality_sketch,
         # --- past the driver's 50-query window: stable since r2, unchanged ---
@@ -958,6 +1018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_activity": _events_user_activity,
         "events_session_stats": _events_session_stats,
         "events_sessions": _events_sessions,
+        "kg_hex_roundtrip": _kg_hex_roundtrip,
     }
 
 
@@ -2182,6 +2243,50 @@ def _pagerank_oracle(iters: int = 5, damping: float = 0.85,
                           "rank DESC, node")
 
 
+def _stream_windowed_parity_oracle() -> str:
+    """Batch expectation for the finalized stream windows: the corpus
+    (variant cycling), the sniff predicate, and event_ts are all pure
+    functions of doc_id, so per-variant sniff booleans and content
+    lengths are precomputed here and the window group-by runs in SQL."""
+    import re
+
+    from cbor_ld_spark.sources import payload_variants
+
+    variants = payload_variants()
+    k = len(variants)
+    sniff, lens = [], []
+    for _name, lang, content, _enc in variants:
+        ok = (lang == "json" and content is not None
+              and re.match(r"^[\s﻿]*\{", content) is not None
+              and "@context" in content)
+        sniff.append(1 if ok else 0)
+        lens.append(len(content))
+    sniff_case = " ".join(
+        f"WHEN doc_id % {k} = {i} THEN {s}" for i, s in enumerate(sniff))
+    len_case = " ".join(
+        f"WHEN doc_id % {k} = {i} THEN {n}" for i, n in enumerate(lens))
+    return f"""
+    WITH c AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'org0/mega'
+                  ELSE 'org' || (doc_id % 7)::VARCHAR || '/repo'
+                       || (doc_id % 13)::VARCHAR END AS repo,
+             {_WIN_EPOCH} + (doc_id * 137) % {_WIN_SPAN} AS ts_sec,
+             CASE {sniff_case} END AS sniff_ok,
+             CASE {len_case} END AS content_len
+      FROM documents
+    )
+    SELECT (ts_sec // 3600) * 3600 AS window_epoch,
+           repo,
+           COUNT(*)::BIGINT AS rows,
+           SUM(sniff_ok)::BIGINT AS jsonld_candidates,
+           SUM(content_len)::BIGINT AS bytes
+    FROM c
+    GROUP BY 1, 2
+    ORDER BY window_epoch, repo
+    """
+
+
 def _dedup_clusters_oracle() -> str:
     """Union-find over the replayed LSH pair list."""
     m = _dedup_oracle_model()
@@ -2446,6 +2551,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_triangles": _triangle_oracle(),
         "kg_neighbor_overlap": _neighbor_overlap_oracle(),
         "dedup_clusters": _dedup_clusters_oracle(),
+        "stream_windowed_parity": _stream_windowed_parity_oracle(),
         "kg_pagerank_dangling": _pagerank_oracle(redistribute_dangling=True),
         "stream_sessions_parity": """
             WITH e AS (
