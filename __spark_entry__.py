@@ -486,6 +486,19 @@ def _stream_windowed_parity(spark, sf_dir):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def _kg_pagerank_weighted(spark, sf_dir):
+    """PageRank over evidence-weighted entity edges (weight = number of
+    triple instances asserting the edge): contributions are
+    rank * weight / weighted_out_degree.  Verified against the same
+    driver-side replay with multiplicities."""
+    from cbor_ld_spark.operators.graph import entity_edges_weighted, pagerank
+    from cbor_ld_spark.plans import shared_triples
+
+    t = shared_triples(spark, sf_dir)
+    pr = pagerank(entity_edges_weighted(t))
+    return pr.orderBy(F.desc("rank"), "node").limit(25)
+
+
 def _kg_triangles(spark, sf_dir):
     """Triangle census of the entity graph (degree-ordered orientation:
     wedges enumerate from the low-degree side, O(sqrt(m)) fan-out bound
@@ -969,11 +982,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _dedup_clusters,
         "kg_canonical_dedup": _kg_canonical_dedup,
         "kg_pagerank_dangling": _kg_pagerank_dangling,
+        "kg_pagerank_weighted": _kg_pagerank_weighted,
         "stream_sessions_parity": _stream_sessions_parity,
         "stream_windowed_parity": _stream_windowed_parity,
         "text_token_stats": _text_token_stats,
         "text_quality": _text_quality,
-        "text_lang_id": _text_lang_id,
         "text_lang_id_multi": _text_lang_id_multi,
         "text_token_stats_bpe": _text_token_stats_bpe,
         "text_fingerprints": _text_fingerprints,
@@ -1019,6 +1032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_session_stats": _events_session_stats,
         "events_sessions": _events_sessions,
         "kg_hex_roundtrip": _kg_hex_roundtrip,
+        "text_lang_id": _text_lang_id,
     }
 
 
@@ -2215,17 +2229,66 @@ def _realized_entity_edges(sf_dir: str) -> list[tuple[str, str]]:
     return result
 
 
+def _realized_entity_edge_weights(sf_dir: str) -> list[tuple[str, str, int]]:
+    """(src, dst, weight) with weight = triple-instance multiplicity:
+    per-(variant, entity) in-document counts scaled by how many doc_ids
+    land in that class."""
+    import hashlib
+    from collections import Counter
+
+    import duckdb
+
+    from cbor_ld_spark.functions.udfs import _process_one
+    from cbor_ld_spark.sources import payload_variants
+    from cbor_ld_spark.sources.corpus import _TEMPLATE_UUID, N_ENTITIES
+
+    key = ("w", sf_dir)
+    cached = _REALIZED_EDGE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    variants = payload_variants()
+    k = len(variants)
+    con = duckdb.connect()
+    classes = con.execute(
+        f"SELECT doc_id % {k}, doc_id % {N_ENTITIES}, COUNT(*) FROM "
+        f"read_parquet('{sf_dir}/documents.parquet') GROUP BY 1, 2"
+    ).fetchall()
+    con.close()
+    weights: Counter = Counter()
+    for v, e, n_docs in classes:
+        _name, lang, content, _enc = variants[v]
+        if not _sniff_ok(lang, content):
+            continue
+        h = hashlib.md5(f"ent:{e}".encode()).hexdigest()
+        uuid = f"{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}"
+        out = _process_one(content.replace(_TEMPLATE_UUID, uuid), 1, True)
+        if out[1] and out[7]:
+            for s, o, is_iri in zip(out[8], out[10], out[11]):
+                if is_iri:
+                    weights[(s, o)] += n_docs
+    result = sorted((s, d, w) for (s, d), w in weights.items())
+    _REALIZED_EDGE_CACHE[key] = result
+    return result
+
+
 def _pagerank_oracle(iters: int = 5, damping: float = 0.85,
                      top: int = 25, sf_dir: str | None = None,
-                     redistribute_dangling: bool = False) -> str:
+                     redistribute_dangling: bool = False,
+                     weighted: bool = False) -> str:
     """PageRank oracle: replay the exact fixed-iteration dataflow in
     pure Python over the replayed edge list."""
     from collections import Counter, defaultdict
 
-    edges = _realized_entity_edges(sf_dir or _oracle_sf_dir())
-    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    sf = sf_dir or _oracle_sf_dir()
+    if weighted:
+        edges = _realized_entity_edge_weights(sf)
+    else:
+        edges = [(s, d, 1) for s, d in _realized_entity_edges(sf)]
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
     n = len(nodes)
-    deg = Counter(s for s, _ in edges)
+    deg: Counter = Counter()
+    for s, _, w in edges:
+        deg[s] += w
     rank = {v: 1.0 / n for v in nodes}
     for _ in range(iters):
         base = (1.0 - damping) / n
@@ -2233,8 +2296,8 @@ def _pagerank_oracle(iters: int = 5, damping: float = 0.85,
             dm = sum(r for v, r in rank.items() if v not in deg)
             base += damping * dm / n
         inbound: dict[str, float] = defaultdict(float)
-        for s, d in edges:
-            inbound[d] += rank[s] / deg[s]
+        for s, d, w in edges:
+            inbound[d] += rank[s] * w / deg[s]
         rank = {v: base + damping * inbound.get(v, 0.0)
                 for v in nodes}
     rows = sorted(((v, round(r, 6)) for v, r in rank.items()),
@@ -2553,6 +2616,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _dedup_clusters_oracle(),
         "stream_windowed_parity": _stream_windowed_parity_oracle(),
         "kg_pagerank_dangling": _pagerank_oracle(redistribute_dangling=True),
+        "kg_pagerank_weighted": _pagerank_oracle(weighted=True),
         "stream_sessions_parity": """
             WITH e AS (
               SELECT user_id, epoch(ts)::BIGINT AS tl FROM events

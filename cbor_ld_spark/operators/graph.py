@@ -36,8 +36,22 @@ def entity_edges(triples: DataFrame) -> DataFrame:
             .distinct())
 
 
+def entity_edges_weighted(triples: DataFrame) -> DataFrame:
+    """(src, dst, weight) entity edges; weight = number of triple
+    instances asserting the edge across the corpus — evidence counts
+    that downstream weighted analytics (PageRank) should respect."""
+    return (triples
+            .filter(F.col("obj_is_iri"))
+            .groupBy(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+            .agg(F.count(F.lit(1)).alias("weight")))
+
+
 def out_degrees(edges: DataFrame) -> DataFrame:
-    return edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    """Out-degree per source; with a ``weight`` column present, the
+    weighted out-degree (sum of weights)."""
+    w = (F.sum("weight") if "weight" in edges.columns
+         else F.count(F.lit(1)))
+    return edges.groupBy("src").agg(w.alias("out_deg"))
 
 
 def pagerank(edges: DataFrame, iters: int = 5,
@@ -47,6 +61,9 @@ def pagerank(edges: DataFrame, iters: int = 5,
 
     rank_0 = 1/N for the N distinct nodes (sources + destinations);
     rank_{t+1}(v) = (1-d)/N + d * sum(rank_t(u)/out_deg(u), u->v).
+    If ``edges`` carries a ``weight`` column (entity_edges_weighted),
+    contributions are rank * weight / weighted_out_degree — same plan
+    shape, one extra column through the iteration join.
     By default dangling-node mass is dropped (not redistributed) —
     deterministic and mirrored verbatim by the oracle's replay; ranks
     are a relative centrality ordering, not a probability distribution.
@@ -62,6 +79,7 @@ def pagerank(edges: DataFrame, iters: int = 5,
     ~1e-18 of a 0.5e-6 rounding edge (odds ~1e-12 per value), the
     accepted residual for an order-free distributed aggregation.
     """
+    weighted = "weight" in edges.columns
     edges = edges.localCheckpoint()  # cut lineage once; reused 5+1 times
     # nodes is joined every iteration: materialize it once too, or each
     # new_ranks join would re-run the union+distinct shuffle
@@ -91,10 +109,11 @@ def pagerank(edges: DataFrame, iters: int = 5,
             dm = (dangling_nodes.join(ranks, "node")
                   .agg(F.sum("rank")).collect()[0][0]) or 0.0
             base += damping * dm / n
+        cw = (F.col("rank") * F.col("weight") / F.col("out_deg")
+              if weighted else F.col("rank") / F.col("out_deg"))
         contribs = (
             e.join(ranks, e.src == ranks.node)
-            .select(F.col("dst").alias("node"),
-                    (F.col("rank") / F.col("out_deg")).alias("c"))
+            .select(F.col("dst").alias("node"), cw.alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("inbound")))
         new_ranks = (
@@ -256,18 +275,19 @@ def neighborhood_overlap(edges: DataFrame,
                                F.col("deg").alias("dn")), "n")
     e1 = legs.select("c", F.col("n").alias("x"), F.col("dn").alias("dx"))
     e2 = legs.select("c", F.col("n").alias("y"), F.col("dn").alias("dy"))
+    # endpoint degrees ride the wedge legs and are constant per pair, so
+    # first() through the aggregation replaces two whole degree joins
+    # (plan: 7 exchanges instead of 11, 3 sort-merge joins instead of 5)
     common = (e1.join(e2, "c")
               .filter((F.col("x") < F.col("y"))
                       & (F.least("dx", "dy")
                          >= threshold * F.greatest("dx", "dy")))
               .groupBy(F.col("x").alias("node_a"),
                        F.col("y").alias("node_b"))
-              .agg(F.count(F.lit(1)).alias("common_neighbors")))
-    dn_a = deg.select(F.col("node").alias("node_a"),
-                      F.col("deg").alias("deg_a"))
-    dn_b = deg.select(F.col("node").alias("node_b"),
-                      F.col("deg").alias("deg_b"))
-    return (common.join(dn_a, "node_a").join(dn_b, "node_b")
+              .agg(F.count(F.lit(1)).alias("common_neighbors"),
+                   F.first("dx").alias("deg_a"),
+                   F.first("dy").alias("deg_b")))
+    return (common
             .withColumn(
                 "jaccard",
                 F.round(F.col("common_neighbors")

@@ -214,3 +214,27 @@ def test_neighborhood_overlap_hand_checked(spark):
             (x["common_neighbors"], x["jaccard"])
             for x in neighborhood_overlap(e, threshold=1e-9).collect()}
     assert got0 == expect
+
+
+def test_pagerank_weighted_vs_unrolled(spark):
+    """Weighted PageRank on a hand graph: a->b (weight 3), a->c (1) —
+    a's mass splits 3:1; unit weights must equal the unweighted path."""
+    from cbor_ld_spark.operators.graph import pagerank
+
+    w = spark.createDataFrame(
+        [("a", "b", 3), ("a", "c", 1), ("b", "a", 1)],
+        "src string, dst string, weight long")
+    got = {r["node"]: r["rank"] for r in pagerank(w, iters=1).collect()}
+    # rank_0 = 1/3; base = 0.05; a gets b's full 1/3, b gets 3/4 of
+    # a's 1/3, c gets 1/4 of it
+    assert got == {"a": round(0.05 + 0.85 / 3, 6),
+                   "b": round(0.05 + 0.85 * 0.75 / 3, 6),
+                   "c": round(0.05 + 0.85 * 0.25 / 3, 6)}
+    # unit weights == unweighted
+    uw = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 1), ("c", "a", 1)],
+        "src string, dst string, weight long")
+    u = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string")
+    assert ({(r["node"], r["rank"]) for r in pagerank(uw, iters=4).collect()}
+            == {(r["node"], r["rank"]) for r in pagerank(u, iters=4).collect()})
