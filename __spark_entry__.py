@@ -486,6 +486,25 @@ def _stream_windowed_parity(spark, sf_dir):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def _kg_pred_cooccurrence(spark, sf_dir):
+    """Predicate co-occurrence profile: for each unordered predicate
+    pair, how many distinct subjects assert BOTH — the schema-discovery
+    query a KG consumer runs to find implicit entity types.  Shape:
+    distinct (subj, pred) projection, self-join on subj (fan-out
+    bounded by per-subject predicate count, not corpus size), hash
+    aggregation on the uniform pair key."""
+    from cbor_ld_spark.plans import shared_triples
+
+    sp = shared_triples(spark, sf_dir).select("subj", "pred").distinct()
+    a = sp.select("subj", F.col("pred").alias("pred_a"))
+    b = sp.select("subj", F.col("pred").alias("pred_b"))
+    return (a.join(b, "subj")
+            .filter(F.col("pred_a") < F.col("pred_b"))
+            .groupBy("pred_a", "pred_b")
+            .agg(F.countDistinct("subj").alias("n_subjects"))
+            .orderBy("pred_a", "pred_b"))
+
+
 def _kg_pagerank_weighted(spark, sf_dir):
     """PageRank over evidence-weighted entity edges (weight = number of
     triple instances asserting the edge): contributions are
@@ -983,6 +1002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_canonical_dedup": _kg_canonical_dedup,
         "kg_pagerank_dangling": _kg_pagerank_dangling,
         "kg_pagerank_weighted": _kg_pagerank_weighted,
+        "kg_pred_cooccurrence": _kg_pred_cooccurrence,
         "stream_sessions_parity": _stream_sessions_parity,
         "stream_windowed_parity": _stream_windowed_parity,
         "text_token_stats": _text_token_stats,
@@ -1000,7 +1020,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _ann_cosine_topk,
         "ann_lsh_topk": _ann_lsh_topk,
         "ann_ivf_topk": _ann_ivf_topk,
-        "emb_near_dup": _emb_near_dup,
         "emb_near_dup_blocked": _emb_near_dup_blocked,
         "dedup_embedding_lsh": _dedup_embedding_lsh,
         "text_winnow_fingerprints": _text_winnow_fingerprints,
@@ -1033,6 +1052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": _events_sessions,
         "kg_hex_roundtrip": _kg_hex_roundtrip,
         "text_lang_id": _text_lang_id,
+        "emb_near_dup": _emb_near_dup,
     }
 
 
@@ -2229,6 +2249,48 @@ def _realized_entity_edges(sf_dir: str) -> list[tuple[str, str]]:
     return result
 
 
+def _pred_cooccurrence_oracle(sf_dir: str | None = None) -> str:
+    """Replay distinct (subj, pred) over the (variant, entity) classes
+    and count pair co-occurrence in pure Python."""
+    import hashlib
+    from collections import Counter, defaultdict
+    from itertools import combinations
+
+    import duckdb
+
+    from cbor_ld_spark.functions.udfs import _process_one
+    from cbor_ld_spark.sources import payload_variants
+    from cbor_ld_spark.sources.corpus import _TEMPLATE_UUID, N_ENTITIES
+
+    sf = sf_dir or _oracle_sf_dir()
+    variants = payload_variants()
+    k = len(variants)
+    con = duckdb.connect()
+    classes = con.execute(
+        f"SELECT DISTINCT doc_id % {k}, doc_id % {N_ENTITIES} FROM "
+        f"read_parquet('{sf}/documents.parquet')").fetchall()
+    con.close()
+    preds_of: dict[str, set] = defaultdict(set)
+    for v, e in classes:
+        _name, lang, content, _enc = variants[v]
+        if not _sniff_ok(lang, content):
+            continue
+        h = hashlib.md5(f"ent:{e}".encode()).hexdigest()
+        uuid = f"{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}"
+        out = _process_one(content.replace(_TEMPLATE_UUID, uuid), 1, True)
+        if out[1] and out[7]:
+            for s, p in zip(out[8], out[9]):
+                preds_of[s].add(p)
+    pairs: Counter = Counter()
+    for _s, preds in preds_of.items():
+        for pa, pb in combinations(sorted(preds), 2):
+            pairs[(pa, pb)] += 1
+    rows = sorted((pa, pb, n) for (pa, pb), n in pairs.items())
+    return _values_oracle(
+        rows, [("pred_a", "VARCHAR"), ("pred_b", "VARCHAR"),
+               ("n_subjects", "BIGINT")], "pred_a, pred_b")
+
+
 def _realized_entity_edge_weights(sf_dir: str) -> list[tuple[str, str, int]]:
     """(src, dst, weight) with weight = triple-instance multiplicity:
     per-(variant, entity) in-document counts scaled by how many doc_ids
@@ -2617,6 +2679,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_windowed_parity": _stream_windowed_parity_oracle(),
         "kg_pagerank_dangling": _pagerank_oracle(redistribute_dangling=True),
         "kg_pagerank_weighted": _pagerank_oracle(weighted=True),
+        "kg_pred_cooccurrence": _pred_cooccurrence_oracle(),
         "stream_sessions_parity": """
             WITH e AS (
               SELECT user_id, epoch(ts)::BIGINT AS tl FROM events
