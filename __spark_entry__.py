@@ -501,7 +501,10 @@ def _kg_pred_cooccurrence(spark, sf_dir):
     return (a.join(b, "subj")
             .filter(F.col("pred_a") < F.col("pred_b"))
             .groupBy("pred_a", "pred_b")
-            .agg(F.countDistinct("subj").alias("n_subjects"))
+            # rows are already distinct per (subj, pair) after the
+            # distinct projection + self-join, so a plain count equals
+            # countDistinct(subj) without the extra distinct aggregation
+            .agg(F.count(F.lit(1)).alias("n_subjects"))
             .orderBy("pred_a", "pred_b"))
 
 

@@ -116,43 +116,47 @@ def decode_avi_mjpeg(payload: bytes) -> tuple[int, int, int, list[bytes]]:
     width = height = None
     frames: list[bytes] = []
 
-    # Iterative chunk walk: a crafted payload of deeply nested 12-byte LIST
-    # headers must hit the typed-error/quarantine contract, never a
-    # RecursionError.  The explicit stack holds (buffer, resume-pos,
-    # in_movi) continuations; each nested LIST consumes >=12 payload
-    # bytes, so stack depth is bounded by len(payload)/12.
-    buf = payload[12:12 + riff_size - 4]
-    pos, in_movi = 0, False
-    stack: list[tuple[bytes, int, bool]] = []
+    # Iterative chunk walk over (offset, end) INDICES into the one
+    # payload buffer — no per-level byte slicing, so a crafted payload
+    # of deeply nested 12-byte LIST headers costs O(depth) stack tuples,
+    # not O(payload^2) copied bytes, and hits the typed-error contract
+    # instead of RecursionError.  Each nested LIST consumes >= 12
+    # payload bytes, so stack depth is bounded by len(payload)/12.
+    pos = 12
+    end = min(12 + riff_size - 4, len(payload))
+    in_movi = False
+    stack: list[tuple[int, int, bool]] = []
     while True:
-        if pos + 8 > len(buf):
+        if pos + 8 > end:
             if not stack:
                 break
-            buf, pos, in_movi = stack.pop()
+            pos, end, in_movi = stack.pop()
             continue
-        ckid = buf[pos:pos + 4]
-        size = struct.unpack("<I", buf[pos + 4:pos + 8])[0]
-        body = buf[pos + 8:pos + 8 + size]
-        if len(body) != size:
+        ckid = payload[pos:pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body_start = pos + 8
+        body_end = body_start + size
+        if body_end > end:
             raise MediaDecodeError("truncated AVI chunk")
-        pos += 8 + size + (size % 2)
+        pos = body_end + (size % 2)
         if ckid == b"LIST":
             if size < 4:
                 raise MediaDecodeError("malformed AVI LIST")
-            stack.append((buf, pos, in_movi))
-            in_movi = in_movi or body[:4] == b"movi"
-            buf, pos = body[4:], 0
+            stack.append((pos, end, in_movi))
+            in_movi = in_movi or \
+                payload[body_start:body_start + 4] == b"movi"
+            pos, end = body_start + 4, body_end
         elif ckid == b"avih":
             if size < 40:
                 raise MediaDecodeError("short avih header")
-            vals = struct.unpack("<10I", body[:40])
+            vals = struct.unpack_from("<10I", payload, body_start)
             us_per_frame = vals[0]
             width, height = vals[8], vals[9]
         elif in_movi and ckid in (b"00dc", b"00db"):
             if len(frames) >= MAX_FRAMES:
                 raise MediaDecodeError(
                     f"AVI exceeds {MAX_FRAMES}-frame demux cap")
-            frames.append(body)
+            frames.append(payload[body_start:body_end])
     if us_per_frame is None or not us_per_frame:
         raise MediaDecodeError("AVI missing avih timing header")
     if not frames:

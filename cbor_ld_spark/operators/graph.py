@@ -211,7 +211,6 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
               .filter((F.col("dx") < F.col("dy")) | (
                   (F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y"))))
               .select(F.col("x").alias("u"), F.col("y").alias("v")))
-    n_wedges_ordered = wedges.count()
     closed = wedges.join(oriented.select("u", "v"), ["u", "v"])
     n_tri = closed.count()
     # total wedges (open or closed, any center) = sum over nodes of
@@ -280,8 +279,12 @@ def neighborhood_overlap(edges: DataFrame,
     # (plan: 7 exchanges instead of 11, 3 sort-merge joins instead of 5)
     common = (e1.join(e2, "c")
               .filter((F.col("x") < F.col("y"))
+                      # 1e-6 slack: the output filter accepts ROUND-6
+                      # jaccard >= threshold, so the prune must not drop
+                      # pairs whose exact jaccard sits a hair under the
+                      # threshold but rounds onto it
                       & (F.least("dx", "dy")
-                         >= threshold * F.greatest("dx", "dy")))
+                         >= (threshold - 1e-6) * F.greatest("dx", "dy")))
               .groupBy(F.col("x").alias("node_a"),
                        F.col("y").alias("node_b"))
               .agg(F.count(F.lit(1)).alias("common_neighbors"),

@@ -160,3 +160,23 @@ def test_video_frame_rows_stride_sampling():
     assert [r[2] for r in rows] == [0, 300, 600]
     rows = video_frame_rows(1, avi, 100, 4)
     assert [r[1] for r in rows] == [0, 1, 2, 3]  # max_frames cap
+
+
+def test_avi_nested_lists_linear_memory():
+    """The index-based walk must decode a ~1 MiB deeply-nested payload
+    (~40k LIST levels) in linear time/memory — the slicing version was
+    quadratic (~40 GB of copies) and would hang far past this timeout."""
+    import time
+
+    depth = 40_000
+    body = b"fooo"
+    for _ in range(depth):
+        inner = b"hdrl" + body
+        pad = b"\x00" if len(inner) % 2 else b""
+        body = b"LIST" + struct.pack("<I", len(inner)) + inner + pad
+    content = b"AVI " + body
+    payload = b"RIFF" + struct.pack("<I", len(content)) + content
+    t0 = time.monotonic()
+    with pytest.raises(MediaDecodeError, match="timing header"):
+        decode_avi_mjpeg(payload)
+    assert time.monotonic() - t0 < 5.0
