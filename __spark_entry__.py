@@ -877,18 +877,13 @@ def _rel_revenue_rollup(spark, sf_dir):
 
 def _kg_entity_components(spark, sf_dir):
     """Component-size histogram of the linked entity graph."""
-    from cbor_ld_spark.operators.canonicalize import canonical_triples
     from cbor_ld_spark.operators.linking import link_entities
-    from cbor_ld_spark.plans import shared_triples
+    from cbor_ld_spark.plans import shared_canonical_triples
 
-    # shared tier is already materialized (localCheckpoint) — only the
-    # canonicalized frame, consumed by several joins inside linking,
-    # needs a local persist
-    t = shared_triples(spark, sf_dir)
-    c = canonical_triples(t).persist()
+    # both this histogram and kg_canonical_dedup consume the same
+    # canonicalization pass: shared, materialized once per session
+    c = shared_canonical_triples(spark, sf_dir)
     comp = link_entities(c)
-    # materialize the (tiny) histogram, then release the pinned frame so
-    # a long multi-query session doesn't accumulate storage pressure
     rows = (
         comp.groupBy("component")
         .agg(F.count(F.lit(1)).alias("size"))
@@ -897,17 +892,14 @@ def _kg_entity_components(spark, sf_dir):
         .orderBy("size")
         .collect()
     )
-    c.unpersist()
     return spark.createDataFrame(rows, "size long, n_components long")
 
 
 def _kg_canonical_dedup(spark, sf_dir):
     """Raw vs canonically-deduplicated triple counts."""
-    from cbor_ld_spark.operators.canonicalize import canonical_triples
-    from cbor_ld_spark.plans import shared_triples
+    from cbor_ld_spark.plans import shared_canonical_triples
 
-    t = shared_triples(spark, sf_dir)
-    rows = canonical_triples(t).agg(
+    rows = shared_canonical_triples(spark, sf_dir).agg(
         F.count(F.lit(1)).alias("raw_triples"),
         F.countDistinct("subj", "pred", "obj", "obj_is_iri", "graph")
         .alias("canonical_distinct_triples"),

@@ -48,6 +48,28 @@ def shared_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+_CANONICAL_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def shared_canonical_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-once ``canonical_triples`` over the shared triples
+    tier — the canonicalization mapInArrow pass is the second-most
+    expensive stage after the kernel, and both the component histogram
+    and the canonical-dedup counts consume its output."""
+    from cbor_ld_spark.operators.canonicalize import canonical_triples
+
+    key = (spark.sparkContext.applicationId, str(sf_dir))
+    df = _CANONICAL_CACHE.get(key)
+    if df is None:
+        for stale in [k for k in _CANONICAL_CACHE if k[0] != key[0]]:
+            _CANONICAL_CACHE.pop(stale, None)
+        df = canonical_triples(
+            shared_triples(spark, sf_dir)).localCheckpoint(eager=True)
+        _CANONICAL_CACHE[key] = df
+    return df
+
+
 def clear_shared_triples() -> None:
     """Drop all cache entries (tests / explicit storage release)."""
     _TRIPLES_CACHE.clear()
+    _CANONICAL_CACHE.clear()

@@ -56,3 +56,42 @@ def test_shared_triples_keyed_by_dir_and_clearable(spark):
         assert c is not a  # fresh materialization after clear
     finally:
         clear_shared_triples()
+
+
+def test_shared_canonical_triples_single_materialization(spark):
+    from cbor_ld_spark.plans import (
+        clear_shared_triples,
+        shared_canonical_triples,
+    )
+
+    clear_shared_triples()
+    try:
+        a = shared_canonical_triples(spark, "/root/testdata/sf0.001")
+        b = shared_canonical_triples(spark, "/root/testdata/sf0.001")
+        assert a is b
+        plan = a._jdf.queryExecution().executedPlan().toString()
+        assert "Scan ExistingRDD" in plan, plan
+        assert "MapInArrow" not in plan and "BatchEvalPython" not in plan
+    finally:
+        clear_shared_triples()
+
+
+def test_shared_canonical_matches_direct(spark):
+    from cbor_ld_spark.operators import process_corpus, triples_table
+    from cbor_ld_spark.operators.canonicalize import canonical_triples
+    from cbor_ld_spark.plans import (
+        clear_shared_triples,
+        shared_canonical_triples,
+    )
+    from cbor_ld_spark.sources import corpus_from_documents
+
+    clear_shared_triples()
+    try:
+        shared = shared_canonical_triples(spark, "/root/testdata/sf0.001")
+        direct = canonical_triples(triples_table(process_corpus(
+            corpus_from_documents(spark, "/root/testdata/sf0.001"))))
+        assert shared.columns == direct.columns
+        assert (sorted(map(tuple, shared.collect()))
+                == sorted(map(tuple, direct.collect())))
+    finally:
+        clear_shared_triples()
