@@ -508,6 +508,62 @@ def _kg_pred_cooccurrence(spark, sf_dir):
             .orderBy("pred_a", "pred_b"))
 
 
+def _dedup_apply(spark, sf_dir):
+    """The dedup pipeline's final step: materialize the keep/remove
+    decision.  LSH pairs -> connected components -> every non-canonical
+    cluster member is removed; reports corpus-level impact (docs and
+    characters removed).  Scale shape: the only full-corpus work is one
+    membership join on doc_id."""
+    from cbor_ld_spark.operators.dedup import (
+        load_documents,
+        minhash_lsh_pairs,
+    )
+    from cbor_ld_spark.operators.linking import connected_components
+
+    docs = load_documents(spark, sf_dir)
+    pairs = minhash_lsh_pairs(docs)
+
+    def pad(c):
+        return F.lpad(F.col(c).cast("string"), 12, "0")
+
+    comp = connected_components(
+        pairs.select(pad("doc_a").alias("src"), pad("doc_b").alias("dst")))
+    removed = (comp.filter(F.col("id") != F.col("component"))
+               .select(F.col("id").cast("long").alias("doc_id")))
+    n_total = docs.count()
+    n_clusters = comp.select("component").distinct().count()
+    rem = (docs.join(removed, "doc_id")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.length("text")).alias("chars")).collect()[0])
+    n_removed = rem["n"] or 0
+    return spark.createDataFrame(
+        [(n_total, n_clusters, n_removed, n_total - n_removed,
+          int(rem["chars"] or 0))],
+        "total_docs long, clusters long, removed_docs long, "
+        "kept_docs long, removed_chars long")
+
+
+def _text_oov_rate(spark, sf_dir):
+    """Vocabulary coverage vs the corpus term dictionary (min_count=2,
+    mirroring term_dictionary): share of token INSTANCES whose term is
+    out-of-dictionary — the signal that sizes tokenizer vocab and
+    flags noisy shards.  Two hash aggregations on the uniform term
+    key."""
+    from cbor_ld_spark.operators.text import _norm, load_documents
+
+    toks = (load_documents(spark, sf_dir)
+            .select(F.explode(F.split(_norm(F.col("text")), " "))
+                    .alias("term")))
+    agg = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    return agg.agg(
+        F.sum("c").alias("total_tokens"),
+        F.sum((F.col("c") >= 2).cast("long")).alias("dict_terms"),
+        F.sum(F.when(F.col("c") < 2, F.col("c")).otherwise(0))
+        .alias("oov_tokens"),
+        F.round(F.sum(F.when(F.col("c") < 2, F.col("c")).otherwise(0))
+                / F.sum("c"), 6).alias("oov_rate"))
+
+
 def _kg_pagerank_weighted(spark, sf_dir):
     """PageRank over evidence-weighted entity edges (weight = number of
     triple instances asserting the edge): contributions are
@@ -1031,7 +1087,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         "kg_entity_components": _kg_entity_components,
         "kg_cardinality_sketch": _kg_cardinality_sketch,
-        # --- past the driver's 50-query window: stable since r2, unchanged ---
+        # --- past the driver's 50-query window ---
+        # new r5 tail entries (self-verified both SFs; rotate into the
+        # window next round):
+        "dedup_apply": _dedup_apply,
+        "text_oov_rate": _text_oov_rate,
+        # stable since r2, unchanged:
         "rel_pricing_summary": _rel_pricing_summary,
         "rel_top_customers": _rel_top_customers,
         "rel_orders_with_returns": _rel_orders_with_returns,
@@ -2407,6 +2468,55 @@ def _stream_windowed_parity_oracle() -> str:
     """
 
 
+def _dedup_apply_oracle() -> str:
+    """Union-find replay -> removed-id list; corpus impact in SQL."""
+    m = _dedup_oracle_model()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    members = set()
+    for a, b in m["pairs"]:
+        members.add(a)
+        members.add(b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    removed = sorted(x for x in members if find(x) != x)
+    n_clusters = len({find(x) for x in members})
+    removed_vals = ", ".join(f"({i})" for i in removed) or "(NULL)"
+    return f"""
+    WITH removed(doc_id) AS (VALUES {removed_vals})
+    SELECT (SELECT COUNT(*) FROM documents)::BIGINT AS total_docs,
+           {n_clusters}::BIGINT AS clusters,
+           {len(removed)}::BIGINT AS removed_docs,
+           ((SELECT COUNT(*) FROM documents) - {len(removed)})::BIGINT
+             AS kept_docs,
+           COALESCE((SELECT SUM(length(text))::BIGINT FROM documents
+                     WHERE doc_id IN (SELECT doc_id FROM removed)), 0)
+             AS removed_chars
+    """
+
+
+_OOV_SQL = f"""
+    WITH toks AS (
+      SELECT unnest(string_split({{norm}}, ' ')) AS term FROM documents
+    ), agg AS (
+      SELECT term, COUNT(*) AS c FROM toks GROUP BY term
+    )
+    SELECT SUM(c)::BIGINT AS total_tokens,
+           SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END)::BIGINT AS dict_terms,
+           SUM(CASE WHEN c < 2 THEN c ELSE 0 END)::BIGINT AS oov_tokens,
+           round(SUM(CASE WHEN c < 2 THEN c ELSE 0 END)
+                 / SUM(c), 6) AS oov_rate
+    FROM agg
+"""
+
+
 def _dedup_clusters_oracle() -> str:
     """Union-find over the replayed LSH pair list."""
     m = _dedup_oracle_model()
@@ -2671,6 +2781,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_triangles": _triangle_oracle(),
         "kg_neighbor_overlap": _neighbor_overlap_oracle(),
         "dedup_clusters": _dedup_clusters_oracle(),
+        "dedup_apply": _dedup_apply_oracle(),
+        "text_oov_rate": _OOV_SQL.format(norm=_NORM_SQL),
         "stream_windowed_parity": _stream_windowed_parity_oracle(),
         "kg_pagerank_dangling": _pagerank_oracle(redistribute_dangling=True),
         "kg_pagerank_weighted": _pagerank_oracle(weighted=True),
