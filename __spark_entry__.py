@@ -508,6 +508,21 @@ def _kg_pred_cooccurrence(spark, sf_dir):
             .orderBy("pred_a", "pred_b"))
 
 
+def _kg_obj_datatypes(spark, sf_dir):
+    """Object-kind/datatype histogram of the triples table — the RDF
+    shape profile (how much of the graph is entity links vs typed
+    literals).  One hash aggregation on a low-cardinality key."""
+    from cbor_ld_spark.plans import shared_triples
+
+    t = shared_triples(spark, sf_dir)
+    return (t.groupBy(
+        F.when(F.col("obj_is_iri"), "iri").otherwise("literal")
+        .alias("obj_kind"),
+        F.coalesce("obj_datatype", F.lit("<none>")).alias("datatype"))
+        .agg(F.count(F.lit(1)).alias("n_triples"))
+        .orderBy("obj_kind", "datatype"))
+
+
 def _dedup_apply(spark, sf_dir):
     """The dedup pipeline's final step: materialize the keep/remove
     decision.  LSH pairs -> connected components -> every non-canonical
@@ -1092,6 +1107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window next round):
         "dedup_apply": _dedup_apply,
         "text_oov_rate": _text_oov_rate,
+        "kg_obj_datatypes": _kg_obj_datatypes,
         # stable since r2, unchanged:
         "rel_pricing_summary": _rel_pricing_summary,
         "rel_top_customers": _rel_top_customers,
@@ -2468,6 +2484,44 @@ def _stream_windowed_parity_oracle() -> str:
     """
 
 
+def _obj_datatypes_oracle(sf_dir: str | None = None) -> str:
+    """Datatype histogram replayed per (variant, entity) class with
+    class-size weighting (instance counts, like the weighted edges)."""
+    import hashlib
+    from collections import Counter
+
+    import duckdb
+
+    from cbor_ld_spark.functions.udfs import _process_one
+    from cbor_ld_spark.sources import payload_variants
+    from cbor_ld_spark.sources.corpus import _TEMPLATE_UUID, N_ENTITIES
+
+    sf = sf_dir or _oracle_sf_dir()
+    variants = payload_variants()
+    k = len(variants)
+    con = duckdb.connect()
+    classes = con.execute(
+        f"SELECT doc_id % {k}, doc_id % {N_ENTITIES}, COUNT(*) FROM "
+        f"read_parquet('{sf}/documents.parquet') GROUP BY 1, 2").fetchall()
+    con.close()
+    hist: Counter = Counter()
+    for v, e, n_docs in classes:
+        _name, lang, content, _enc = variants[v]
+        if not _sniff_ok(lang, content):
+            continue
+        h = hashlib.md5(f"ent:{e}".encode()).hexdigest()
+        uuid = f"{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}"
+        out = _process_one(content.replace(_TEMPLATE_UUID, uuid), 1, True)
+        if out[1] and out[7]:
+            for is_iri, dt in zip(out[11], out[12]):
+                kind = "iri" if is_iri else "literal"
+                hist[(kind, dt if dt is not None else "<none>")] += n_docs
+    rows = sorted((kd, dt, n) for (kd, dt), n in hist.items())
+    return _values_oracle(
+        rows, [("obj_kind", "VARCHAR"), ("datatype", "VARCHAR"),
+               ("n_triples", "BIGINT")], "obj_kind, datatype")
+
+
 def _dedup_apply_oracle() -> str:
     """Union-find replay -> removed-id list; corpus impact in SQL."""
     m = _dedup_oracle_model()
@@ -2783,6 +2837,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _dedup_clusters_oracle(),
         "dedup_apply": _dedup_apply_oracle(),
         "text_oov_rate": _OOV_SQL.format(norm=_NORM_SQL),
+        "kg_obj_datatypes": _obj_datatypes_oracle(),
         "stream_windowed_parity": _stream_windowed_parity_oracle(),
         "kg_pagerank_dangling": _pagerank_oracle(redistribute_dangling=True),
         "kg_pagerank_weighted": _pagerank_oracle(weighted=True),
