@@ -508,6 +508,33 @@ def _kg_pred_cooccurrence(spark, sf_dir):
             .orderBy("pred_a", "pred_b"))
 
 
+def _kg_ppr(spark, sf_dir):
+    """Personalized PageRank from the 3 lexicographically-first source
+    entities (same seed rule as kg_khop): neighborhood-relative
+    centrality, top 25."""
+    from cbor_ld_spark.operators.graph import (
+        entity_edges,
+        personalized_pagerank,
+    )
+    from cbor_ld_spark.plans import shared_triples
+
+    e = entity_edges(shared_triples(spark, sf_dir))
+    seeds = (e.select(F.col("src").alias("node")).distinct()
+             .orderBy("node").limit(3))
+    pr = personalized_pagerank(e, seeds)
+    return pr.orderBy(F.desc("rank"), "node").limit(25)
+
+
+def _kg_hits(spark, sf_dir):
+    """HITS hubs/authorities over the entity graph, top 25 by
+    authority."""
+    from cbor_ld_spark.operators.graph import entity_edges, hits
+    from cbor_ld_spark.plans import shared_triples
+
+    h = hits(entity_edges(shared_triples(spark, sf_dir)))
+    return h.orderBy(F.desc("authority"), "node").limit(25)
+
+
 def _kg_obj_datatypes(spark, sf_dir):
     """Object-kind/datatype histogram of the triples table — the RDF
     shape profile (how much of the graph is entity links vs typed
@@ -1108,6 +1135,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_apply": _dedup_apply,
         "text_oov_rate": _text_oov_rate,
         "kg_obj_datatypes": _kg_obj_datatypes,
+        "kg_ppr": _kg_ppr,
+        "kg_hits": _kg_hits,
         # stable since r2, unchanged:
         "rel_pricing_summary": _rel_pricing_summary,
         "rel_top_customers": _rel_top_customers,
@@ -2484,6 +2513,63 @@ def _stream_windowed_parity_oracle() -> str:
     """
 
 
+def _ppr_oracle(iters: int = 5, damping: float = 0.85, top: int = 25,
+                n_seeds: int = 3, sf_dir: str | None = None) -> str:
+    """Personalized-PageRank replay over the realized edge list (same
+    seed rule as the query: lexicographically-first sources)."""
+    from collections import Counter, defaultdict
+
+    edges = _realized_entity_edges(sf_dir or _oracle_sf_dir())
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    seeds = sorted({s for s, _ in edges})[:n_seeds]
+    deg = Counter(s for s, _ in edges)
+    s_mass = 1.0 / len(seeds)
+    rank = {v: (s_mass if v in seeds else 0.0) for v in nodes}
+    for _ in range(iters):
+        inbound: dict[str, float] = defaultdict(float)
+        for s, d in edges:
+            inbound[d] += rank[s] / deg[s]
+        rank = {v: ((1.0 - damping) * s_mass if v in seeds else 0.0)
+                + damping * inbound.get(v, 0.0)
+                for v in nodes}
+    rows = sorted(((v, round(r, 6)) for v, r in rank.items()),
+                  key=lambda t: (-t[1], t[0]))[:top]
+    return _values_oracle(rows, [("node", "VARCHAR"), ("rank", "DOUBLE")],
+                          "rank DESC, node")
+
+
+def _hits_oracle(iters: int = 5, top: int = 25,
+                 sf_dir: str | None = None) -> str:
+    """HITS replay with per-iteration L2 normalization."""
+    import math
+    from collections import defaultdict
+
+    edges = _realized_entity_edges(sf_dir or _oracle_sf_dir())
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    hub = {v: 1.0 / math.sqrt(n) for v in nodes}
+    auth = {v: 0.0 for v in nodes}
+    for _ in range(iters):
+        a: dict[str, float] = defaultdict(float)
+        for s, d in edges:
+            a[d] += hub[s]
+        auth = {v: a.get(v, 0.0) for v in nodes}
+        na = math.sqrt(sum(x * x for x in auth.values())) or 1.0
+        auth = {v: x / na for v, x in auth.items()}
+        h: dict[str, float] = defaultdict(float)
+        for s, d in edges:
+            h[s] += auth[d]
+        hub = {v: h.get(v, 0.0) for v in nodes}
+        nh = math.sqrt(sum(x * x for x in hub.values())) or 1.0
+        hub = {v: x / nh for v, x in hub.items()}
+    rows = sorted(((v, round(hub[v], 6), round(auth[v], 6))
+                   for v in nodes),
+                  key=lambda t: (-t[2], t[0]))[:top]
+    return _values_oracle(
+        rows, [("node", "VARCHAR"), ("hub", "DOUBLE"),
+               ("authority", "DOUBLE")], "authority DESC, node")
+
+
 def _obj_datatypes_oracle(sf_dir: str | None = None) -> str:
     """Datatype histogram replayed per (variant, entity) class with
     class-size weighting (instance counts, like the weighted edges)."""
@@ -2838,6 +2924,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_apply": _dedup_apply_oracle(),
         "text_oov_rate": _OOV_SQL.format(norm=_NORM_SQL),
         "kg_obj_datatypes": _obj_datatypes_oracle(),
+        "kg_ppr": _ppr_oracle(),
+        "kg_hits": _hits_oracle(),
         "stream_windowed_parity": _stream_windowed_parity_oracle(),
         "kg_pagerank_dangling": _pagerank_oracle(redistribute_dangling=True),
         "kg_pagerank_weighted": _pagerank_oracle(weighted=True),

@@ -101,8 +101,12 @@ def pagerank(edges: DataFrame, iters: int = 5,
             deg.select(F.col("src").alias("node")), "node", "left_anti"
         ).localCheckpoint()
 
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).persist()
-    ranks.count()
+    # Per-iteration localCheckpoint, not persist: persist keeps the full
+    # logical plan, which DOUBLES per iteration (measured: 61k -> 605k
+    # plan chars over 4 rounds) — exponential analysis/printing cost
+    # that OOMs the driver long before the data does.  The checkpoint
+    # cuts lineage each round; ContextCleaner reclaims old blocks.
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
     for _ in range(iters):
         base = (1.0 - damping) / n
         if redistribute_dangling:
@@ -116,21 +120,15 @@ def pagerank(edges: DataFrame, iters: int = 5,
             .select(F.col("dst").alias("node"), cw.alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("inbound")))
-        new_ranks = (
+        ranks = (
             nodes.join(contribs, "node", "left")
             .select("node",
                     (F.lit(base)
                      + F.lit(damping) * F.coalesce("inbound", F.lit(0.0)))
                     .alias("rank"))
-            .persist())
-        new_ranks.count()
-        old = ranks
-        ranks = new_ranks
-        old.unpersist()
-    out = ranks.select("node", F.round("rank", round_to).alias("rank"))
-    result = out.localCheckpoint()
-    ranks.unpersist()
-    return result
+            .localCheckpoint())
+    return ranks.select("node", F.round("rank", round_to).alias("rank")) \
+        .localCheckpoint()
 
 
 def k_hop(edges: DataFrame, seeds: DataFrame, k: int = 3) -> DataFrame:
@@ -298,3 +296,115 @@ def neighborhood_overlap(edges: DataFrame,
                            - F.col("common_neighbors")), 6))
             .filter(F.col("jaccard") >= threshold)
             .select("node_a", "node_b", "common_neighbors", "jaccard"))
+
+
+def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
+                          iters: int = 5, damping: float = 0.85,
+                          round_to: int = 6) -> DataFrame:
+    """PageRank with teleportation restricted to a seed set — "what is
+    central *relative to these entities*", the KG neighborhood-ranking
+    primitive.  rank_0 = 1/|S| on seeds (0 elsewhere); each iteration
+    the (1-d) teleport mass returns to the seeds uniformly.  Same
+    iterative-join shape as ``pagerank``; the seed frame is broadcast
+    (seed sets are small by definition).
+    """
+    edges = edges.localCheckpoint()
+    nodes = (edges.select(F.col("src").alias("node"))
+             .unionByName(edges.select(F.col("dst").alias("node")))
+             .distinct()
+             .localCheckpoint())
+    seed_nodes = (seeds.select("node").distinct()
+                  .join(nodes, "node").localCheckpoint())
+    n_seeds = seed_nodes.count()
+    if n_seeds == 0:
+        return edges.sparkSession.createDataFrame(
+            [], "node string, rank double")
+    deg = out_degrees(edges)
+    e = edges.join(deg, "src").localCheckpoint()
+    is_seed = F.broadcast(seed_nodes.withColumn("_seed", F.lit(1)))
+
+    # localCheckpoint per iteration — same exponential-plan rationale
+    # as pagerank (persist does not cut lineage)
+    ranks = (nodes.join(is_seed, "node", "left")
+             .select("node",
+                     F.when(F.col("_seed").isNotNull(),
+                            F.lit(1.0 / n_seeds)).otherwise(F.lit(0.0))
+                     .alias("rank"))
+             .localCheckpoint())
+    for _ in range(iters):
+        contribs = (
+            e.join(ranks, e.src == ranks.node)
+            .select(F.col("dst").alias("node"),
+                    (F.col("rank") / F.col("out_deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("inbound")))
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .join(is_seed, "node", "left")
+            .select("node",
+                    (F.when(F.col("_seed").isNotNull(),
+                            F.lit((1.0 - damping) / n_seeds))
+                     .otherwise(F.lit(0.0))
+                     + F.lit(damping)
+                     * F.coalesce("inbound", F.lit(0.0))).alias("rank"))
+            .localCheckpoint())
+    return ranks.select("node", F.round("rank", round_to).alias("rank")) \
+        .localCheckpoint()
+
+
+def hits(edges: DataFrame, iters: int = 5,
+         round_to: int = 6) -> DataFrame:
+    """HITS hubs/authorities over the directed entity graph.
+
+    a_{t+1}(v) = sum(h_t(u), u->v); h_{t+1}(u) = sum(a_{t+1}(v), u->v);
+    each vector L2-normalized per iteration (norms computed as 1-row
+    aggregations, applied as literals so the oracle replays the exact
+    arithmetic).  Same localCheckpoint'd-edges iterative-join shape as
+    PageRank.
+    """
+    import math
+
+    edges = edges.localCheckpoint()
+    nodes = (edges.select(F.col("src").alias("node"))
+             .unionByName(edges.select(F.col("dst").alias("node")))
+             .distinct()
+             .localCheckpoint())
+    n = nodes.count()
+    if n == 0:
+        return edges.sparkSession.createDataFrame(
+            [], "node string, hub double, authority double")
+    # Two lineage cuts per iteration (un-normalized frames); the
+    # normalized frames are cheap selects over the checkpoints.  With
+    # persist instead, the two chained frames per round grow the plan
+    # 4x per iteration — OOM at iters=4 on a 200-edge graph.
+    hv = (nodes.withColumn("hub", F.lit(1.0 / math.sqrt(n)))
+          .localCheckpoint())
+    av = None
+    for _ in range(iters):
+        auth = (edges.join(hv, edges.src == hv.node)
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum("hub").alias("authority")))
+        av_raw = (nodes.join(auth, "node", "left")
+                  .select("node", F.coalesce("authority", F.lit(0.0))
+                          .alias("authority"))
+                  .localCheckpoint())
+        norm_a = math.sqrt(av_raw.agg(
+            F.sum(F.col("authority") * F.col("authority")))
+            .collect()[0][0] or 1.0) or 1.0
+        av = av_raw.select(
+            "node", (F.col("authority") / F.lit(norm_a)).alias("authority"))
+        hub = (edges.join(av, edges.dst == av.node)
+               .groupBy(F.col("src").alias("node"))
+               .agg(F.sum("authority").alias("hub")))
+        hv_raw = (nodes.join(hub, "node", "left")
+                  .select("node",
+                          F.coalesce("hub", F.lit(0.0)).alias("hub"))
+                  .localCheckpoint())
+        norm_h = math.sqrt(hv_raw.agg(
+            F.sum(F.col("hub") * F.col("hub"))).collect()[0][0] or 1.0) or 1.0
+        hv = hv_raw.select(
+            "node", (F.col("hub") / F.lit(norm_h)).alias("hub"))
+    return (hv.join(av, "node")
+            .select("node", F.round("hub", round_to).alias("hub"),
+                    F.round("authority", round_to).alias("authority"))
+            .localCheckpoint())

@@ -238,3 +238,54 @@ def test_pagerank_weighted_vs_unrolled(spark):
         [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string")
     assert ({(r["node"], r["rank"]) for r in pagerank(uw, iters=4).collect()}
             == {(r["node"], r["rank"]) for r in pagerank(u, iters=4).collect()})
+
+
+def test_personalized_pagerank_hand_checked(spark):
+    """Seed-restricted teleport: with seed {a} on a->c, b->c, c->a,
+    one iteration gives a=0.15 (teleport only), c=0.85, b=0; mass is
+    conserved (sums to 1.0 every iteration)."""
+    from cbor_ld_spark.operators.graph import personalized_pagerank
+
+    e = _edges(spark, [("a", "c"), ("b", "c"), ("c", "a")])
+    seeds = spark.createDataFrame([("a",)], "node string")
+    r1 = {r["node"]: r["rank"]
+          for r in personalized_pagerank(e, seeds, iters=1).collect()}
+    assert r1 == {"a": 0.15, "b": 0.0, "c": 0.85}
+    for iters in (2, 5):
+        total = sum(r["rank"] for r in
+                    personalized_pagerank(e, seeds, iters=iters).collect())
+        assert abs(total - 1.0) < 1e-4
+    # seeds outside the graph contribute nothing; empty effective seed
+    # set returns an empty frame
+    ghost = spark.createDataFrame([("zz",)], "node string")
+    assert personalized_pagerank(e, ghost).count() == 0
+
+
+def test_hits_hand_checked_and_normalized(spark):
+    """Star: a->c, b->c, c->a.  c is the only strong authority; a and b
+    are the hubs pointing at it; both vectors stay L2-normalized."""
+    from cbor_ld_spark.operators.graph import hits
+
+    e = _edges(spark, [("a", "c"), ("b", "c"), ("c", "a")])
+    got = {r["node"]: (r["hub"], r["authority"])
+           for r in hits(e, iters=5).collect()}
+    assert got["c"][1] == max(v[1] for v in got.values())  # top authority
+    assert got["a"][0] == got["b"][0]  # symmetric hubs
+    assert abs(sum(v[0] ** 2 for v in got.values()) - 1.0) < 1e-3
+    assert abs(sum(v[1] ** 2 for v in got.values()) - 1.0) < 1e-3
+
+
+def test_iterative_graph_plans_stay_bounded(spark):
+    """Regression for the exponential-plan bug: persist does not cut
+    lineage, so the plan doubled (pagerank/ppr) or quadrupled (hits)
+    per iteration — hits OOM'd at iters=4 on a 200-edge graph.  With
+    per-iteration localCheckpoint, doubling the iteration count must
+    not blow up the result plan."""
+    from cbor_ld_spark.operators.graph import hits, pagerank
+
+    e = _edges(spark, [(f"n{i}", f"n{(i * 7) % 50}") for i in range(200)])
+    p5 = len(pagerank(e, iters=5)._jdf.queryExecution().toString())
+    p10 = len(pagerank(e, iters=10)._jdf.queryExecution().toString())
+    assert p10 < p5 * 2, (p5, p10)  # constant-size checkpoint scans
+    h6 = hits(e, iters=6)  # would OOM before the fix
+    assert h6.count() == 200
