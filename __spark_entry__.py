@@ -508,6 +508,42 @@ def _kg_pred_cooccurrence(spark, sf_dir):
             .orderBy("pred_a", "pred_b"))
 
 
+def _kg_communities(spark, sf_dir):
+    """Community-size histogram from deterministic label propagation
+    (5 iterations, frequency-then-smallest-label rule) over the
+    undirected entity graph — the modularity-flavored counterpart to
+    the connected-components histogram."""
+    from cbor_ld_spark.operators.graph import entity_edges, label_propagation
+    from cbor_ld_spark.plans import shared_triples
+
+    labels = label_propagation(entity_edges(shared_triples(spark, sf_dir)))
+    return (labels.groupBy("label")
+            .agg(F.count(F.lit(1)).alias("size"))
+            .groupBy("size")
+            .agg(F.count(F.lit(1)).alias("n_communities"))
+            .orderBy("size"))
+
+
+def _kg_reachability(spark, sf_dir):
+    """Per-seed reachability profile (BFS eccentricity sample): for the
+    5 lexicographically-first sources, the nodes reached per hop up to
+    k=6 and the observed eccentricity (max hop reached) — the sampled
+    lower bound on directed diameter that a KG consumer uses to size
+    traversal depth.  Reuses the batched k_hop dataflow: one job per
+    hop for ALL seeds."""
+    from cbor_ld_spark.operators.graph import entity_edges, k_hop
+    from cbor_ld_spark.plans import shared_triples
+
+    e = entity_edges(shared_triples(spark, sf_dir))
+    seeds = (e.select(F.col("src").alias("node")).distinct()
+             .orderBy("node").limit(5))
+    kh = k_hop(e, seeds, k=6)
+    return (kh.groupBy("root")
+            .agg(F.count(F.lit(1)).alias("reached"),
+                 F.max("first_hop").alias("eccentricity_lb"))
+            .orderBy("root"))
+
+
 def _kg_ppr(spark, sf_dir):
     """Personalized PageRank from the 3 lexicographically-first source
     entities (same seed rule as kg_khop): neighborhood-relative
@@ -1137,6 +1173,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_obj_datatypes": _kg_obj_datatypes,
         "kg_ppr": _kg_ppr,
         "kg_hits": _kg_hits,
+        "kg_reachability": _kg_reachability,
+        "kg_communities": _kg_communities,
         # stable since r2, unchanged:
         "rel_pricing_summary": _rel_pricing_summary,
         "rel_top_customers": _rel_top_customers,
@@ -2513,6 +2551,66 @@ def _stream_windowed_parity_oracle() -> str:
     """
 
 
+def _communities_oracle(iters: int = 5,
+                        sf_dir: str | None = None) -> str:
+    """Label-propagation replay: same frequency-then-smallest-label
+    rule over the undirected realized edges."""
+    from collections import Counter, defaultdict
+
+    edges = _realized_entity_edges(sf_dir or _oracle_sf_dir())
+    und = {(min(s, d), max(s, d)) for s, d in edges if s != d}
+    nodes = sorted({x for p in edges for x in p})
+    adj: dict[str, set] = defaultdict(set)
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    label = {v: v for v in nodes}
+    for _ in range(iters):
+        new = {}
+        for v in nodes:
+            if not adj[v]:
+                new[v] = label[v]
+                continue
+            freq = Counter(label[u] for u in adj[v])
+            # tie-break: highest count, then SMALLEST label
+            top = max(freq.values())
+            new[v] = min(l for l, c in freq.items() if c == top)
+        label = new
+    hist = Counter(Counter(label.values()).values())
+    return _values_oracle(
+        sorted(hist.items()),
+        [("size", "BIGINT"), ("n_communities", "BIGINT")], "size")
+
+
+def _reachability_oracle(k: int = 6, n_seeds: int = 5,
+                         sf_dir: str | None = None) -> str:
+    """BFS reachability replay per seed."""
+    from collections import defaultdict
+
+    edges = _realized_entity_edges(sf_dir or _oracle_sf_dir())
+    adj: dict[str, set] = defaultdict(set)
+    for s, d in edges:
+        adj[s].add(d)
+    rows = []
+    for root in sorted(adj)[:n_seeds]:
+        visited = {root: 0}
+        frontier = [root]
+        for hop in range(1, k + 1):
+            nxt = sorted({d for u in frontier for d in adj.get(u, ())}
+                         - set(visited))
+            for v in nxt:
+                visited[v] = hop
+            frontier = nxt
+            if not nxt:
+                break
+        hops = [h for h in visited.values() if h > 0]
+        if hops:
+            rows.append((root, len(hops), max(hops)))
+    return _values_oracle(
+        rows, [("root", "VARCHAR"), ("reached", "BIGINT"),
+               ("eccentricity_lb", "INTEGER")], "root")
+
+
 def _ppr_oracle(iters: int = 5, damping: float = 0.85, top: int = 25,
                 n_seeds: int = 3, sf_dir: str | None = None) -> str:
     """Personalized-PageRank replay over the realized edge list (same
@@ -2926,6 +3024,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_obj_datatypes": _obj_datatypes_oracle(),
         "kg_ppr": _ppr_oracle(),
         "kg_hits": _hits_oracle(),
+        "kg_reachability": _reachability_oracle(),
+        "kg_communities": _communities_oracle(),
         "stream_windowed_parity": _stream_windowed_parity_oracle(),
         "kg_pagerank_dangling": _pagerank_oracle(redistribute_dangling=True),
         "kg_pagerank_weighted": _pagerank_oracle(weighted=True),

@@ -408,3 +408,48 @@ def hits(edges: DataFrame, iters: int = 5,
             .select("node", F.round("hub", round_to).alias("hub"),
                     F.round("authority", round_to).alias("authority"))
             .localCheckpoint())
+
+
+def label_propagation(edges: DataFrame, iters: int = 5) -> DataFrame:
+    """Deterministic semi-synchronous label propagation communities.
+
+    label_0(v) = v; each iteration every node adopts the most frequent
+    label among its undirected neighbors, ties broken by smallest
+    label (so the result is a pure function of the edge set — no
+    random ordering, replayable by the oracle).  Isolated nodes keep
+    their own label.  Fixed iterations; per-iteration localCheckpoint
+    (iterative-join lineage hygiene — see pagerank).
+
+    Scale shape: one shuffle join + one (node, label) hash aggregation
+    + one per-node window (partitioned by node, never global) per
+    iteration; a hub's per-iteration work is bounded by its degree.
+    """
+    from pyspark.sql import Window
+
+    sym = (edges.filter(F.col("src") != F.col("dst"))
+           .select(F.least("src", "dst").alias("a"),
+                   F.greatest("src", "dst").alias("b"))
+           .distinct())
+    sym = (sym.select(F.col("a").alias("u"), F.col("b").alias("v"))
+           .unionByName(sym.select(F.col("b").alias("u"),
+                                   F.col("a").alias("v")))
+           .localCheckpoint())
+    nodes = (edges.select(F.col("src").alias("node"))
+             .unionByName(edges.select(F.col("dst").alias("node")))
+             .distinct()
+             .localCheckpoint())
+    labels = nodes.withColumn("label", F.col("node")).localCheckpoint()
+    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
+    for _ in range(iters):
+        msgs = (sym.join(labels, sym.v == labels.node)
+                .select(F.col("u").alias("node"), "label"))
+        counts = (msgs.groupBy("node", "label")
+                  .agg(F.count(F.lit(1)).alias("c")))
+        best = (counts.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .select("node", F.col("label").alias("_new")))
+        labels = (nodes.join(best, "node", "left")
+                  .select("node",
+                          F.coalesce("_new", F.col("node")).alias("label"))
+                  .localCheckpoint())
+    return labels

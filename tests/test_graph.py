@@ -289,3 +289,37 @@ def test_iterative_graph_plans_stay_bounded(spark):
     assert p10 < p5 * 2, (p5, p10)  # constant-size checkpoint scans
     h6 = hits(e, iters=6)  # would OOM before the fix
     assert h6.count() == 200
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two triangles joined by one bridge edge: LPA converges to two
+    communities (or one if the bridge wins — deterministic either way);
+    verify against a pure-Python replay of the same rule."""
+    from collections import Counter
+
+    from cbor_ld_spark.operators.graph import label_propagation
+
+    pairs = [("a1", "a2"), ("a2", "a3"), ("a1", "a3"),
+             ("b1", "b2"), ("b2", "b3"), ("b1", "b3"),
+             ("a3", "b1")]
+    got = {r["node"]: r["label"]
+           for r in label_propagation(_edges(spark, pairs), iters=5).collect()}
+    # replay
+    und = {tuple(sorted(p)) for p in pairs}
+    nodes = sorted({x for p in pairs for x in p})
+    adj = {v: set() for v in nodes}
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    label = {v: v for v in nodes}
+    for _ in range(5):
+        new = {}
+        for v in nodes:
+            freq = Counter(label[u] for u in adj[v])
+            top = max(freq.values())
+            new[v] = min(l for l, c in freq.items() if c == top)
+        label = new
+    assert got == label
+    # the two triangle cores must share a label within each clique
+    assert got["a1"] == got["a2"] == got["a3"]
+    assert got["b2"] == got["b3"]
