@@ -840,6 +840,30 @@ def _events_sessions(spark, sf_dir):
     return sessionize(load_events(spark, sf_dir))
 
 
+def _events_retention(spark, sf_dir):
+    """Weekly retention cohorts: users first seen in week w who return
+    in week w+1 — the engagement shape every event pipeline reports.
+    Two hash aggregations on user_id + one broadcast-size self-join on
+    the cohort week."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    wk = (F.floor(F.col("ts").cast("timestamp").cast("long")
+                  / (7 * 86400))).cast("long")
+    weeks = ev.select(F.col("user_id"), wk.alias("week")).distinct()
+    first = weeks.groupBy("user_id").agg(F.min("week").alias("cohort"))
+    joined = (first.join(weeks, "user_id")
+              .groupBy("cohort")
+              .agg(F.count(F.lit(1)).alias("_n"),
+                   F.countDistinct("user_id").alias("cohort_users"),
+                   F.sum((F.col("week") == F.col("cohort") + 1)
+                         .cast("long")).alias("retained_next_week"))
+              .drop("_n"))
+    return (joined.select(
+        "cohort", "cohort_users", "retained_next_week",
+        F.round(F.col("retained_next_week") / F.col("cohort_users"), 6)
+        .alias("retention_rate"))
+        .orderBy("cohort"))
+
+
 def _stream_sessions_parity(spark, sf_dir):
     """Streaming-vs-batch sessionization parity as a driver-verifiable
     query: drain the stateful gap sessionizer (applyInPandasWithState)
@@ -1134,6 +1158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pred_cooccurrence": _kg_pred_cooccurrence,
         "stream_sessions_parity": _stream_sessions_parity,
         "stream_windowed_parity": _stream_windowed_parity,
+        "events_retention": _events_retention,
         "text_token_stats": _text_token_stats,
         "text_quality": _text_quality,
         "text_lang_id_multi": _text_lang_id_multi,
@@ -3026,6 +3051,24 @@ def oracle_sql() -> dict[str, str]:
         "kg_hits": _hits_oracle(),
         "kg_reachability": _reachability_oracle(),
         "kg_communities": _communities_oracle(),
+        "events_retention": """
+            WITH weeks AS (
+              SELECT DISTINCT user_id,
+                     (epoch(ts)::BIGINT // 604800) AS week FROM events
+            ), f AS (
+              SELECT user_id, MIN(week) AS cohort FROM weeks GROUP BY user_id
+            )
+            SELECT cohort,
+                   COUNT(DISTINCT w.user_id)::BIGINT AS cohort_users,
+                   SUM(CASE WHEN w.week = f.cohort + 1 THEN 1 ELSE 0
+                       END)::BIGINT AS retained_next_week,
+                   round(SUM(CASE WHEN w.week = f.cohort + 1 THEN 1 ELSE 0
+                             END) * 1.0
+                         / COUNT(DISTINCT w.user_id), 6) AS retention_rate
+            FROM f JOIN weeks w USING (user_id)
+            GROUP BY cohort
+            ORDER BY cohort
+        """,
         "stream_windowed_parity": _stream_windowed_parity_oracle(),
         "kg_pagerank_dangling": _pagerank_oracle(redistribute_dangling=True),
         "kg_pagerank_weighted": _pagerank_oracle(weighted=True),
