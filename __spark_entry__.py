@@ -1165,7 +1165,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats_bpe": _text_token_stats_bpe,
         "text_fingerprints": _text_fingerprints,
         "text_term_dictionary": _text_term_dictionary,
-        "dedup_exact": _dedup_exact,
         "dedup_minhash_pairs": _dedup_minhash_pairs,
         "dedup_simhash_groups": _dedup_simhash_groups,
         "dedup_simhash_near": _dedup_simhash_near,
@@ -1190,6 +1189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         "kg_entity_components": _kg_entity_components,
         "kg_cardinality_sketch": _kg_cardinality_sketch,
+        "dedup_exact": _dedup_exact,
         # --- past the driver's 50-query window ---
         # new r5 tail entries (self-verified both SFs; rotate into the
         # window next round):
