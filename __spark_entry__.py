@@ -1133,10 +1133,16 @@ def _events_by_type(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver's correctness harness checks the FIRST 50
-    # entries in registry order.  Queries that have not yet earned a driver
-    # correctness row (newest operators) are placed early; the long-stable
-    # rel_*/events_by_type/events_hourly singles (driver-green since r2 and
-    # unchanged since) sit past the cap.
+    # entries in registry order.  STANDING RULE (r6+): any NEW query lands
+    # INSIDE slot 50 in the same commit that adds it, demoting a long-stable
+    # single to the tail — so every operator earns a hard-signal driver row
+    # the round it ships.  Window exits this round (all driver-green r2-r5,
+    # code untouched, now self-verified-only): text_token_stats, text_quality,
+    # text_lang_id_multi, text_token_stats_bpe, text_fingerprints,
+    # text_term_dictionary, dedup_simhash_groups, dedup_simhash_near,
+    # dedup_ngram_jaccard.  Window entries: the 7 r5-tail operators
+    # (dedup_apply, text_oov_rate, kg_obj_datatypes, kg_ppr, kg_hits,
+    # kg_reachability, kg_communities) + this round's new queries.
     return {
         "kg_corpus_shape": _kg_corpus_shape,
         "kg_doc_results": _kg_doc_results,
@@ -1159,17 +1165,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessions_parity": _stream_sessions_parity,
         "stream_windowed_parity": _stream_windowed_parity,
         "events_retention": _events_retention,
-        "text_token_stats": _text_token_stats,
-        "text_quality": _text_quality,
-        "text_lang_id_multi": _text_lang_id_multi,
-        "text_token_stats_bpe": _text_token_stats_bpe,
-        "text_fingerprints": _text_fingerprints,
-        "text_term_dictionary": _text_term_dictionary,
+        "dedup_apply": _dedup_apply,
+        "text_oov_rate": _text_oov_rate,
+        "kg_obj_datatypes": _kg_obj_datatypes,
+        "kg_ppr": _kg_ppr,
+        "kg_hits": _kg_hits,
+        "kg_reachability": _kg_reachability,
+        "kg_communities": _kg_communities,
         "dedup_minhash_pairs": _dedup_minhash_pairs,
-        "dedup_simhash_groups": _dedup_simhash_groups,
-        "dedup_simhash_near": _dedup_simhash_near,
         "dedup_minhash_jaccard": _dedup_minhash_jaccard,
-        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "ann_cosine_topk": _ann_cosine_topk,
         "ann_lsh_topk": _ann_lsh_topk,
         "ann_ivf_topk": _ann_ivf_topk,
@@ -1189,18 +1193,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         "kg_entity_components": _kg_entity_components,
         "kg_cardinality_sketch": _kg_cardinality_sketch,
-        "dedup_exact": _dedup_exact,
         # --- past the driver's 50-query window ---
-        # new r5 tail entries (self-verified both SFs; rotate into the
-        # window next round):
-        "dedup_apply": _dedup_apply,
-        "text_oov_rate": _text_oov_rate,
-        "kg_obj_datatypes": _kg_obj_datatypes,
-        "kg_ppr": _kg_ppr,
-        "kg_hits": _kg_hits,
-        "kg_reachability": _kg_reachability,
-        "kg_communities": _kg_communities,
-        # stable since r2, unchanged:
+        # every query below is driver-green from earlier rounds with
+        # operator code unchanged since, and stays value-verified by the
+        # committed dual-SF self-run each round:
+        "dedup_exact": _dedup_exact,
+        "text_token_stats": _text_token_stats,
+        "text_quality": _text_quality,
+        "text_lang_id_multi": _text_lang_id_multi,
+        "text_token_stats_bpe": _text_token_stats_bpe,
+        "text_fingerprints": _text_fingerprints,
+        "text_term_dictionary": _text_term_dictionary,
+        "dedup_simhash_groups": _dedup_simhash_groups,
+        "dedup_simhash_near": _dedup_simhash_near,
+        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "rel_pricing_summary": _rel_pricing_summary,
         "rel_top_customers": _rel_top_customers,
         "rel_orders_with_returns": _rel_orders_with_returns,

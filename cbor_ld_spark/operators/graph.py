@@ -108,11 +108,6 @@ def pagerank(edges: DataFrame, iters: int = 5,
     # cuts lineage each round; ContextCleaner reclaims old blocks.
     ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
     for _ in range(iters):
-        base = (1.0 - damping) / n
-        if redistribute_dangling:
-            dm = (dangling_nodes.join(ranks, "node")
-                  .agg(F.sum("rank")).collect()[0][0]) or 0.0
-            base += damping * dm / n
         cw = (F.col("rank") * F.col("weight") / F.col("out_deg")
               if weighted else F.col("rank") / F.col("out_deg"))
         contribs = (
@@ -120,10 +115,26 @@ def pagerank(edges: DataFrame, iters: int = 5,
             .select(F.col("dst").alias("node"), cw.alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("inbound")))
+        base_col = F.lit((1.0 - damping) / n)
+        if redistribute_dangling:
+            # dangling mass as a broadcast 1-row frame instead of a
+            # per-iteration scalar collect: the iteration stays fully
+            # lazy (ONE job — the checkpoint — instead of two), no
+            # driver sync point per round.  Same IEEE arithmetic as the
+            # literal form ((1-d)/n + d*dm/n, left-associated), so the
+            # oracle replay is unchanged.
+            dmf = (dangling_nodes.join(ranks, "node")
+                   .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")))
+            base_col = (base_col
+                        + F.lit(damping) * F.col("_dm") / F.lit(float(n)))
+            new_ranks = (nodes.join(contribs, "node", "left")
+                         .crossJoin(F.broadcast(dmf)))
+        else:
+            new_ranks = nodes.join(contribs, "node", "left")
         ranks = (
-            nodes.join(contribs, "node", "left")
+            new_ranks
             .select("node",
-                    (F.lit(base)
+                    (base_col
                      + F.lit(damping) * F.coalesce("inbound", F.lit(0.0)))
                     .alias("rank"))
             .localCheckpoint())
@@ -174,8 +185,10 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     uniform oriented keys; no all-pairs stage, no driver collect.
 
     Output (one row): n_nodes, n_edges, n_wedges, n_triangles,
-    global_clustering = 3 * triangles / open-wedge-count (0 when the
-    graph has no wedges), rounded to 6.
+    global_clustering = 3 * triangles / total wedge (length-2 path)
+    count, i.e. sum over nodes of C(deg, 2), closed wedges included —
+    the standard global clustering coefficient (0 when the graph has
+    no wedges), rounded to 6.
     """
     und = (edges.filter(F.col("src") != F.col("dst"))
            .select(F.least("src", "dst").alias("a"),
@@ -364,6 +377,10 @@ def hits(edges: DataFrame, iters: int = 5,
     """
     import math
 
+    if iters < 1:
+        # av stays unbound with zero iterations — there is no meaningful
+        # "HITS after 0 rounds" output, so reject loudly
+        raise ValueError(f"hits() requires iters >= 1, got {iters}")
     edges = edges.localCheckpoint()
     nodes = (edges.select(F.col("src").alias("node"))
              .unionByName(edges.select(F.col("dst").alias("node")))
@@ -380,6 +397,18 @@ def hits(edges: DataFrame, iters: int = 5,
     hv = (nodes.withColumn("hub", F.lit(1.0 / math.sqrt(n)))
           .localCheckpoint())
     av = None
+
+    def _l2_norm_frame(frame: DataFrame, col: str, out: str) -> DataFrame:
+        """1-row frame holding sqrt(sum(col^2)), with the collect-era
+        `sqrt(s or 1.0) or 1.0` null/zero handling folded in — kept as
+        a broadcast frame so the loop stays fully lazy (no driver sync
+        per iteration); sqrt/div are IEEE in both engines so the oracle
+        replay arithmetic is unchanged."""
+        s = F.col("_s")
+        return (frame.agg(F.sum(F.col(col) * F.col(col)).alias("_s"))
+                .select(F.sqrt(F.when(s.isNull() | (s == 0.0), F.lit(1.0))
+                               .otherwise(s)).alias(out)))
+
     for _ in range(iters):
         auth = (edges.join(hv, edges.src == hv.node)
                 .groupBy(F.col("dst").alias("node"))
@@ -388,11 +417,11 @@ def hits(edges: DataFrame, iters: int = 5,
                   .select("node", F.coalesce("authority", F.lit(0.0))
                           .alias("authority"))
                   .localCheckpoint())
-        norm_a = math.sqrt(av_raw.agg(
-            F.sum(F.col("authority") * F.col("authority")))
-            .collect()[0][0] or 1.0) or 1.0
-        av = av_raw.select(
-            "node", (F.col("authority") / F.lit(norm_a)).alias("authority"))
+        av = (av_raw
+              .crossJoin(F.broadcast(_l2_norm_frame(av_raw, "authority",
+                                                    "_na")))
+              .select("node", (F.col("authority") / F.col("_na"))
+                      .alias("authority")))
         hub = (edges.join(av, edges.dst == av.node)
                .groupBy(F.col("src").alias("node"))
                .agg(F.sum("authority").alias("hub")))
@@ -400,10 +429,9 @@ def hits(edges: DataFrame, iters: int = 5,
                   .select("node",
                           F.coalesce("hub", F.lit(0.0)).alias("hub"))
                   .localCheckpoint())
-        norm_h = math.sqrt(hv_raw.agg(
-            F.sum(F.col("hub") * F.col("hub"))).collect()[0][0] or 1.0) or 1.0
-        hv = hv_raw.select(
-            "node", (F.col("hub") / F.lit(norm_h)).alias("hub"))
+        hv = (hv_raw
+              .crossJoin(F.broadcast(_l2_norm_frame(hv_raw, "hub", "_nh")))
+              .select("node", (F.col("hub") / F.col("_nh")).alias("hub")))
     return (hv.join(av, "node")
             .select("node", F.round("hub", round_to).alias("hub"),
                     F.round("authority", round_to).alias("authority"))

@@ -152,12 +152,22 @@ def _session_update_fn(gap_secs: int):
             tl, vmilli = int(tl), int(vmilli)
             if last >= 0 and tl < last:
                 # Cross-batch out-of-order event (sorting is per micro-batch
-                # only): merge it into the open session without moving the
-                # session clock backwards — closed sessions are never
-                # reopened and durations can never go negative.  A batch
-                # replay over the full ordered history may split sessions
-                # differently around such stragglers; that residual is
-                # inherent to unbuffered streaming sessionization.
+                # only).  Two cases:
+                #   * within the open session's own gap window
+                #     (tl >= start - gap): merge it in without moving the
+                #     session clock backwards — closed sessions are never
+                #     reopened and durations can never go negative;
+                #   * older than start - gap: it cannot belong to the open
+                #     session under the gap rule, and folding it in would
+                #     stretch the open session backwards over an
+                #     already-emitted closed one.  Late-data DROP — the
+                #     same semantics a watermark would enforce.
+                # A batch replay over the full ordered history may split
+                # sessions differently around merged stragglers; that
+                # residual is inherent to unbuffered streaming
+                # sessionization.
+                if tl < start - gap_secs:
+                    continue
                 n += 1
                 vm += vmilli
                 start = min(start, tl)

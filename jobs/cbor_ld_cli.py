@@ -76,7 +76,12 @@ def _parse_mount(value: str):
 
 def _load_config(path: str):
     """TOML config: ``offline = bool``, ``[mount]`` table of iri = path,
-    and ``[registry.N]`` custom compression tables (contexts / types)."""
+    and ``[registry.N]`` custom compression tables (contexts / types).
+
+    A registry entry whose id collides with a built-in table is rejected
+    as a typed error unless the entry sets ``replace = true`` — an
+    explicit opt-in, because overriding e.g. table 100 silently changes
+    decode semantics for every existing payload using that id."""
     import tomllib
 
     with open(path, "rb") as f:
@@ -86,7 +91,8 @@ def _load_config(path: str):
     for rid, spec in cfg.get("registry", {}).items():
         registries[int(rid)] = (dict(spec.get("contexts", {})),
                                 {t: dict(m)
-                                 for t, m in spec.get("types", {}).items()})
+                                 for t, m in spec.get("types", {}).items()},
+                                bool(spec.get("replace", False)))
     return mounts, bool(cfg.get("offline", False)), registries
 
 
@@ -134,9 +140,11 @@ def main(argv=None) -> int:
     loader = _build_loader(mounts)
     try:
         # inside the error envelope: a TOML registry id colliding with a
-        # built-in table (e.g. 100) is a typed EncodeError, not a traceback
-        for rid, (contexts, types) in registries.items():
-            register_tables(rid, Tables(contexts=contexts, types=types))
+        # built-in table (e.g. 100) is a typed EncodeError, not a
+        # traceback, unless the entry opts in with ``replace = true``
+        for rid, (contexts, types, replace) in registries.items():
+            register_tables(rid, Tables(contexts=contexts, types=types),
+                            replace=replace)
         if args.command == "encode":
             doc = parse_json_document(_read_input(args.input))
             data = encode_document(doc, registry_id=args.registry,
