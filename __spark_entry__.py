@@ -427,6 +427,24 @@ def _kg_neighbor_overlap(spark, sf_dir):
     return out.orderBy("node_a", "node_b")
 
 
+def _kg_neighbor_overlap_lsh(spark, sf_dir):
+    """The 10^12-scale tier for neighborhood-Jaccard merge candidates:
+    banded MinHash over adjacency sets -> exact rerank of colliding
+    pairs only (operators/graph.py neighborhood_overlap_lsh).  The
+    oracle replays the identical pipeline (bit-exact XXH64 replica)
+    over the realized edge list, so the probabilistic recall is
+    deterministic under comparison."""
+    from cbor_ld_spark.operators.graph import (
+        entity_edges,
+        neighborhood_overlap_lsh,
+    )
+    from cbor_ld_spark.plans import shared_triples
+
+    out = neighborhood_overlap_lsh(
+        entity_edges(shared_triples(spark, sf_dir)), threshold=0.5)
+    return out.orderBy("node_a", "node_b")
+
+
 _WIN_EPOCH = 1767225600  # 2026-01-01 00:00:00 UTC
 _WIN_SPAN = 4 * 3600     # event times spread over 4 hours
 
@@ -1172,6 +1190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_hits": _kg_hits,
         "kg_reachability": _kg_reachability,
         "kg_communities": _kg_communities,
+        "kg_neighbor_overlap_lsh": _kg_neighbor_overlap_lsh,
         "dedup_minhash_pairs": _dedup_minhash_pairs,
         "dedup_minhash_jaccard": _dedup_minhash_jaccard,
         "ann_cosine_topk": _ann_cosine_topk,
@@ -2844,6 +2863,72 @@ def _neighbor_overlap_oracle(threshold: float = 0.5,
         "node_a, node_b")
 
 
+def _neighbor_overlap_lsh_oracle(threshold: float = 0.5,
+                                 num_hashes: int = 24, bands: int = 8,
+                                 sf_dir: str | None = None) -> str:
+    """Banded-MinHash-over-adjacency replay: same XXH64 replica as the
+    dedup oracle model (string base hash seed 42, int32 finalizer per
+    hash index; band bucket = signed xxh64 of the comma-joined
+    signature slice), then exact-Jaccard rerank of colliding pairs."""
+    from collections import defaultdict
+
+    from cbor_ld_spark.functions.xxh64 import (
+        _signed as signed,
+        xxh64_bytes,
+        xxh64_int32,
+    )
+
+    edges = _realized_entity_edges(sf_dir or _oracle_sf_dir())
+    adj: dict[str, set] = defaultdict(set)
+    for s, d in edges:
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    rows_per_band = num_hashes // bands
+    str_cache: dict[str, int] = {}
+
+    def h42(s: str) -> int:
+        v = str_cache.get(s)
+        if v is None:
+            v = xxh64_bytes(s.encode("utf-8"), 42)
+            str_cache[s] = v
+        return v
+
+    sig_of: dict[str, list[int]] = {}
+    for node, nbrs in adj.items():
+        mins = [None] * num_hashes
+        for nb in nbrs:
+            base = h42(nb)
+            for i in range(num_hashes):
+                v = signed(xxh64_int32(i, base))
+                if mins[i] is None or v < mins[i]:
+                    mins[i] = v
+        sig_of[node] = mins
+    buckets: dict[tuple, list[str]] = {}
+    for node, sig in sig_of.items():
+        for b in range(bands):
+            key_str = ",".join(
+                str(sig[b * rows_per_band + r])
+                for r in range(rows_per_band))
+            buckets.setdefault((b, signed(h42(key_str))), []).append(node)
+    pairs = set()
+    for members in buckets.values():
+        members.sort()
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                pairs.add((members[i], members[j]))
+    rows = []
+    for x, y in sorted(pairs):
+        common = len(adj[x] & adj[y])
+        jac = _spark_round(common / (len(adj[x]) + len(adj[y]) - common))
+        if jac >= threshold:
+            rows.append((x, y, common, jac))
+    return _values_oracle(
+        rows, [("node_a", "VARCHAR"), ("node_b", "VARCHAR"),
+               ("common_neighbors", "BIGINT"), ("jaccard", "DOUBLE")],
+        "node_a, node_b")
+
+
 def _triangle_oracle(sf_dir: str | None = None) -> str:
     """Triangle census replayed in pure Python over the realized edges
     (same rounding driver-side, so values match exactly)."""
@@ -3049,6 +3134,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_khop": _khop_oracle(),
         "kg_triangles": _triangle_oracle(),
         "kg_neighbor_overlap": _neighbor_overlap_oracle(),
+        "kg_neighbor_overlap_lsh": _neighbor_overlap_lsh_oracle(),
         "dedup_clusters": _dedup_clusters_oracle(),
         "dedup_apply": _dedup_apply_oracle(),
         "text_oov_rate": _OOV_SQL.format(norm=_NORM_SQL),

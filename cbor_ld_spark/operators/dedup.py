@@ -115,8 +115,28 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16, bands: int = 4,
     rows_per_band = num_hashes // bands
     sigs = (signatures if signatures is not None
             else minhash_signatures(docs, num_hashes, shingle_n))
+    return banded_signature_pairs(sigs, num_hashes, bands,
+                                  id_col="doc_id",
+                                  out_a="doc_a", out_b="doc_b")
+
+
+def banded_signature_pairs(sigs: DataFrame, num_hashes: int, bands: int,
+                           id_col: str = "doc_id",
+                           out_a: str = "id_a",
+                           out_b: str = "id_b") -> DataFrame:
+    """Banded-LSH candidate pairs from (id, signature array<long>) rows.
+
+    Shared machinery: document MinHash (``minhash_lsh_pairs``) and
+    adjacency-set MinHash (``graph.neighborhood_overlap_lsh``) bucket
+    identically — band bucket = xxhash64 of the comma-joined signature
+    slice; ids sharing any band bucket pair up (id_a < id_b).  Shuffle
+    key = (band, bucket): uniform by construction, so no salting needed
+    even on skewed inputs — a mega-hub only collides with genuinely
+    similar sets, never with its whole neighborhood.
+    """
+    rows_per_band = num_hashes // bands
     band_rows = sigs.select(
-        "doc_id",
+        F.col(id_col),
         F.explode(F.array(*[
             F.struct(
                 F.lit(b).alias("band"),
@@ -128,7 +148,7 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16, bands: int = 4,
             )
             for b in range(bands)
         ])).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+    ).select(id_col, "bb.band", "bb.bucket")
     # eager localCheckpoint: the band table feeds both self-join sides
     # (alias plans defeat exchange reuse) and its blocks are released by
     # the ContextCleaner when unreferenced, unlike a leaked persist
@@ -137,9 +157,9 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16, bands: int = 4,
     right = band_rows.alias("r")
     pairs = (
         left.join(right, on=["band", "bucket"])
-        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
-        .select(F.col("l.doc_id").alias("doc_a"),
-                F.col("r.doc_id").alias("doc_b"))
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(F.col(f"l.{id_col}").alias(out_a),
+                F.col(f"r.{id_col}").alias(out_b))
         .distinct()
     )
     return pairs

@@ -258,9 +258,13 @@ def neighborhood_overlap(edges: DataFrame,
     threshold — a degree-d hub contributes pairs that can only pass if
     both endpoint degrees are within ~1/threshold of each other, so a
     degree-ordered pre-filter (|deg_a - deg_b| bound) prunes before the
-    wedge explosion, applied below — and (b) the minhash-LSH tier over
-    neighbor SETS (the dedup family's machinery applied to adjacency
-    lists) when even the pruned output is too large.
+    wedge explosion, applied below — and (b)
+    ``neighborhood_overlap_lsh`` below, the minhash-LSH tier over
+    neighbor SETS (the dedup family's banded machinery applied to
+    adjacency lists): THE scale path — candidate generation is
+    bucket-bounded instead of wedge-bounded, so a mega-hub center never
+    materializes its C(deg, 2) pair fan-out.  This exact tier is the
+    oracle/gate-scale formulation.
 
     Output: (node_a, node_b, common_neighbors,
     jaccard = common / (deg_a + deg_b - common)) for pairs with
@@ -309,6 +313,99 @@ def neighborhood_overlap(edges: DataFrame,
                            - F.col("common_neighbors")), 6))
             .filter(F.col("jaccard") >= threshold)
             .select("node_a", "node_b", "common_neighbors", "jaccard"))
+
+
+def neighborhood_overlap_lsh(edges: DataFrame, threshold: float = 0.5,
+                             num_hashes: int = 24,
+                             bands: int = 8) -> DataFrame:
+    """Merge candidates by neighborhood Jaccard — the minhash-LSH tier.
+
+    Same output contract as ``neighborhood_overlap`` (node_a < node_b,
+    common_neighbors, jaccard >= threshold, round-6) but candidates come
+    from banded MinHash over each node's undirected adjacency SET
+    instead of the exact wedge join, then ONLY bucket-colliding pairs
+    are reranked with the exact intersection count.
+
+    Scale shape (the 10^12-file answer to the wedge join's inherent
+    Omega(sum_c C(deg_c, 2)) fan-out): signatures are one groupBy over
+    the symmetric edge list (k min-aggregates, whole-stage codegen, one
+    shuffle on the uniform node key); bucketing shuffles on (band,
+    bucket) which is uniform by construction; the rerank join fans each
+    candidate pair to its common neighbors only.  A degree-d mega-hub
+    CENTER costs d signature rows — never d^2 candidate pairs — because
+    its leaves only collide when their neighbor sets genuinely agree on
+    a band.
+
+    Probabilistic recall, stated honestly: a pair with Jaccard j
+    collides with probability 1 - (1 - j^r)^bands, r = num_hashes /
+    bands.  Defaults (24 hashes, 8 bands, r=3) give ~0.66 at j=0.5,
+    ~0.97 at j=0.7 and 1.0 at j=1.0 — tuned for high-confidence merge
+    candidates while suppressing background pairs hard (a j=1/15
+    coincidental-hub pair collides with p~0.002, the term that keeps a
+    mega-hub's candidate volume bucket-bounded).  For boundary-recall
+    work set bands=12 (r=2: ~0.97 at j=0.5) and pay more candidates.
+    Precision is exact (rerank).  The exact tier remains the
+    gate-scale oracle formulation; for driver-verification the oracle
+    replays THIS pipeline (bit-exact XXH64 replica), so the comparison
+    is deterministic despite the probabilistic recall.
+    """
+    sym, pairs = adjacency_lsh_candidates(edges, num_hashes, bands)
+    deg = sym.groupBy(F.col("c").alias("node")) \
+        .agg(F.count(F.lit(1)).alias("deg"))
+    # exact rerank on candidates only: fan each pair to node_a's
+    # neighbors, keep rows where the neighbor is also node_b's — the
+    # intermediate is deg(node_a) rows per candidate, and candidates
+    # are bucket-bounded
+    pa = sym.select(F.col("c").alias("node_a"), F.col("n"))
+    pb = sym.select(F.col("c").alias("node_b"), F.col("n"))
+    common = (pairs.join(pa, "node_a")
+              .join(pb, ["node_b", "n"])
+              .groupBy("node_a", "node_b")
+              .agg(F.count(F.lit(1)).alias("common_neighbors")))
+    da = deg.select(F.col("node").alias("node_a"),
+                    F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("node_b"),
+                    F.col("deg").alias("deg_b"))
+    return (common.join(da, "node_a").join(db, "node_b")
+            .withColumn(
+                "jaccard",
+                F.round(F.col("common_neighbors")
+                        / (F.col("deg_a") + F.col("deg_b")
+                           - F.col("common_neighbors")), 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("node_a", "node_b", "common_neighbors", "jaccard"))
+
+
+def adjacency_lsh_candidates(edges: DataFrame, num_hashes: int = 24,
+                             bands: int = 8
+                             ) -> tuple[DataFrame, DataFrame]:
+    """(symmetric adjacency frame, candidate pairs) for the LSH overlap
+    tier — split out so the candidate volume is testable on its own
+    (the mega-hub skew test asserts candidates << C(deg, 2))."""
+    from cbor_ld_spark.operators.dedup import banded_signature_pairs
+
+    und = (edges.filter(F.col("src") != F.col("dst"))
+           .select(F.least("src", "dst").alias("a"),
+                   F.greatest("src", "dst").alias("b"))
+           .distinct())
+    sym = (und.select(F.col("a").alias("c"), F.col("b").alias("n"))
+           .unionByName(und.select(F.col("b").alias("c"),
+                                   F.col("a").alias("n")))
+           .localCheckpoint())
+    # k seeded min-hashes over the adjacency set: sym is already one
+    # row per (node, neighbor), so the signature is a single hash
+    # aggregation — no explode, no higher-order folds
+    aggs = [F.min(F.xxhash64("n", F.lit(i))).alias(f"mh_{i}")
+            for i in range(num_hashes)]
+    sigs = (sym.groupBy(F.col("c").alias("node")).agg(*aggs)
+            .select("node",
+                    F.array(*[F.col(f"mh_{i}")
+                              for i in range(num_hashes)])
+                    .alias("signature")))
+    pairs = banded_signature_pairs(sigs, num_hashes, bands,
+                                   id_col="node",
+                                   out_a="node_a", out_b="node_b")
+    return sym, pairs
 
 
 def personalized_pagerank(edges: DataFrame, seeds: DataFrame,

@@ -323,3 +323,64 @@ def test_label_propagation_two_cliques(spark):
     # the two triangle cores must share a label within each clique
     assert got["a1"] == got["a2"] == got["a3"]
     assert got["b2"] == got["b3"]
+
+
+def test_neighborhood_overlap_lsh_matches_exact_on_twins(spark):
+    """Nodes with IDENTICAL neighborhoods (j=1.0) always collide in
+    every band, so the LSH tier's output equals the exact tier's on a
+    graph whose qualifying pairs are all exact twins."""
+    from cbor_ld_spark.operators.graph import (
+        neighborhood_overlap,
+        neighborhood_overlap_lsh,
+    )
+
+    # t1/t2 are twins via {a, b, c}; d is background noise
+    e = _edges(spark, [
+        ("t1", "a"), ("t1", "b"), ("t1", "c"),
+        ("t2", "a"), ("t2", "b"), ("t2", "c"),
+        ("d", "a"), ("d", "x"), ("d", "y"), ("d", "z"),
+    ])
+    exact = {(r["node_a"], r["node_b"], r["common_neighbors"], r["jaccard"])
+             for r in neighborhood_overlap(e, threshold=0.5).collect()}
+    lsh = {(r["node_a"], r["node_b"], r["common_neighbors"], r["jaccard"])
+           for r in neighborhood_overlap_lsh(e, threshold=0.5).collect()}
+    assert ("t1", "t2", 3, 1.0) in exact
+    assert lsh == exact
+
+
+def test_neighborhood_overlap_lsh_megahub_candidates_bounded(spark):
+    """The r4/r5-flagged scale scenario: a degree-10^4 hub.  The exact
+    wedge join materializes C(10^4, 2) ~ 5e7 candidate rows for the hub
+    center alone; the LSH tier's candidates must be orders of magnitude
+    fewer (leaves share ONLY the hub, j = 1/15 -> per-pair collision
+    ~0.24%), while still finding every true twin pair exactly."""
+    from cbor_ld_spark.operators.graph import (
+        adjacency_lsh_candidates,
+        neighborhood_overlap_lsh,
+    )
+
+    n_leaves, k_priv = 10_000, 7
+    rows = []
+    for i in range(n_leaves):
+        rows.append(("hub", f"l{i:05d}"))
+        for j in range(k_priv):
+            rows.append((f"l{i:05d}", f"p{i:05d}_{j}"))
+    e = spark.createDataFrame(rows, "src string, dst string")
+
+    _sym, cands = adjacency_lsh_candidates(e)
+    n_cands = cands.count()
+    full_fanout = n_leaves * (n_leaves - 1) // 2
+    # expected ~1.2e5; assert two orders of magnitude below the wedge
+    # fan-out with slack for hash luck
+    assert n_cands < full_fanout / 50, (n_cands, full_fanout)
+
+    out = neighborhood_overlap_lsh(e, threshold=0.5)
+    # true qualifying pairs: the C(7,2)=21 same-leaf private twins per
+    # leaf (identical one-element neighborhoods, j=1.0) — identical
+    # signatures collide in every band, so recall there is exactly 1
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("jaccard").alias("jmin"),
+        F.max("jaccard").alias("jmax")).collect()[0]
+    assert agg["n"] == n_leaves * (k_priv * (k_priv - 1) // 2)
+    assert agg["jmin"] == 1.0 and agg["jmax"] == 1.0
