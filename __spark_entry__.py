@@ -427,6 +427,48 @@ def _kg_neighbor_overlap(spark, sf_dir):
     return out.orderBy("node_a", "node_b")
 
 
+def _kg_anf(spark, sf_dir, k: int = 4):
+    """Approximate neighborhood function (HyperANF-style): per-node
+    HLL reachability sketches unioned per hop — the only way to ask
+    "what is this graph's distance distribution / effective diameter"
+    at 10^12 scale, where all-pairs BFS is impossible.  Gate-scale
+    verification: the batched k_hop BFS computes the exact companion
+    and the row carries the tolerance bool (same pattern as
+    kg_cardinality_sketch); the oracle replays the exact BFS."""
+    from cbor_ld_spark.operators.graph import (
+        approx_neighborhood_function,
+        entity_edges,
+        k_hop,
+    )
+    from cbor_ld_spark.plans import shared_triples
+
+    edges = entity_edges(shared_triples(spark, sf_dir)).localCheckpoint()
+    est = approx_neighborhood_function(edges, k=k)
+    nodes = (edges.select(F.col("src").alias("node"))
+             .unionByName(edges.select(F.col("dst").alias("node")))
+             .distinct()
+             .localCheckpoint())
+    n = nodes.count()
+    # exact companion: one batched BFS dataflow for ALL roots (k_hop
+    # seeds batch), reduced to k tiny layer counts — bounded collects
+    reach = k_hop(edges, nodes, k=k)
+    layer = {r["first_hop"]: r["n"]
+             for r in reach.groupBy("first_hop")
+             .agg(F.count(F.lit(1)).alias("n")).collect()}
+    est_map = {r["hop"]: r["est_pairs"] for r in est.collect()}
+    rows, cum = [], n
+    for h in range(k + 1):
+        if h > 0:
+            cum += layer.get(h, 0)
+        e = est_map[h]
+        # HLL relative standard error at lg_k=12 is ~1.6%; 10% bound
+        # gives wide determinism margin while still failing loudly on
+        # any real regression
+        rows.append((h, cum, abs(e - cum) <= 0.1 * cum))
+    return spark.createDataFrame(
+        rows, "hop int, exact_pairs long, anf_ok boolean")
+
+
 def _kg_neighbor_overlap_lsh(spark, sf_dir):
     """The 10^12-scale tier for neighborhood-Jaccard merge candidates:
     banded MinHash over adjacency sets -> exact rerank of colliding
@@ -1191,6 +1233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_reachability": _kg_reachability,
         "kg_communities": _kg_communities,
         "kg_neighbor_overlap_lsh": _kg_neighbor_overlap_lsh,
+        "kg_anf": _kg_anf,
         "dedup_minhash_pairs": _dedup_minhash_pairs,
         "dedup_minhash_jaccard": _dedup_minhash_jaccard,
         "ann_cosine_topk": _ann_cosine_topk,
@@ -2863,6 +2906,40 @@ def _neighbor_overlap_oracle(threshold: float = 0.5,
         "node_a, node_b")
 
 
+def _anf_oracle(k: int = 4, sf_dir: str | None = None) -> str:
+    """Exact neighborhood function replay: BFS from every node over the
+    realized edge list (gate-scale graphs are small enough); the
+    sketch-quality bool is TRUE by the 10% tolerance contract."""
+    from collections import defaultdict
+
+    edges = _realized_entity_edges(sf_dir or _oracle_sf_dir())
+    adj: dict[str, set] = defaultdict(set)
+    nodes = set()
+    for s, d in edges:
+        adj[s].add(d)
+        nodes.add(s)
+        nodes.add(d)
+    n = len(nodes)
+    layer_totals = [0] * (k + 1)
+    for root in nodes:
+        visited = {root}
+        frontier = [root]
+        for h in range(1, k + 1):
+            nxt = {d for u in frontier for d in adj.get(u, ())} - visited
+            visited |= nxt
+            layer_totals[h] += len(nxt)
+            frontier = list(nxt)
+            if not nxt:
+                break
+    rows, cum = [], n
+    for h in range(k + 1):
+        cum += layer_totals[h]
+        rows.append((h, cum, True))
+    return _values_oracle(
+        rows, [("hop", "INTEGER"), ("exact_pairs", "BIGINT"),
+               ("anf_ok", "BOOLEAN")], "hop")
+
+
 def _neighbor_overlap_lsh_oracle(threshold: float = 0.5,
                                  num_hashes: int = 24, bands: int = 8,
                                  sf_dir: str | None = None) -> str:
@@ -3135,6 +3212,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_triangles": _triangle_oracle(),
         "kg_neighbor_overlap": _neighbor_overlap_oracle(),
         "kg_neighbor_overlap_lsh": _neighbor_overlap_lsh_oracle(),
+        "kg_anf": _anf_oracle(),
         "dedup_clusters": _dedup_clusters_oracle(),
         "dedup_apply": _dedup_apply_oracle(),
         "text_oov_rate": _OOV_SQL.format(norm=_NORM_SQL),

@@ -535,7 +535,59 @@ def hits(edges: DataFrame, iters: int = 5,
             .localCheckpoint())
 
 
-def label_propagation(edges: DataFrame, iters: int = 5) -> DataFrame:
+def approx_neighborhood_function(edges: DataFrame, k: int = 4,
+                                 lg_k: int = 12) -> DataFrame:
+    """HyperANF-style approximate neighborhood function (Boldi/Rosa/
+    Vigna, WWW'11 — public algorithm): per-node HyperLogLog sketches of
+    the out-reachability ball, unioned along edges each hop.
+
+    ANF(h) = sum over nodes v of |{u : dist(v, u) <= h}| (self
+    included) — the distance distribution / effective-diameter
+    primitive.  Exact all-pairs BFS is Theta(n * m) and impossible at
+    10^12 scale; this is the 100 TB answer: state is one fixed-size
+    sketch per node (Spark's native Datasketches HLL via
+    ``hll_sketch_agg`` / ``hll_union_agg`` — JVM-side, mergeable,
+    register state independent of merge order), one edge join + one
+    union-aggregate per hop, localCheckpoint'd per iteration (the
+    iterative-plan lineage rule).
+
+    Output: (hop, est_pairs) for hop 0..k.  Each per-node estimate is
+    FLOORED to a long before summing, so the total is exact integer
+    arithmetic — partition-order-free and deterministic, which is what
+    lets the driver's oracle verify a sketch-based result by value
+    (tolerance-bool pattern at the query layer).
+    """
+    edges = edges.localCheckpoint()
+    nodes = (edges.select(F.col("src").alias("node"))
+             .unionByName(edges.select(F.col("dst").alias("node")))
+             .distinct()
+             .localCheckpoint())
+    spark = edges.sparkSession
+    n = nodes.count()
+    if n == 0:
+        return spark.createDataFrame([], "hop int, est_pairs long")
+    # ball(v, 0) = {v}: one sketch per node over its own id
+    r = (nodes.groupBy("node")
+         .agg(F.hll_sketch_agg("node", F.lit(lg_k)).alias("sk"))
+         .localCheckpoint())
+    est_rows = [(0, int(n))]  # singleton sketches are exact by construction
+    for h in range(1, k + 1):
+        nbr = (edges.join(r, edges.dst == r.node)
+               .select(edges.src.alias("node"), "sk"))
+        r = (r.unionByName(nbr)
+             .groupBy("node")
+             .agg(F.hll_union_agg("sk").alias("sk"))
+             .localCheckpoint())
+        est = r.agg(
+            F.sum(F.floor(F.hll_sketch_estimate("sk")).cast("long"))
+            .alias("e")).collect()[0]["e"]
+        est_rows.append((h, int(est)))
+    return spark.createDataFrame(est_rows, "hop int, est_pairs long")
+
+
+def label_propagation(edges: DataFrame, iters: int = 5,
+                      hub_degree_threshold: int | None = 10_000,
+                      salt: int = 16) -> DataFrame:
     """Deterministic semi-synchronous label propagation communities.
 
     label_0(v) = v; each iteration every node adopts the most frequent
@@ -548,6 +600,18 @@ def label_propagation(edges: DataFrame, iters: int = 5) -> DataFrame:
     Scale shape: one shuffle join + one (node, label) hash aggregation
     + one per-node window (partitioned by node, never global) per
     iteration; a hub's per-iteration work is bounded by its degree.
+
+    Skew: the message join keys the adjacency frame on the label
+    PROVIDER ``v``, so a degree-d hub's d adjacency rows land in one
+    join task.  Nodes with degree >= ``hub_degree_threshold`` take a
+    salted path: their adjacency rows spread over ``salt`` buckets and
+    the (tiny) hot slice of the label frame is replicated per salt —
+    the standard hot-key split, same machinery as
+    ``operators/scoring.salted_join``.  The split is degree-based and
+    computed ONCE (degrees don't change across iterations); results
+    are bit-identical with or without salting (the aggregation sees
+    the same messages).  AQE's skew-join handles residual runtime skew
+    on top.  ``hub_degree_threshold=None`` disables the split.
     """
     from pyspark.sql import Window
 
@@ -563,11 +627,40 @@ def label_propagation(edges: DataFrame, iters: int = 5) -> DataFrame:
              .unionByName(edges.select(F.col("dst").alias("node")))
              .distinct()
              .localCheckpoint())
+
+    if hub_degree_threshold is not None:
+        # provider-side degree = how many adjacency rows carry each v;
+        # hot set is tiny by definition (true hubs), broadcast twice
+        hot = (sym.groupBy("v")
+               .agg(F.count(F.lit(1)).alias("_d"))
+               .filter(F.col("_d") >= hub_degree_threshold)
+               .select("v")
+               .localCheckpoint())
+        sym_hot = (sym.join(F.broadcast(hot), "v", "left_semi")
+                   .withColumn("_salt",
+                               F.floor(F.rand(42) * salt).cast("int"))
+                   .localCheckpoint())
+        sym_cold = (sym.join(F.broadcast(hot), "v", "left_anti")
+                    .localCheckpoint())
+        has_hot = sym_hot.limit(1).count() > 0
+    else:
+        has_hot = False
+        sym_cold = sym
+
     labels = nodes.withColumn("label", F.col("node")).localCheckpoint()
     w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
     for _ in range(iters):
-        msgs = (sym.join(labels, sym.v == labels.node)
+        lbl_v = labels.select(F.col("node").alias("v"), "label")
+        msgs = (sym_cold.join(lbl_v, "v")
                 .select(F.col("u").alias("node"), "label"))
+        if has_hot:
+            lbl_hot = (lbl_v.join(F.broadcast(hot), "v", "left_semi")
+                       .withColumn("_salt",
+                                   F.explode(F.sequence(
+                                       F.lit(0), F.lit(salt - 1)))))
+            msgs_hot = (sym_hot.join(lbl_hot, ["v", "_salt"])
+                        .select(F.col("u").alias("node"), "label"))
+            msgs = msgs.unionByName(msgs_hot)
         counts = (msgs.groupBy("node", "label")
                   .agg(F.count(F.lit(1)).alias("c")))
         best = (counts.withColumn("_rn", F.row_number().over(w))

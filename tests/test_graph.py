@@ -384,3 +384,40 @@ def test_neighborhood_overlap_lsh_megahub_candidates_bounded(spark):
         F.max("jaccard").alias("jmax")).collect()[0]
     assert agg["n"] == n_leaves * (k_priv * (k_priv - 1) // 2)
     assert agg["jmin"] == 1.0 and agg["jmax"] == 1.0
+
+
+def test_approx_neighborhood_function_chain_exact(spark):
+    """On sets far below 2^lg_k the HLL sketches sit in exact
+    (coupon-list) mode, so ANF on a 6-chain must equal the hand-checked
+    neighborhood function: hop0 = 6, hop1 = 6+5, hop2 = 6+5+4."""
+    from cbor_ld_spark.operators.graph import approx_neighborhood_function
+
+    chain = _edges(spark, [(f"n{i}", f"n{i+1}") for i in range(5)])
+    got = {r["hop"]: r["est_pairs"]
+           for r in approx_neighborhood_function(chain, k=2).collect()}
+    assert got == {0: 6, 1: 11, 2: 15}
+
+
+def test_label_propagation_hub_salting_identical(spark):
+    """A degree-10^4 hub forces the salted hot path; the community
+    assignment must be bit-identical to the unsalted run (salting only
+    re-routes messages, never changes the aggregate)."""
+    from cbor_ld_spark.operators.graph import label_propagation
+
+    rows = [("hub", f"l{i:05d}") for i in range(10_000)]
+    # a small two-triangle community off to the side
+    rows += [("x1", "x2"), ("x2", "x3"), ("x1", "x3")]
+    e = spark.createDataFrame(rows, "src string, dst string")
+    salted = {(r["node"], r["label"])
+              for r in label_propagation(
+                  e, iters=2, hub_degree_threshold=100).collect()}
+    plain = {(r["node"], r["label"])
+             for r in label_propagation(
+                 e, iters=2, hub_degree_threshold=None).collect()}
+    assert salted == plain
+    # all leaves agree on one label (semi-synchronous LPA on a star
+    # oscillates hub<->leaves in antiphase, but the leaf layer is
+    # always uniform — that uniformity must survive the salted path)
+    lbl = dict(plain)
+    leaf_labels = {lbl[f"l{i:05d}"] for i in range(0, 10_000, 997)}
+    assert len(leaf_labels) == 1
