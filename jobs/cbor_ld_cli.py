@@ -120,6 +120,17 @@ def main(argv=None) -> int:
         p.add_argument("input", nargs="?", default=None)
         p.add_argument("-x", "--hexadecimal", action="store_true")
         p.add_argument("--registry", type=int, default=1)
+        if name == "decode":
+            p.add_argument(
+                "-p", "--pretty", action="store_true",
+                help="write pretty-printed JSON to STDOUT (scriptable; "
+                     "the default mirrors the reference CLI, which "
+                     "pretty-prints to stderr — src/bin/main.rs:186)")
+            p.add_argument(
+                "--canonical", action="store_true",
+                help="write canonical JSON (sorted keys, compact — the "
+                     "content_sha256 serialization) to STDOUT: "
+                     "deterministic bytes for shell round-trip checks")
     args = ap.parse_args(argv)
 
     mounts = list(args.mount)
@@ -158,10 +169,20 @@ def main(argv=None) -> int:
             if args.hexadecimal:
                 raw = bytes.fromhex(raw.decode("ascii").strip())
             doc = decode_document(raw, loader=loader)
-            # the reference pretty-prints decoded JSON to stderr
-            # (src/bin/main.rs:185)
-            print(json.dumps(doc, indent=2, ensure_ascii=False),
-                  file=sys.stderr)
+            if getattr(args, "canonical", False):
+                from cbor_ld_spark.kernel.canonical import canonical_json
+
+                # canonical form: sha256(stdout bytes) == the pipeline's
+                # content_sha256 invariant, so shell scripts can verify
+                # round-trips without Python
+                sys.stdout.write(canonical_json(doc))
+            elif getattr(args, "pretty", False):
+                print(json.dumps(doc, indent=2, ensure_ascii=False))
+            else:
+                # the reference pretty-prints decoded JSON to stderr
+                # (src/bin/main.rs:186)
+                print(json.dumps(doc, indent=2, ensure_ascii=False),
+                      file=sys.stderr)
         return 0
     except (CborLdError, ValueError) as e:
         print(f"error: {e}", file=sys.stderr)

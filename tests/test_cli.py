@@ -135,3 +135,32 @@ def test_registry_config_reserved_id_rejected(tmp_path):
              stdin=_read("note.jsonld"))
     assert r.returncode == 1
     assert b"reserved" in r.stderr
+
+
+def test_decode_pretty_flag_writes_stdout():
+    """-p routes the pretty JSON to STDOUT (scriptable), nothing to
+    stderr; content matches the source document exactly."""
+    r = _run(["decode", "-x", "-p"], stdin=_read("note.cbor.hex"))
+    assert r.returncode == 0, r.stderr
+    assert r.stderr == b""
+    assert json.loads(r.stdout.decode()) == json.loads(_read("note.jsonld"))
+
+
+def test_decode_canonical_sha_invariant_all_goldens():
+    """--canonical stdout bytes hash to the pipeline's content_sha256
+    for every golden pair — the CLI round-trip is verifiable from a
+    shell (`decode --canonical | sha256sum`), no Python needed."""
+    import hashlib
+    import sys as _sys
+
+    _sys.path.insert(0, REPO)
+    from cbor_ld_spark.kernel.canonical import content_sha256
+
+    goldens = ["note", "truage", "prc", "vcb-aamva", "vcb-mrz"]
+    for name in goldens:
+        r = _run(["decode", "-x", "--canonical"],
+                 stdin=_read(f"{name}.cbor.hex"))
+        assert r.returncode == 0, (name, r.stderr)
+        expect = content_sha256(json.loads(_read(f"{name}.jsonld")))
+        got = hashlib.sha256(r.stdout).hexdigest()
+        assert got == expect, name
