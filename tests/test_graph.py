@@ -421,3 +421,17 @@ def test_label_propagation_hub_salting_identical(spark):
     lbl = dict(plain)
     leaf_labels = {lbl[f"l{i:05d}"] for i in range(0, 10_000, 997)}
     assert len(leaf_labels) == 1
+
+
+def test_anf_plan_stays_bounded(spark):
+    """ANF is iterative too — the per-hop localCheckpoint must keep the
+    sketch frame's plan constant-size as hops grow (same regression
+    class as pagerank/hits)."""
+    from cbor_ld_spark.operators.graph import approx_neighborhood_function
+
+    e = _edges(spark, [(f"n{i}", f"n{(i * 7) % 50}") for i in range(200)])
+    # the returned frame is a small createDataFrame, so probe the work
+    # indirectly: doubling k must not blow runtime/plan — it returns
+    # k+1 rows and completes
+    out = approx_neighborhood_function(e, k=6)
+    assert out.count() == 7
