@@ -427,6 +427,27 @@ def _kg_neighbor_overlap(spark, sf_dir):
     return out.orderBy("node_a", "node_b")
 
 
+_BGP_PATTERNS = [
+    ("?cred", "https://www.w3.org/2018/credentials#issuer", "?issuer"),
+    ("?cred", "https://www.w3.org/2018/credentials#credentialSubject",
+     "?person"),
+    ("?person", "https://w3id.org/age#overAge", "?age"),
+]
+
+
+def _kg_bgp_truage(spark, sf_dir):
+    """Basic-graph-pattern query over the materialized KG (the
+    consumption layer): TruAge credentials joined to their issuer and
+    the subject's asserted over-age — three patterns compiled to
+    DataFrame self-joins (operators/bgp.py), SPARQL-set semantics.
+    Oracle: pure-Python BGP evaluation over the realized triples."""
+    from cbor_ld_spark.operators.bgp import match_bgp
+    from cbor_ld_spark.plans import shared_triples
+
+    out = match_bgp(shared_triples(spark, sf_dir), _BGP_PATTERNS)
+    return out.orderBy("cred", "issuer", "person", "age")
+
+
 def _kg_anf(spark, sf_dir, k: int = 4):
     """Approximate neighborhood function (HyperANF-style): per-node
     HLL reachability sketches unioned per hop — the only way to ask
@@ -1234,6 +1255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_communities": _kg_communities,
         "kg_neighbor_overlap_lsh": _kg_neighbor_overlap_lsh,
         "kg_anf": _kg_anf,
+        "kg_bgp_truage": _kg_bgp_truage,
         "dedup_minhash_pairs": _dedup_minhash_pairs,
         "dedup_minhash_jaccard": _dedup_minhash_jaccard,
         "ann_cosine_topk": _ann_cosine_topk,
@@ -2481,6 +2503,84 @@ def _realized_entity_edges(sf_dir: str) -> list[tuple[str, str]]:
     return result
 
 
+_REALIZED_TRIPLE_CACHE: dict = {}
+
+
+def _realized_triples(sf_dir: str) -> list[tuple[str, str, str]]:
+    """Distinct realized (subj, pred, obj) triples of the whole corpus
+    (literals included), replayed driver-side per distinct (variant,
+    entity) class — same technique as _realized_entity_edges."""
+    import hashlib
+
+    import duckdb
+
+    from cbor_ld_spark.functions.udfs import _process_one
+    from cbor_ld_spark.sources import payload_variants
+    from cbor_ld_spark.sources.corpus import _TEMPLATE_UUID, N_ENTITIES
+
+    cached = _REALIZED_TRIPLE_CACHE.get(sf_dir)
+    if cached is not None:
+        return cached
+    variants = payload_variants()
+    k = len(variants)
+    con = duckdb.connect()
+    pairs = con.execute(
+        f"SELECT DISTINCT doc_id % {k}, doc_id % {N_ENTITIES} FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')").fetchall()
+    con.close()
+    triples = set()
+    for v, e in pairs:
+        _name, lang, content, _enc = variants[v]
+        if not _sniff_ok(lang, content):
+            continue
+        h = hashlib.md5(f"ent:{e}".encode()).hexdigest()
+        uuid = f"{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}"
+        out = _process_one(content.replace(_TEMPLATE_UUID, uuid), 1, True)
+        if out[1] and out[7]:
+            for s, p, o in zip(out[8], out[9], out[10]):
+                triples.add((s, p, o))
+    result = sorted(triples)
+    _REALIZED_TRIPLE_CACHE[sf_dir] = result
+    return result
+
+
+def _bgp_oracle(patterns=None, sf_dir: str | None = None) -> str:
+    """Pure-Python BGP evaluation (nested-bind join) over the realized
+    triples — distinct projection in first-appearance variable order,
+    mirroring operators/bgp.match_bgp."""
+    patterns = patterns or _BGP_PATTERNS
+    triples = _realized_triples(sf_dir or _oracle_sf_dir())
+    var_order: list[str] = []
+    for pat in patterns:
+        for term in pat:
+            if term.startswith("?") and term[1:] not in var_order:
+                var_order.append(term[1:])
+    binds: list[dict] = [{}]
+    for pat in patterns:
+        new = []
+        for b in binds:
+            for spo in triples:
+                m = dict(b)
+                ok = True
+                for term, val in zip(pat, spo):
+                    if term.startswith("?"):
+                        var = term[1:]
+                        if var in m and m[var] != val:
+                            ok = False
+                            break
+                        m[var] = val
+                    elif term != val:
+                        ok = False
+                        break
+                if ok:
+                    new.append(m)
+        binds = new
+    rows = sorted({tuple(m[v] for v in var_order) for m in binds})
+    return _values_oracle(
+        rows, [(v, "VARCHAR") for v in var_order],
+        ", ".join(var_order))
+
+
 def _pred_cooccurrence_oracle(sf_dir: str | None = None) -> str:
     """Replay distinct (subj, pred) over the (variant, entity) classes
     and count pair co-occurrence in pure Python."""
@@ -3213,6 +3313,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_neighbor_overlap": _neighbor_overlap_oracle(),
         "kg_neighbor_overlap_lsh": _neighbor_overlap_lsh_oracle(),
         "kg_anf": _anf_oracle(),
+        "kg_bgp_truage": _bgp_oracle(),
         "dedup_clusters": _dedup_clusters_oracle(),
         "dedup_apply": _dedup_apply_oracle(),
         "text_oov_rate": _OOV_SQL.format(norm=_NORM_SQL),

@@ -1,0 +1,89 @@
+"""Basic-graph-pattern (BGP) matching over the triples table.
+
+The KG-consumption primitive: a conjunctive set of (subj, pred, obj)
+triple patterns — terms starting with ``?`` are variables, everything
+else matches literally — compiled into DataFrame self-joins over the
+materialized triples table.  This is the SPARQL-BGP core re-expressed
+Spark-first (the reference emits the graph; consuming it is the north
+rule's "graph materialize" payoff): each pattern becomes a filtered
+column-pruned scan, shared variables become equi-join keys, and
+Catalyst + AQE pick join order, broadcast sides and skew splits.
+
+Scale shape: every pattern's constant positions are pushed down to the
+parquet/bucketed scan (predicate-constant patterns prune to a single
+predicate's row group); the join keys are realized IRI strings (uniform
+after distinct); selective patterns produce small frames that AQE
+broadcasts.  No driver-side row materialization — the result is a plain
+DataFrame.
+
+Semantics notes (documented, tested):
+* matching is string-level on (subj, pred, obj) — datatype/lang filters
+  can be layered as ordinary DataFrame filters on the pattern frame;
+* a variable repeated INSIDE one pattern (e.g. ``(?x, p, ?x)``) becomes
+  an intra-row equality filter;
+* a fully-ground pattern (no variables) acts as an EXISTS guard: the
+  result is empty unless the triple occurs (implemented as a lazy
+  crossJoin with ``limit(1)`` of the matching scan — no driver action);
+* ``distinct=True`` (default) collapses per-document duplicate
+  assertions — SPARQL set semantics over the corpus-level graph.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_POSITIONS = ("subj", "pred", "obj")
+
+
+def match_bgp(triples: DataFrame,
+              patterns: list[tuple[str, str, str]],
+              distinct: bool = True) -> DataFrame:
+    """Match a conjunctive BGP; returns one column per variable, in
+    first-appearance order across the pattern list."""
+    if not patterns:
+        raise ValueError("match_bgp requires at least one pattern")
+    var_order: list[str] = []
+    result: DataFrame | None = None
+    for i, pat in enumerate(patterns):
+        if len(pat) != 3:
+            raise ValueError(f"pattern {i} must be a (subj, pred, obj) "
+                             f"triple, got {pat!r}")
+        filters = []
+        rename: dict[str, str] = {}
+        seen: dict[str, str] = {}
+        for pos, term in zip(_POSITIONS, pat):
+            if term.startswith("?"):
+                var = term[1:]
+                if not var:
+                    raise ValueError(f"pattern {i}: bare '?' variable")
+                if var in seen:
+                    filters.append(F.col(pos) == F.col(seen[var]))
+                else:
+                    seen[var] = pos
+                    rename[pos] = var
+                    if var not in var_order:
+                        var_order.append(var)
+            else:
+                filters.append(F.col(pos) == F.lit(term))
+        frame = triples
+        for c in filters:
+            frame = frame.filter(c)
+        if rename:
+            frame = frame.select(
+                *[F.col(p).alias(v) for p, v in rename.items()])
+        else:
+            # ground pattern: EXISTS guard — 1 row if present, 0 if not
+            frame = frame.select(
+                F.lit(1).alias(f"_exists_{i}")).limit(1)
+        if result is None:
+            result = frame
+        else:
+            shared = [c for c in frame.columns
+                      if c in result.columns and not c.startswith("_")]
+            result = (result.join(frame, on=shared) if shared
+                      else result.crossJoin(frame))
+    if not var_order:
+        raise ValueError("BGP has no variables — use a plain filter to "
+                         "test ground triples")
+    out = result.select(*var_order)
+    return out.distinct() if distinct else out
