@@ -448,6 +448,26 @@ def _kg_bgp_truage(spark, sf_dir):
     return out.orderBy("cred", "issuer", "person", "age")
 
 
+def _kg_kcore(spark, sf_dir):
+    """k-core decomposition of the entity graph (distributed h-index
+    iteration, converges to exact coreness): the density-layering
+    primitive a KG curator uses to separate the dense credential
+    nucleus from peripheral one-off IRIs.  Output: coreness histogram.
+    Oracle: sequential peeling over the realized edge list (provably
+    the same fixpoint the h-index iteration converges to)."""
+    from cbor_ld_spark.operators.graph import (
+        entity_edges,
+        k_core_decomposition,
+    )
+    from cbor_ld_spark.plans import shared_triples
+
+    cores = k_core_decomposition(
+        entity_edges(shared_triples(spark, sf_dir)))
+    return (cores.groupBy("coreness")
+            .agg(F.count(F.lit(1)).alias("n_nodes"))
+            .orderBy("coreness"))
+
+
 def _kg_anf(spark, sf_dir, k: int = 4):
     """Approximate neighborhood function (HyperANF-style): per-node
     HLL reachability sketches unioned per hop — the only way to ask
@@ -1256,6 +1276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_neighbor_overlap_lsh": _kg_neighbor_overlap_lsh,
         "kg_anf": _kg_anf,
         "kg_bgp_truage": _kg_bgp_truage,
+        "kg_kcore": _kg_kcore,
         "dedup_minhash_pairs": _dedup_minhash_pairs,
         "dedup_minhash_jaccard": _dedup_minhash_jaccard,
         "ann_cosine_topk": _ann_cosine_topk,
@@ -3006,6 +3027,36 @@ def _neighbor_overlap_oracle(threshold: float = 0.5,
         "node_a, node_b")
 
 
+def _kcore_oracle(sf_dir: str | None = None) -> str:
+    """Sequential peeling (min-degree removal) over the realized
+    undirected edge list -> coreness histogram."""
+    from collections import Counter, defaultdict
+
+    edges = _realized_entity_edges(sf_dir or _oracle_sf_dir())
+    adj: dict[str, set] = defaultdict(set)
+    for s, d in edges:
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    live = {v: set(ns) for v, ns in adj.items()}
+    core: dict[str, int] = {}
+    k = 0
+    while live:
+        v = min(live, key=lambda x: (deg[x], x))
+        k = max(k, deg[v])
+        core[v] = k
+        for u in live[v]:
+            if u in live:
+                live[u].discard(v)
+                deg[u] -= 1
+        del live[v]
+    hist = Counter(core.values())
+    return _values_oracle(
+        sorted(hist.items()),
+        [("coreness", "INTEGER"), ("n_nodes", "BIGINT")], "coreness")
+
+
 def _anf_oracle(k: int = 4, sf_dir: str | None = None) -> str:
     """Exact neighborhood function replay: BFS from every node over the
     realized edge list (gate-scale graphs are small enough); the
@@ -3314,6 +3365,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_neighbor_overlap_lsh": _neighbor_overlap_lsh_oracle(),
         "kg_anf": _anf_oracle(),
         "kg_bgp_truage": _bgp_oracle(),
+        "kg_kcore": _kcore_oracle(),
         "dedup_clusters": _dedup_clusters_oracle(),
         "dedup_apply": _dedup_apply_oracle(),
         "text_oov_rate": _OOV_SQL.format(norm=_NORM_SQL),

@@ -535,6 +535,67 @@ def hits(edges: DataFrame, iters: int = 5,
             .localCheckpoint())
 
 
+def k_core_decomposition(edges: DataFrame,
+                         max_iters: int = 50) -> DataFrame:
+    """Coreness per node via distributed h-index iteration (Montresor/
+    De Pellegrini/Miorandi, "Distributed k-core decomposition" — public
+    algorithm): c_0(v) = deg(v); each round c_{t+1}(v) = h-index of its
+    neighbors' current estimates (the largest h such that >= h
+    neighbors have c >= h).  Estimates decrease monotonically to the
+    true coreness; iteration stops when NO estimate changed, so the
+    result AND the iteration count are pure functions of the edge set
+    (replayable by the oracle), with ``max_iters`` as a loud bound.
+
+    Scale shape: per round, one shuffle join (adjacency x estimates, on
+    the uniform node key) + one per-node window (partitioned by node,
+    never global) + one hash agg; per-iteration localCheckpoint (the
+    iterative-plan lineage rule) and a 1-row convergence count — the
+    accepted driver sync for convergence-driven loops.  A degree-d hub
+    costs d window rows per round; at extreme skew the h-index can be
+    computed from a bounded value histogram instead (values are capped
+    by degree) — documented tier, not needed at gate scale.
+
+    Output: (node, coreness int).
+    """
+    from pyspark.sql import Window
+
+    und = (edges.filter(F.col("src") != F.col("dst"))
+           .select(F.least("src", "dst").alias("a"),
+                   F.greatest("src", "dst").alias("b"))
+           .distinct())
+    sym = (und.select(F.col("a").alias("u"), F.col("b").alias("v"))
+           .unionByName(und.select(F.col("b").alias("u"),
+                                   F.col("a").alias("v")))
+           .localCheckpoint())
+    cur = (sym.groupBy(F.col("u").alias("node"))
+           .agg(F.count(F.lit(1)).alias("c"))
+           .localCheckpoint())
+    w = Window.partitionBy("node").orderBy(F.desc("c_nb"), F.asc("v"))
+    for _ in range(max_iters):
+        nbr = cur.select(F.col("node").alias("v"), F.col("c").alias("c_nb"))
+        msgs = sym.join(nbr, "v").select(F.col("u").alias("node"),
+                                         "c_nb", "v")
+        # h-index = max over desc-sorted neighbors of min(rank, value)
+        h = (msgs.withColumn("_rn", F.row_number().over(w))
+             .groupBy("node")
+             .agg(F.max(F.least(F.col("_rn"), F.col("c_nb")))
+                  .alias("h")))
+        new = (cur.join(h, "node")
+               .select("node", F.least("c", "h").alias("c"))
+               .localCheckpoint())
+        n_changed = (new.join(cur.withColumnRenamed("c", "c_old"), "node")
+                     .filter(F.col("c") != F.col("c_old")).count())
+        cur = new
+        if n_changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"k_core_decomposition did not converge in {max_iters} "
+            "iterations — raise max_iters (estimates are monotone, so "
+            "non-convergence means a pathological diameter, not a loop)")
+    return cur.select("node", F.col("c").cast("int").alias("coreness"))
+
+
 def approx_neighborhood_function(edges: DataFrame, k: int = 4,
                                  lg_k: int = 12) -> DataFrame:
     """HyperANF-style approximate neighborhood function (Boldi/Rosa/

@@ -435,3 +435,52 @@ def test_anf_plan_stays_bounded(spark):
     # k+1 rows and completes
     out = approx_neighborhood_function(e, k=6)
     assert out.count() == 7
+
+
+def test_k_core_hand_checked(spark):
+    """Triangle abc (coreness 2) with tail d-a (coreness 1) and an
+    isolated pair e-f (coreness 1); K4 all coreness 3."""
+    from cbor_ld_spark.operators.graph import k_core_decomposition
+
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "a"),
+                       ("a", "d"), ("e", "f")])
+    got = {r["node"]: r["coreness"]
+           for r in k_core_decomposition(e).collect()}
+    assert got == {"a": 2, "b": 2, "c": 2, "d": 1, "e": 1, "f": 1}
+
+    k4 = [(x, y) for x in "wxyz" for y in "wxyz" if x < y]
+    got = {r["coreness"] for r in
+           k_core_decomposition(_edges(spark, k4)).collect()}
+    assert got == {3}
+
+
+def test_k_core_matches_peeling_bruteforce(spark):
+    """Random graph vs the classic sequential peeling algorithm."""
+    import random
+
+    from cbor_ld_spark.operators.graph import k_core_decomposition
+
+    rng = random.Random(7)
+    nodes = [f"n{i}" for i in range(24)]
+    und = {tuple(sorted(rng.sample(nodes, 2))) for _ in range(70)}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    # sequential peeling: repeatedly remove min-degree node
+    deg = {v: len(ns) for v, ns in adj.items()}
+    live = dict(adj)
+    core = {}
+    k = 0
+    while live:
+        v = min(live, key=lambda x: (deg[x], x))
+        k = max(k, deg[v])
+        core[v] = k
+        for u in live[v]:
+            if u in live and u != v:
+                live[u].discard(v)
+                deg[u] -= 1
+        del live[v]
+    got = {r["node"]: r["coreness"]
+           for r in k_core_decomposition(_edges(spark, sorted(und))).collect()}
+    assert got == core
