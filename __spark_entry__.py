@@ -342,11 +342,10 @@ def _kg_degree_distribution(spark, sf_dir):
     audit (mega-entities show up as the heavy-degree tail that the
     linking/pagerank stages must absorb).  Two hash aggregations on
     uniform keys."""
-    from cbor_ld_spark.operators.graph import entity_edges
-    from cbor_ld_spark.plans import shared_triples
+    from cbor_ld_spark.plans import shared_entity_edges
 
-    t = shared_triples(spark, sf_dir)
-    e = entity_edges(t).filter(F.col("src") != F.col("dst"))
+    e = (shared_entity_edges(spark, sf_dir)
+         .filter(F.col("src") != F.col("dst")))
     und = (e.select(F.least("src", "dst").alias("a"),
                     F.greatest("src", "dst").alias("b"))
            .distinct())
@@ -363,11 +362,10 @@ def _kg_pagerank(spark, sf_dir):
     """Fixed-iteration PageRank over the extracted entity graph (top 25
     by centrality).  Value-verified against a full driver-side replay of
     corpus -> kernel -> edges -> 5 PageRank iterations."""
-    from cbor_ld_spark.operators.graph import entity_edges, pagerank
-    from cbor_ld_spark.plans import shared_triples
+    from cbor_ld_spark.operators.graph import pagerank
+    from cbor_ld_spark.plans import shared_entity_edges
 
-    t = shared_triples(spark, sf_dir)
-    pr = pagerank(entity_edges(t))
+    pr = pagerank(shared_entity_edges(spark, sf_dir))
     return pr.orderBy(F.desc("rank"), "node").limit(25)
 
 
@@ -376,11 +374,11 @@ def _kg_pagerank_dangling(spark, sf_dir):
     (rank sums stay ~1.0 — the variant for comparing ranks ACROSS
     graphs).  Same replay oracle, same plan shape plus one 1-row
     aggregation per iteration."""
-    from cbor_ld_spark.operators.graph import entity_edges, pagerank
-    from cbor_ld_spark.plans import shared_triples
+    from cbor_ld_spark.operators.graph import pagerank
+    from cbor_ld_spark.plans import shared_entity_edges
 
-    t = shared_triples(spark, sf_dir)
-    pr = pagerank(entity_edges(t), redistribute_dangling=True)
+    pr = pagerank(shared_entity_edges(spark, sf_dir),
+                  redistribute_dangling=True)
     return pr.orderBy(F.desc("rank"), "node").limit(25)
 
 
@@ -416,14 +414,11 @@ def _kg_neighbor_overlap(spark, sf_dir):
     join with the degree-ratio prune; see operators/graph.py for the
     10^12-scale mitigation story).  Value-verified against a
     pure-Python replay over the realized edge list."""
-    from cbor_ld_spark.operators.graph import (
-        entity_edges,
-        neighborhood_overlap,
-    )
-    from cbor_ld_spark.plans import shared_triples
+    from cbor_ld_spark.operators.graph import neighborhood_overlap
+    from cbor_ld_spark.plans import shared_entity_edges
 
     out = neighborhood_overlap(
-        entity_edges(shared_triples(spark, sf_dir)), threshold=0.5)
+        shared_entity_edges(spark, sf_dir), threshold=0.5)
     return out.orderBy("node_a", "node_b")
 
 
@@ -455,14 +450,11 @@ def _kg_kcore(spark, sf_dir):
     nucleus from peripheral one-off IRIs.  Output: coreness histogram.
     Oracle: sequential peeling over the realized edge list (provably
     the same fixpoint the h-index iteration converges to)."""
-    from cbor_ld_spark.operators.graph import (
-        entity_edges,
-        k_core_decomposition,
-    )
-    from cbor_ld_spark.plans import shared_triples
+    from cbor_ld_spark.operators.graph import k_core_decomposition
+    from cbor_ld_spark.plans import shared_entity_edges
 
     cores = k_core_decomposition(
-        entity_edges(shared_triples(spark, sf_dir)))
+        shared_entity_edges(spark, sf_dir))
     return (cores.groupBy("coreness")
             .agg(F.count(F.lit(1)).alias("n_nodes"))
             .orderBy("coreness"))
@@ -478,12 +470,11 @@ def _kg_anf(spark, sf_dir, k: int = 4):
     kg_cardinality_sketch); the oracle replays the exact BFS."""
     from cbor_ld_spark.operators.graph import (
         approx_neighborhood_function,
-        entity_edges,
         k_hop,
     )
-    from cbor_ld_spark.plans import shared_triples
+    from cbor_ld_spark.plans import shared_entity_edges
 
-    edges = entity_edges(shared_triples(spark, sf_dir)).localCheckpoint()
+    edges = shared_entity_edges(spark, sf_dir).localCheckpoint()
     est = approx_neighborhood_function(edges, k=k)
     nodes = (edges.select(F.col("src").alias("node"))
              .unionByName(edges.select(F.col("dst").alias("node")))
@@ -517,14 +508,11 @@ def _kg_neighbor_overlap_lsh(spark, sf_dir):
     oracle replays the identical pipeline (bit-exact XXH64 replica)
     over the realized edge list, so the probabilistic recall is
     deterministic under comparison."""
-    from cbor_ld_spark.operators.graph import (
-        entity_edges,
-        neighborhood_overlap_lsh,
-    )
-    from cbor_ld_spark.plans import shared_triples
+    from cbor_ld_spark.operators.graph import neighborhood_overlap_lsh
+    from cbor_ld_spark.plans import shared_entity_edges
 
     out = neighborhood_overlap_lsh(
-        entity_edges(shared_triples(spark, sf_dir)), threshold=0.5)
+        shared_entity_edges(spark, sf_dir), threshold=0.5)
     return out.orderBy("node_a", "node_b")
 
 
@@ -614,10 +602,10 @@ def _kg_communities(spark, sf_dir):
     (5 iterations, frequency-then-smallest-label rule) over the
     undirected entity graph — the modularity-flavored counterpart to
     the connected-components histogram."""
-    from cbor_ld_spark.operators.graph import entity_edges, label_propagation
-    from cbor_ld_spark.plans import shared_triples
+    from cbor_ld_spark.operators.graph import label_propagation
+    from cbor_ld_spark.plans import shared_entity_edges
 
-    labels = label_propagation(entity_edges(shared_triples(spark, sf_dir)))
+    labels = label_propagation(shared_entity_edges(spark, sf_dir))
     return (labels.groupBy("label")
             .agg(F.count(F.lit(1)).alias("size"))
             .groupBy("size")
@@ -632,10 +620,10 @@ def _kg_reachability(spark, sf_dir):
     lower bound on directed diameter that a KG consumer uses to size
     traversal depth.  Reuses the batched k_hop dataflow: one job per
     hop for ALL seeds."""
-    from cbor_ld_spark.operators.graph import entity_edges, k_hop
-    from cbor_ld_spark.plans import shared_triples
+    from cbor_ld_spark.operators.graph import k_hop
+    from cbor_ld_spark.plans import shared_entity_edges
 
-    e = entity_edges(shared_triples(spark, sf_dir))
+    e = shared_entity_edges(spark, sf_dir)
     seeds = (e.select(F.col("src").alias("node")).distinct()
              .orderBy("node").limit(5))
     kh = k_hop(e, seeds, k=6)
@@ -649,13 +637,10 @@ def _kg_ppr(spark, sf_dir):
     """Personalized PageRank from the 3 lexicographically-first source
     entities (same seed rule as kg_khop): neighborhood-relative
     centrality, top 25."""
-    from cbor_ld_spark.operators.graph import (
-        entity_edges,
-        personalized_pagerank,
-    )
-    from cbor_ld_spark.plans import shared_triples
+    from cbor_ld_spark.operators.graph import personalized_pagerank
+    from cbor_ld_spark.plans import shared_entity_edges
 
-    e = entity_edges(shared_triples(spark, sf_dir))
+    e = shared_entity_edges(spark, sf_dir)
     seeds = (e.select(F.col("src").alias("node")).distinct()
              .orderBy("node").limit(3))
     pr = personalized_pagerank(e, seeds)
@@ -665,10 +650,10 @@ def _kg_ppr(spark, sf_dir):
 def _kg_hits(spark, sf_dir):
     """HITS hubs/authorities over the entity graph, top 25 by
     authority."""
-    from cbor_ld_spark.operators.graph import entity_edges, hits
-    from cbor_ld_spark.plans import shared_triples
+    from cbor_ld_spark.operators.graph import hits
+    from cbor_ld_spark.plans import shared_entity_edges
 
-    h = hits(entity_edges(shared_triples(spark, sf_dir)))
+    h = hits(shared_entity_edges(spark, sf_dir))
     return h.orderBy(F.desc("authority"), "node").limit(25)
 
 
@@ -761,21 +746,20 @@ def _kg_triangles(spark, sf_dir):
     wedges enumerate from the low-degree side, O(sqrt(m)) fan-out bound
     — the skew-safe shape for mega-hub entities).  Value-verified
     against a pure-Python replay over the realized edge list."""
-    from cbor_ld_spark.operators.graph import entity_edges, triangle_stats
-    from cbor_ld_spark.plans import shared_triples
+    from cbor_ld_spark.operators.graph import triangle_stats
+    from cbor_ld_spark.plans import shared_entity_edges
 
-    return triangle_stats(entity_edges(shared_triples(spark, sf_dir)))
+    return triangle_stats(shared_entity_edges(spark, sf_dir))
 
 
 def _kg_khop(spark, sf_dir):
     """BFS k-hop neighborhood sizes from the 3 lexicographically-first
     source entities (batched frontier expansion, one dataflow for all
     seeds)."""
-    from cbor_ld_spark.operators.graph import entity_edges, k_hop
-    from cbor_ld_spark.plans import shared_triples
+    from cbor_ld_spark.operators.graph import k_hop
+    from cbor_ld_spark.plans import shared_entity_edges
 
-    t = shared_triples(spark, sf_dir)
-    e = entity_edges(t)
+    e = shared_entity_edges(spark, sf_dir)
     seeds = (e.select(F.col("src").alias("node")).distinct()
              .orderBy("node").limit(3))
     kh = k_hop(e, seeds, k=3)

@@ -69,7 +69,31 @@ def shared_canonical_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+_EDGES_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def shared_entity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-once distinct (src, dst) entity edges over the
+    shared triples tier.  Every graph consumer (PageRank x4, k-hop,
+    reachability, triangles, overlap x2, communities, k-core, ANF,
+    HITS) starts from this frame; without the cache each re-runs the
+    IRI filter + DISTINCT shuffle over the triples checkpoint per
+    query.  One distinct, checkpointed, shared."""
+    from cbor_ld_spark.operators.graph import entity_edges
+
+    key = (spark.sparkContext.applicationId, str(sf_dir))
+    df = _EDGES_CACHE.get(key)
+    if df is None:
+        for stale in [k for k in _EDGES_CACHE if k[0] != key[0]]:
+            _EDGES_CACHE.pop(stale, None)
+        df = entity_edges(
+            shared_triples(spark, sf_dir)).localCheckpoint(eager=True)
+        _EDGES_CACHE[key] = df
+    return df
+
+
 def clear_shared_triples() -> None:
     """Drop all cache entries (tests / explicit storage release)."""
     _TRIPLES_CACHE.clear()
     _CANONICAL_CACHE.clear()
+    _EDGES_CACHE.clear()
