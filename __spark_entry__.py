@@ -1017,6 +1017,51 @@ def _stream_sessions_parity(spark, sf_dir):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def _stream_dedup_parity(spark, sf_dir):
+    """Streaming keep-first dedup vs batch, as a driver-verifiable
+    query: the corpus streams in as TWO micro-batches (even doc_ids
+    then odd, maxFilesPerTrigger=1) through the exactly-once state-
+    store dedup (`streaming/dedup_stream.py`); the kept set must cover
+    every distinct normalized-content hash exactly once — including
+    hashes whose duplicates arrive in a LATER micro-batch than the
+    first occurrence (the cross-batch state path).  The expected counts
+    are SQL-expressible (DuckDB md5 over the mirrored norm expression);
+    NULL-text docs form one hash group (dropDuplicates treats NULL as a
+    key value), mirrored via the null-presence term in the oracle."""
+    import os
+    import shutil
+    import tempfile
+
+    from cbor_ld_spark.operators.text import _norm
+    from cbor_ld_spark.streaming import stream_dedup_keep_first
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text"))
+    base = tempfile.mkdtemp(prefix="kgdedupparity_")
+    inp, out, ckpt = (os.path.join(base, d) for d in ("in", "out", "ckpt"))
+    try:
+        (docs.filter(F.col("doc_id") % 2 == 0).coalesce(1)
+         .write.mode("append").parquet(inp))
+        (docs.filter(F.col("doc_id") % 2 == 1).coalesce(1)
+         .write.mode("append").parquet(inp))
+        stream = (spark.readStream.schema(docs.schema)
+                  .option("maxFilesPerTrigger", "1").parquet(inp))
+        stream_dedup_keep_first(stream, out, ckpt).awaitTermination(600)
+        kept = spark.read.parquet(out)
+        n_total = docs.count()
+        n_distinct = (docs.select(F.md5(_norm(F.col("text"))).alias("h"))
+                      .distinct().count())
+        n_kept = kept.count()
+        n_kept_distinct = kept.select("content_hash").distinct().count()
+        parity = (n_kept == n_distinct) and (n_kept_distinct == n_kept)
+        return spark.createDataFrame(
+            [(n_total, n_distinct, n_kept, n_kept_distinct, parity)],
+            "total_docs long, distinct_hashes long, kept_docs long, "
+            "kept_distinct_hashes long, parity boolean")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def _events_user_activity(spark, sf_dir):
     """Per-user activity span + breadth (groupBy + epoch arithmetic)."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -1221,13 +1266,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries in registry order.  STANDING RULE (r6+): any NEW query lands
     # INSIDE slot 50 in the same commit that adds it, demoting a long-stable
     # single to the tail — so every operator earns a hard-signal driver row
-    # the round it ships.  Window exits this round (all driver-green r2-r5,
-    # code untouched, now self-verified-only): text_token_stats, text_quality,
+    # the round it ships.  Window exits this round (all driver-green in
+    # earlier rounds, operator code untouched, still value-verified by the
+    # committed three-SF self-run): text_token_stats, text_quality,
     # text_lang_id_multi, text_token_stats_bpe, text_fingerprints,
     # text_term_dictionary, dedup_simhash_groups, dedup_simhash_near,
-    # dedup_ngram_jaccard.  Window entries: the 7 r5-tail operators
-    # (dedup_apply, text_oov_rate, kg_obj_datatypes, kg_ppr, kg_hits,
-    # kg_reachability, kg_communities) + this round's new queries.
+    # dedup_ngram_jaccard, dedup_exact, kg_entity_components,
+    # kg_cardinality_sketch, multimodal_frame_dedup.  Window entries: the 7
+    # r5-tail operators (dedup_apply, text_oov_rate, kg_obj_datatypes,
+    # kg_ppr, kg_hits, kg_reachability, kg_communities) + the 5 r6-new
+    # queries (kg_neighbor_overlap_lsh, kg_anf, kg_bgp_truage, kg_kcore,
+    # stream_dedup_parity).
     return {
         "kg_corpus_shape": _kg_corpus_shape,
         "kg_doc_results": _kg_doc_results,
@@ -1249,6 +1298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pred_cooccurrence": _kg_pred_cooccurrence,
         "stream_sessions_parity": _stream_sessions_parity,
         "stream_windowed_parity": _stream_windowed_parity,
+        "stream_dedup_parity": _stream_dedup_parity,
         "events_retention": _events_retention,
         "dedup_apply": _dedup_apply,
         "text_oov_rate": _text_oov_rate,
@@ -3377,6 +3427,17 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cohort
         """,
         "stream_windowed_parity": _stream_windowed_parity_oracle(),
+        "stream_dedup_parity": f"""
+    SELECT (SELECT COUNT(*) FROM documents)::BIGINT AS total_docs,
+           d.n AS distinct_hashes,
+           d.n AS kept_docs,
+           d.n AS kept_distinct_hashes,
+           TRUE AS parity
+    FROM (SELECT (COUNT(DISTINCT md5({_NORM_SQL}))
+                  + MAX(CASE WHEN text IS NULL THEN 1 ELSE 0 END)
+                 )::BIGINT AS n
+          FROM documents) d
+    """,
         "kg_pagerank_dangling": _pagerank_oracle(redistribute_dangling=True),
         "kg_pagerank_weighted": _pagerank_oracle(weighted=True),
         "kg_pred_cooccurrence": _pred_cooccurrence_oracle(),
