@@ -68,3 +68,68 @@ def test_bgp_rejects_degenerate_inputs(spark):
         match_bgp(t, [("c1", "issuer", "org1")])  # no variables
     with pytest.raises(ValueError):
         match_bgp(t, [("?", "issuer", "?x")])  # bare '?'
+
+
+def _bgp_eval_py(triples, patterns):
+    """Reference evaluator: nested-bind join, distinct projection in
+    first-appearance var order (mirrors the oracle's replay)."""
+    var_order = []
+    for pat in patterns:
+        for t in pat:
+            if t.startswith("?") and t[1:] not in var_order:
+                var_order.append(t[1:])
+    binds = [{}]
+    for pat in patterns:
+        new = []
+        for b in binds:
+            for spo in triples:
+                m = dict(b)
+                ok = True
+                for term, val in zip(pat, spo):
+                    if term.startswith("?"):
+                        v = term[1:]
+                        if v in m and m[v] != val:
+                            ok = False
+                            break
+                        m[v] = val
+                    elif term != val:
+                        ok = False
+                        break
+                if ok:
+                    new.append(m)
+        binds = new
+    return {tuple(m[v] for v in var_order) for m in binds}, var_order
+
+
+def test_bgp_random_equivalence(spark):
+    """Seeded-random graphs x patterns vs the pure-Python evaluator —
+    one Spark session, many cases (joins, cross products, selective
+    constants, repeated vars across patterns all get drawn)."""
+    import random
+
+    from cbor_ld_spark.operators.bgp import match_bgp
+
+    rng = random.Random(20260817)
+    subs = [f"s{i}" for i in range(6)]
+    preds = ["p1", "p2", "p3"]
+    objs = subs + ["o1", "o2"]
+    for case in range(6):
+        triples = sorted({
+            (rng.choice(subs), rng.choice(preds), rng.choice(objs))
+            for _ in range(25)})
+        t = _triples(spark, triples)
+        n_pats = rng.randint(1, 3)
+        vars_pool = ["?a", "?b", "?c"]
+        patterns = []
+        for _ in range(n_pats):
+            pat = (rng.choice(vars_pool + subs),
+                   rng.choice(vars_pool + preds),
+                   rng.choice(vars_pool + objs))
+            patterns.append(pat)
+        expect, var_order = _bgp_eval_py(triples, patterns)
+        if not var_order:
+            continue
+        out = match_bgp(t, patterns)
+        assert out.columns == var_order, (case, patterns)
+        got = {tuple(r) for r in out.collect()}
+        assert got == expect, (case, patterns)
