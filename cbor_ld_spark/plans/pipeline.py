@@ -75,8 +75,15 @@ def read_lineage(spark: SparkSession, out_dir: str) -> DataFrame | None:
 
 def build_kg(spark: SparkSession, repos: DataFrame, out_dir: str,
              run_id: str, n_buckets: int = 64,
-             registry_id: int = 1) -> dict:
-    """Run (or resume) the full pipeline; returns summary metrics."""
+             registry_id: int = 1, analytics: bool = False) -> dict:
+    """Run (or resume) the full pipeline; returns summary metrics.
+
+    ``analytics=True`` adds a fourth product tier after materialize:
+    PageRank (dangling-redistributed), k-core coreness and
+    label-propagation communities over the canonical entity graph,
+    written under ``<out>/analytics/`` with their own lineage row —
+    the consumption layer shipped with the graph instead of bolted on
+    by every downstream user."""
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     bucketed = _with_bucket(repos, n_buckets)
@@ -174,6 +181,36 @@ def build_kg(spark: SparkSession, repos: DataFrame, out_dir: str,
     }
     _stage_lineage(spark, out_dir, run_id, "materialize",
                    summary["edges_total"], t3)
+
+    if analytics:
+        from cbor_ld_spark.operators.graph import (
+            k_core_decomposition,
+            label_propagation,
+            pagerank,
+        )
+
+        t4 = time.monotonic()
+        # one distinct entity-edge frame feeds all three analytics —
+        # the job-level twin of plans/shared.shared_entity_edges
+        ent = (edges.filter(F.col("obj_canon").isNotNull())
+               .select(F.col("subj_canon").alias("src"),
+                       F.col("obj_canon").alias("dst"))
+               .distinct()
+               .localCheckpoint())
+        (pagerank(ent, redistribute_dangling=True)
+         .write.mode("overwrite")
+         .parquet(os.path.join(out_dir, "analytics", "pagerank")))
+        (k_core_decomposition(ent)
+         .write.mode("overwrite")
+         .parquet(os.path.join(out_dir, "analytics", "coreness")))
+        (label_propagation(ent)
+         .write.mode("overwrite")
+         .parquet(os.path.join(out_dir, "analytics", "communities")))
+        n_rank = spark.read.parquet(
+            os.path.join(out_dir, "analytics", "pagerank")).count()
+        summary["analytics_nodes"] = n_rank
+        _stage_lineage(spark, out_dir, run_id, "analytics", n_rank, t4)
+
     # unpersist the handles that were actually cached (unpersisting the
     # joined frame would be a no-op against the cache manager)
     canon_cached.unpersist()

@@ -35,6 +35,9 @@ def main(argv=None):
     ap.add_argument("--registry-id", type=int, default=1)
     ap.add_argument("--synthesize", type=int, default=0,
                     help="generate an n-row synthetic corpus instead of --input")
+    ap.add_argument("--analytics", action="store_true",
+                    help="also write pagerank/coreness/communities "
+                         "tables under <out>/analytics/")
     args = ap.parse_args(argv)
     if not args.input and not args.synthesize:
         ap.error("provide --input or --synthesize N")
@@ -63,7 +66,8 @@ def main(argv=None):
     repos = (synthesize_corpus(spark, args.synthesize) if args.synthesize
              else load_repos(spark, args.input))
     summary = build_kg(spark, repos, args.out, run_id=args.run_id,
-                       n_buckets=args.buckets, registry_id=args.registry_id)
+                       n_buckets=args.buckets, registry_id=args.registry_id,
+                       analytics=args.analytics)
     print(json.dumps(summary))
     spark.stop()
     return 0

@@ -224,3 +224,30 @@ def test_load_repos_orc(spark, tmp_path):
     assert got.columns == ["repo", "path", "commit", "lang", "content"]
     assert process_corpus(got).filter("ok").count() > 0
     assert load_repos(spark, str(orc), fmt="orc").count() == 40
+
+
+def test_build_kg_analytics_tier(spark):
+    """--analytics writes pagerank/coreness/communities tables over the
+    canonical entity graph, all keyed by the same node set, plus an
+    'analytics' lineage row; the default build writes none of it."""
+    from cbor_ld_spark.plans import build_kg
+    from cbor_ld_spark.sources import synthesize_corpus
+
+    out = tempfile.mkdtemp(prefix="kgtest_an_")
+    try:
+        repos = synthesize_corpus(spark, 120)
+        s = build_kg(spark, repos, out, run_id="a1", n_buckets=4,
+                     analytics=True)
+        assert s["analytics_nodes"] > 0
+        pr = spark.read.parquet(os.path.join(out, "analytics", "pagerank"))
+        kc = spark.read.parquet(os.path.join(out, "analytics", "coreness"))
+        cm = spark.read.parquet(os.path.join(out, "analytics", "communities"))
+        n = s["analytics_nodes"]
+        assert pr.count() == kc.count() == cm.count() == n
+        assert {r["node"] for r in pr.select("node").collect()} == \
+            {r["node"] for r in kc.select("node").collect()}
+        lineage = spark.read.parquet(os.path.join(out, "lineage"))
+        stages = {r["stage"] for r in lineage.select("stage").collect()}
+        assert "analytics" in stages
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
