@@ -443,6 +443,30 @@ def _kg_bgp_truage(spark, sf_dir):
     return out.orderBy("cred", "issuer", "person", "age")
 
 
+def _kg_nquads_export(spark, sf_dir):
+    """N-Quads serialization audit: format the whole corpus graph as
+    RDF lines (Column-algebra formatter, operators/export.py), then
+    verify the DISTINCT line set by order-insensitive xxhash64 XOR plus
+    structural counts — any formatting divergence (escaping, datatype
+    suffix, graph term) flips the hash.  Oracle: the same formatter
+    replayed in Python over the realized quads with the bit-exact XXH64
+    replica."""
+    from cbor_ld_spark.operators.export import to_ntriples
+    from cbor_ld_spark.plans import shared_triples
+
+    lines = to_ntriples(shared_triples(spark, sf_dir),
+                        distinct=True, quads=True)
+    return lines.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("line").startswith("_:").cast("long"))
+        .alias("blank_subj_lines"),
+        F.sum(F.col("line").contains('"').cast("long"))
+        .alias("literal_lines"),
+        F.sum(F.col("line").contains("^^<").cast("long"))
+        .alias("typed_literal_lines"),
+        F.expr("bit_xor(xxhash64(line))").alias("line_hash_xor"))
+
+
 def _kg_kcore(spark, sf_dir):
     """k-core decomposition of the entity graph (distributed h-index
     iteration, converges to exact coreness): the density-layering
@@ -1272,11 +1296,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # text_lang_id_multi, text_token_stats_bpe, text_fingerprints,
     # text_term_dictionary, dedup_simhash_groups, dedup_simhash_near,
     # dedup_ngram_jaccard, dedup_exact, kg_entity_components,
-    # kg_cardinality_sketch, multimodal_frame_dedup.  Window entries: the 7
-    # r5-tail operators (dedup_apply, text_oov_rate, kg_obj_datatypes,
-    # kg_ppr, kg_hits, kg_reachability, kg_communities) + the 5 r6-new
+    # kg_cardinality_sketch, multimodal_video_frames,
+    # multimodal_frame_dedup.  Window entries: the
+    # 7 r5-tail operators (dedup_apply, text_oov_rate, kg_obj_datatypes,
+    # kg_ppr, kg_hits, kg_reachability, kg_communities) + the 6 r6-new
     # queries (kg_neighbor_overlap_lsh, kg_anf, kg_bgp_truage, kg_kcore,
-    # stream_dedup_parity).
+    # stream_dedup_parity, kg_nquads_export).
     return {
         "kg_corpus_shape": _kg_corpus_shape,
         "kg_doc_results": _kg_doc_results,
@@ -1311,6 +1336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_anf": _kg_anf,
         "kg_bgp_truage": _kg_bgp_truage,
         "kg_kcore": _kg_kcore,
+        "kg_nquads_export": _kg_nquads_export,
         "dedup_minhash_pairs": _dedup_minhash_pairs,
         "dedup_minhash_jaccard": _dedup_minhash_jaccard,
         "ann_cosine_topk": _ann_cosine_topk,
@@ -2599,6 +2625,74 @@ def _realized_triples(sf_dir: str) -> list[tuple[str, str, str]]:
     return result
 
 
+_REALIZED_QUAD_CACHE: dict = {}
+
+
+def _realized_quads(sf_dir: str) -> list[tuple]:
+    """Distinct realized (subj, pred, obj, is_iri, dt, lang, graph)
+    rows of the whole corpus, replayed driver-side per (variant,
+    entity) class — the full-column sibling of _realized_triples."""
+    import hashlib
+
+    import duckdb
+
+    from cbor_ld_spark.functions.udfs import _process_one
+    from cbor_ld_spark.sources import payload_variants
+    from cbor_ld_spark.sources.corpus import _TEMPLATE_UUID, N_ENTITIES
+
+    cached = _REALIZED_QUAD_CACHE.get(sf_dir)
+    if cached is not None:
+        return cached
+    variants = payload_variants()
+    k = len(variants)
+    con = duckdb.connect()
+    pairs = con.execute(
+        f"SELECT DISTINCT doc_id % {k}, doc_id % {N_ENTITIES} FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')").fetchall()
+    con.close()
+    quads = set()
+    for v, e in pairs:
+        _name, lang, content, _enc = variants[v]
+        if not _sniff_ok(lang, content):
+            continue
+        h = hashlib.md5(f"ent:{e}".encode()).hexdigest()
+        uuid = f"{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}"
+        out = _process_one(content.replace(_TEMPLATE_UUID, uuid), 1, True)
+        if out[1] and out[7]:
+            for row in zip(out[8], out[9], out[10], out[11], out[12],
+                           out[13], out[14]):
+                quads.add(row)
+    result = sorted(quads, key=lambda t: tuple(str(x) for x in t))
+    _REALIZED_QUAD_CACHE[sf_dir] = result
+    return result
+
+
+def _nquads_export_oracle(sf_dir: str | None = None) -> str:
+    """Python replay of the N-Quads formatter over the realized quads;
+    XOR of unsigned XXH64(line, seed 42) re-signed to match Spark's
+    bit_xor(xxhash64(line))."""
+    from cbor_ld_spark.functions.xxh64 import (
+        _signed as signed,
+        xxh64_bytes,
+    )
+    from cbor_ld_spark.operators.export import format_quad_py
+
+    lines = {format_quad_py(*q) for q in
+             _realized_quads(sf_dir or _oracle_sf_dir())}
+    acc = 0
+    n_blank = n_lit = n_typed = 0
+    for line in lines:
+        acc ^= xxh64_bytes(line.encode("utf-8"), 42)
+        n_blank += line.startswith("_:")
+        n_lit += '"' in line
+        n_typed += "^^<" in line
+    return _values_oracle(
+        [(len(lines), n_blank, n_lit, n_typed, signed(acc))],
+        [("n_lines", "BIGINT"), ("blank_subj_lines", "BIGINT"),
+         ("literal_lines", "BIGINT"), ("typed_literal_lines", "BIGINT"),
+         ("line_hash_xor", "BIGINT")], "n_lines")
+
+
 def _bgp_oracle(patterns=None, sf_dir: str | None = None) -> str:
     """Pure-Python BGP evaluation (nested-bind join) over the realized
     triples — distinct projection in first-appearance variable order,
@@ -3400,6 +3494,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_anf": _anf_oracle(),
         "kg_bgp_truage": _bgp_oracle(),
         "kg_kcore": _kcore_oracle(),
+        "kg_nquads_export": _nquads_export_oracle(),
         "dedup_clusters": _dedup_clusters_oracle(),
         "dedup_apply": _dedup_apply_oracle(),
         "text_oov_rate": _OOV_SQL.format(norm=_NORM_SQL),
