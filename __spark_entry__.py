@@ -484,6 +484,30 @@ def _kg_kcore(spark, sf_dir):
             .orderBy("coreness"))
 
 
+_BGP_OPT_REQUIRED = [
+    ("?cred", "https://www.w3.org/2018/credentials#issuer", "?issuer"),
+    ("?cred", "https://www.w3.org/2018/credentials#credentialSubject",
+     "?person"),
+]
+_BGP_OPT_OPTIONAL = [
+    ("?person", "https://w3id.org/age#overAge", "?age"),
+]
+
+
+def _kg_bgp_optional(spark, sf_dir):
+    """BGP with a SPARQL OPTIONAL: every credential with its issuer and
+    subject, and the subject's over-age where asserted (left join —
+    non-TruAge credential types keep their rows with NULL age).  Oracle:
+    the Python evaluator with identical sequential-left-join
+    semantics."""
+    from cbor_ld_spark.operators.bgp import match_bgp
+    from cbor_ld_spark.plans import shared_triples
+
+    out = match_bgp(shared_triples(spark, sf_dir),
+                    _BGP_OPT_REQUIRED, optional=_BGP_OPT_OPTIONAL)
+    return out.orderBy("cred", "issuer", "person", "age")
+
+
 def _kg_anf(spark, sf_dir, k: int = 4):
     """Approximate neighborhood function (HyperANF-style): per-node
     HLL reachability sketches unioned per hop — the only way to ask
@@ -1296,12 +1320,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # text_lang_id_multi, text_token_stats_bpe, text_fingerprints,
     # text_term_dictionary, dedup_simhash_groups, dedup_simhash_near,
     # dedup_ngram_jaccard, dedup_exact, kg_entity_components,
-    # kg_cardinality_sketch, multimodal_video_frames,
-    # multimodal_frame_dedup.  Window entries: the
+    # kg_cardinality_sketch, multimodal_audio_features,
+    # multimodal_video_frames, multimodal_frame_dedup.  Window entries: the
     # 7 r5-tail operators (dedup_apply, text_oov_rate, kg_obj_datatypes,
-    # kg_ppr, kg_hits, kg_reachability, kg_communities) + the 6 r6-new
-    # queries (kg_neighbor_overlap_lsh, kg_anf, kg_bgp_truage, kg_kcore,
-    # stream_dedup_parity, kg_nquads_export).
+    # kg_ppr, kg_hits, kg_reachability, kg_communities) + the 7 r6-new
+    # queries (kg_neighbor_overlap_lsh, kg_anf, kg_bgp_truage,
+    # kg_bgp_optional, kg_kcore, stream_dedup_parity, kg_nquads_export).
     return {
         "kg_corpus_shape": _kg_corpus_shape,
         "kg_doc_results": _kg_doc_results,
@@ -1337,6 +1361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_truage": _kg_bgp_truage,
         "kg_kcore": _kg_kcore,
         "kg_nquads_export": _kg_nquads_export,
+        "kg_bgp_optional": _kg_bgp_optional,
         "dedup_minhash_pairs": _dedup_minhash_pairs,
         "dedup_minhash_jaccard": _dedup_minhash_jaccard,
         "ann_cosine_topk": _ann_cosine_topk,
@@ -2693,38 +2718,57 @@ def _nquads_export_oracle(sf_dir: str | None = None) -> str:
          ("line_hash_xor", "BIGINT")], "n_lines")
 
 
-def _bgp_oracle(patterns=None, sf_dir: str | None = None) -> str:
-    """Pure-Python BGP evaluation (nested-bind join) over the realized
-    triples — distinct projection in first-appearance variable order,
-    mirroring operators/bgp.match_bgp."""
+def _bgp_match_one(b: dict, pat, spo):
+    """Extend binding b with pattern pat matched against triple spo;
+    None if incompatible.  A shared var bound to None (left-join NULL)
+    never matches — SQL semantics, mirroring match_bgp."""
+    m = dict(b)
+    for term, val in zip(pat, spo):
+        if term.startswith("?"):
+            var = term[1:]
+            if var in m:
+                if m[var] is None or m[var] != val:
+                    return None
+            else:
+                m[var] = val
+        elif term != val:
+            return None
+    return m
+
+
+def _bgp_oracle(patterns=None, optional=None,
+                sf_dir: str | None = None) -> str:
+    """Pure-Python BGP evaluation (nested-bind join, sequential
+    left-join OPTIONALs) over the realized triples — distinct
+    projection in first-appearance variable order, mirroring
+    operators/bgp.match_bgp."""
     patterns = patterns or _BGP_PATTERNS
     triples = _realized_triples(sf_dir or _oracle_sf_dir())
     var_order: list[str] = []
-    for pat in patterns:
+    for pat in list(patterns) + list(optional or []):
         for term in pat:
             if term.startswith("?") and term[1:] not in var_order:
                 var_order.append(term[1:])
     binds: list[dict] = [{}]
     for pat in patterns:
+        binds = [m for b in binds for spo in triples
+                 if (m := _bgp_match_one(b, pat, spo)) is not None]
+    for pat in optional or []:
         new = []
         for b in binds:
-            for spo in triples:
-                m = dict(b)
-                ok = True
-                for term, val in zip(pat, spo):
-                    if term.startswith("?"):
-                        var = term[1:]
-                        if var in m and m[var] != val:
-                            ok = False
-                            break
-                        m[var] = val
-                    elif term != val:
-                        ok = False
-                        break
-                if ok:
-                    new.append(m)
+            matches = [m for spo in triples
+                       if (m := _bgp_match_one(b, pat, spo)) is not None]
+            if matches:
+                new.extend(matches)
+            else:
+                miss = dict(b)
+                for term in pat:
+                    if term.startswith("?") and term[1:] not in miss:
+                        miss[term[1:]] = None
+                new.append(miss)
         binds = new
-    rows = sorted({tuple(m[v] for v in var_order) for m in binds})
+    rows = sorted({tuple(m.get(v) for v in var_order) for m in binds},
+                  key=lambda t: tuple((x is None, x or "") for x in t))
     return _values_oracle(
         rows, [(v, "VARCHAR") for v in var_order],
         ", ".join(var_order))
@@ -3495,6 +3539,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_bgp_truage": _bgp_oracle(),
         "kg_kcore": _kcore_oracle(),
         "kg_nquads_export": _nquads_export_oracle(),
+        "kg_bgp_optional": _bgp_oracle(_BGP_OPT_REQUIRED,
+                                       optional=_BGP_OPT_OPTIONAL),
         "dedup_clusters": _dedup_clusters_oracle(),
         "dedup_apply": _dedup_apply_oracle(),
         "text_oov_rate": _OOV_SQL.format(norm=_NORM_SQL),

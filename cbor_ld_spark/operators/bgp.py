@@ -35,46 +35,68 @@ from pyspark.sql import DataFrame, functions as F
 _POSITIONS = ("subj", "pred", "obj")
 
 
+def _pattern_frame(triples: DataFrame, pat, i: int, var_order: list[str]):
+    """Filtered + variable-renamed frame for one triple pattern;
+    appends new variables to var_order (first-appearance order)."""
+    if len(pat) != 3:
+        raise ValueError(f"pattern {i} must be a (subj, pred, obj) "
+                         f"triple, got {pat!r}")
+    filters = []
+    rename: dict[str, str] = {}
+    seen: dict[str, str] = {}
+    for pos, term in zip(_POSITIONS, pat):
+        if term.startswith("?"):
+            var = term[1:]
+            if not var:
+                raise ValueError(f"pattern {i}: bare '?' variable")
+            if var in seen:
+                filters.append(F.col(pos) == F.col(seen[var]))
+            else:
+                seen[var] = pos
+                rename[pos] = var
+                if var not in var_order:
+                    var_order.append(var)
+        else:
+            filters.append(F.col(pos) == F.lit(term))
+    frame = triples
+    for c in filters:
+        frame = frame.filter(c)
+    if rename:
+        frame = frame.select(
+            *[F.col(p).alias(v) for p, v in rename.items()])
+    else:
+        # ground pattern: EXISTS guard — 1 row if present, 0 if not
+        frame = frame.select(F.lit(1).alias(f"_exists_{i}")).limit(1)
+    return frame
+
+
 def match_bgp(triples: DataFrame,
               patterns: list[tuple[str, str, str]],
+              optional: list[tuple[str, str, str]] | None = None,
               distinct: bool = True) -> DataFrame:
     """Match a conjunctive BGP; returns one column per variable, in
-    first-appearance order across the pattern list."""
+    first-appearance order (required patterns first, then optionals).
+
+    ``optional`` patterns follow SPARQL OPTIONAL semantics via left
+    outer joins: required bindings survive with NULL for the optional
+    pattern's new variables when it does not match.  Each optional
+    pattern must share at least one variable with the preceding
+    required/optional patterns (an unconnected OPTIONAL would be a
+    cross product — rejected loudly instead of silently exploding).
+
+    Semantics note, stated precisely: sequential LEFT JOINs implement
+    SPARQL's common case (each OPTIONAL references variables bound by
+    the required patterns).  When a later optional joins on a variable
+    a previous optional left NULL, SQL join semantics apply (NULL keys
+    do not match) — SPARQL's unbound-compatibility rule for nested
+    OPTIONALs is intentionally out of scope, and the oracle replays
+    the SQL semantics."""
     if not patterns:
         raise ValueError("match_bgp requires at least one pattern")
     var_order: list[str] = []
     result: DataFrame | None = None
     for i, pat in enumerate(patterns):
-        if len(pat) != 3:
-            raise ValueError(f"pattern {i} must be a (subj, pred, obj) "
-                             f"triple, got {pat!r}")
-        filters = []
-        rename: dict[str, str] = {}
-        seen: dict[str, str] = {}
-        for pos, term in zip(_POSITIONS, pat):
-            if term.startswith("?"):
-                var = term[1:]
-                if not var:
-                    raise ValueError(f"pattern {i}: bare '?' variable")
-                if var in seen:
-                    filters.append(F.col(pos) == F.col(seen[var]))
-                else:
-                    seen[var] = pos
-                    rename[pos] = var
-                    if var not in var_order:
-                        var_order.append(var)
-            else:
-                filters.append(F.col(pos) == F.lit(term))
-        frame = triples
-        for c in filters:
-            frame = frame.filter(c)
-        if rename:
-            frame = frame.select(
-                *[F.col(p).alias(v) for p, v in rename.items()])
-        else:
-            # ground pattern: EXISTS guard — 1 row if present, 0 if not
-            frame = frame.select(
-                F.lit(1).alias(f"_exists_{i}")).limit(1)
+        frame = _pattern_frame(triples, pat, i, var_order)
         if result is None:
             result = frame
         else:
@@ -85,5 +107,14 @@ def match_bgp(triples: DataFrame,
     if not var_order:
         raise ValueError("BGP has no variables — use a plain filter to "
                          "test ground triples")
+    for j, pat in enumerate(optional or []):
+        frame = _pattern_frame(triples, pat, len(patterns) + j, var_order)
+        shared = [c for c in frame.columns
+                  if c in result.columns and not c.startswith("_")]
+        if not shared:
+            raise ValueError(
+                f"optional pattern {j} shares no variable with the "
+                "preceding patterns (unconnected OPTIONAL)")
+        result = result.join(frame, on=shared, how="left")
     out = result.select(*var_order)
     return out.distinct() if distinct else out

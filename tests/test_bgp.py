@@ -133,3 +133,92 @@ def test_bgp_random_equivalence(spark):
         assert out.columns == var_order, (case, patterns)
         got = {tuple(r) for r in out.collect()}
         assert got == expect, (case, patterns)
+
+
+def test_bgp_optional_left_join_semantics(spark):
+    """c1's subject has an age, c2's does not: OPTIONAL keeps both
+    rows, NULL age for the unmatched one; unconnected OPTIONAL raises."""
+    import pytest
+
+    from cbor_ld_spark.operators.bgp import match_bgp
+
+    data = [
+        ("c1", "subject", "p1"), ("c2", "subject", "p3"),
+        ("p1", "age", "21"),
+    ]
+    out = match_bgp(_triples(spark, data),
+                    [("?c", "subject", "?p")],
+                    optional=[("?p", "age", "?a")])
+    assert out.columns == ["c", "p", "a"]
+    got = {tuple(r) for r in out.collect()}
+    assert got == {("c1", "p1", "21"), ("c2", "p3", None)}
+
+    with pytest.raises(ValueError, match="unconnected"):
+        match_bgp(_triples(spark, data),
+                  [("?c", "subject", "?p")],
+                  optional=[("?x", "age", "?y")])
+
+
+def test_bgp_optional_random_equivalence(spark):
+    """Seeded-random required+optional vs a Python evaluator with the
+    same sequential-left-join semantics."""
+    import random
+
+    from cbor_ld_spark.operators.bgp import match_bgp
+
+    def eval_py(triples, patterns, optional):
+        def match(b, pat, spo):
+            m = dict(b)
+            for term, val in zip(pat, spo):
+                if term.startswith("?"):
+                    v = term[1:]
+                    if v in m:
+                        if m[v] is None or m[v] != val:
+                            return None
+                    else:
+                        m[v] = val
+                elif term != val:
+                    return None
+            return m
+
+        var_order = []
+        for pat in list(patterns) + list(optional):
+            for t in pat:
+                if t.startswith("?") and t[1:] not in var_order:
+                    var_order.append(t[1:])
+        binds = [{}]
+        for pat in patterns:
+            binds = [m for b in binds for spo in triples
+                     if (m := match(b, pat, spo)) is not None]
+        for pat in optional:
+            new = []
+            for b in binds:
+                ms = [m for spo in triples
+                      if (m := match(b, pat, spo)) is not None]
+                if ms:
+                    new.extend(ms)
+                else:
+                    miss = dict(b)
+                    for t in pat:
+                        if t.startswith("?") and t[1:] not in miss:
+                            miss[t[1:]] = None
+                    new.append(miss)
+            binds = new
+        return {tuple(m.get(v) for v in var_order) for m in binds}, var_order
+
+    rng = random.Random(99)
+    subs = [f"s{i}" for i in range(5)]
+    preds = ["p1", "p2"]
+    objs = subs + ["o1"]
+    for case in range(5):
+        triples = sorted({
+            (rng.choice(subs), rng.choice(preds), rng.choice(objs))
+            for _ in range(18)})
+        t = _triples(spark, triples)
+        req = [("?a", rng.choice(preds), "?b")]
+        opt = [("?b", rng.choice(preds), "?c")]
+        expect, var_order = eval_py(triples, req, opt)
+        out = match_bgp(t, req, optional=opt)
+        assert out.columns == var_order
+        got = {tuple(r) for r in out.collect()}
+        assert got == expect, (case, triples)
