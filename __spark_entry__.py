@@ -508,6 +508,32 @@ def _kg_bgp_optional(spark, sf_dir):
     return out.orderBy("cred", "issuer", "person", "age")
 
 
+_IRI_ISSUER = "https://www.w3.org/2018/credentials#issuer"
+_IRI_SUBJECT = "https://www.w3.org/2018/credentials#credentialSubject"
+_IRI_OVERAGE = "https://w3id.org/age#overAge"
+_INFER_RULES = [
+    # R1: issuer vouches for the credential subject
+    ([("?cred", _IRI_ISSUER, "?i"), ("?cred", _IRI_SUBJECT, "?p")],
+     [("?i", "urn:ex:vouchesFor", "?p")]),
+    # R2: builds on R1's DERIVED edges — fires in round 2 only
+    ([("?i", "urn:ex:vouchesFor", "?p"), ("?p", _IRI_OVERAGE, "?age")],
+     [("?i", "urn:ex:vouchesForAdult", "?p")]),
+]
+
+
+def _kg_infer_vouches(spark, sf_dir):
+    """Rule-based KG enrichment (operators/rules.py): forward-chain two
+    CONSTRUCT rules to fixpoint — R2 consumes R1's derived edges, so
+    the fixpoint genuinely takes two rounds.  Output: the derived
+    triples.  Oracle: the identical fixpoint replayed in Python over
+    the realized triples."""
+    from cbor_ld_spark.operators.rules import forward_chain
+    from cbor_ld_spark.plans import shared_triples
+
+    out = forward_chain(shared_triples(spark, sf_dir), _INFER_RULES)
+    return out.orderBy("subj", "pred", "obj")
+
+
 def _kg_anf(spark, sf_dir, k: int = 4):
     """Approximate neighborhood function (HyperANF-style): per-node
     HLL reachability sketches unioned per hop — the only way to ask
@@ -1320,12 +1346,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # text_lang_id_multi, text_token_stats_bpe, text_fingerprints,
     # text_term_dictionary, dedup_simhash_groups, dedup_simhash_near,
     # dedup_ngram_jaccard, dedup_exact, kg_entity_components,
-    # kg_cardinality_sketch, multimodal_audio_features,
-    # multimodal_video_frames, multimodal_frame_dedup.  Window entries: the
-    # 7 r5-tail operators (dedup_apply, text_oov_rate, kg_obj_datatypes,
-    # kg_ppr, kg_hits, kg_reachability, kg_communities) + the 7 r6-new
-    # queries (kg_neighbor_overlap_lsh, kg_anf, kg_bgp_truage,
-    # kg_bgp_optional, kg_kcore, stream_dedup_parity, kg_nquads_export).
+    # kg_cardinality_sketch, multimodal_image_features,
+    # multimodal_audio_features, multimodal_video_frames,
+    # multimodal_frame_dedup.  Window entries: the 7 r5-tail operators
+    # (dedup_apply, text_oov_rate, kg_obj_datatypes, kg_ppr, kg_hits,
+    # kg_reachability, kg_communities) + the 8 r6-new queries
+    # (kg_neighbor_overlap_lsh, kg_anf, kg_bgp_truage, kg_bgp_optional,
+    # kg_kcore, stream_dedup_parity, kg_nquads_export, kg_infer_vouches).
     return {
         "kg_corpus_shape": _kg_corpus_shape,
         "kg_doc_results": _kg_doc_results,
@@ -1362,6 +1389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_kcore": _kg_kcore,
         "kg_nquads_export": _kg_nquads_export,
         "kg_bgp_optional": _kg_bgp_optional,
+        "kg_infer_vouches": _kg_infer_vouches,
         "dedup_minhash_pairs": _dedup_minhash_pairs,
         "dedup_minhash_jaccard": _dedup_minhash_jaccard,
         "ann_cosine_topk": _ann_cosine_topk,
@@ -2774,6 +2802,35 @@ def _bgp_oracle(patterns=None, optional=None,
         ", ".join(var_order))
 
 
+def _infer_oracle(sf_dir: str | None = None) -> str:
+    """Python fixpoint replay of _INFER_RULES over the realized
+    triples (same naive forward chaining, set semantics)."""
+    facts = set(_realized_triples(sf_dir or _oracle_sf_dir()))
+    derived: set = set()
+    for _ in range(10):
+        new: set = set()
+        for where, template in _INFER_RULES:
+            binds = [{}]
+            for pat in where:
+                binds = [m for b in binds for spo in facts
+                         if (m := _bgp_match_one(b, pat, spo)) is not None]
+            for b in binds:
+                for s, p, o in template:
+                    t = (b[s[1:]] if s.startswith("?") else s,
+                         b[p[1:]] if p.startswith("?") else p,
+                         b[o[1:]] if o.startswith("?") else o)
+                    if t not in facts:
+                        new.add(t)
+        if not new:
+            break
+        derived |= new
+        facts |= new
+    return _values_oracle(
+        sorted(derived),
+        [("subj", "VARCHAR"), ("pred", "VARCHAR"), ("obj", "VARCHAR")],
+        "subj, pred, obj")
+
+
 def _pred_cooccurrence_oracle(sf_dir: str | None = None) -> str:
     """Replay distinct (subj, pred) over the (variant, entity) classes
     and count pair co-occurrence in pure Python."""
@@ -3541,6 +3598,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_nquads_export": _nquads_export_oracle(),
         "kg_bgp_optional": _bgp_oracle(_BGP_OPT_REQUIRED,
                                        optional=_BGP_OPT_OPTIONAL),
+        "kg_infer_vouches": _infer_oracle(),
         "dedup_clusters": _dedup_clusters_oracle(),
         "dedup_apply": _dedup_apply_oracle(),
         "text_oov_rate": _OOV_SQL.format(norm=_NORM_SQL),
