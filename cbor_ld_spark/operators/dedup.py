@@ -112,7 +112,6 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16, bands: int = 4,
     Pass precomputed ``signatures`` to share the (dominant) signature
     cost with other consumers.
     """
-    rows_per_band = num_hashes // bands
     sigs = (signatures if signatures is not None
             else minhash_signatures(docs, num_hashes, shingle_n))
     return banded_signature_pairs(sigs, num_hashes, bands,

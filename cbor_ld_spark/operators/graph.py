@@ -689,6 +689,8 @@ def label_propagation(edges: DataFrame, iters: int = 5,
              .distinct()
              .localCheckpoint())
 
+    has_hot = False
+    sym_cold = sym
     if hub_degree_threshold is not None:
         # provider-side degree = how many adjacency rows carry each v;
         # hot set is tiny by definition (true hubs), broadcast twice
@@ -697,16 +699,17 @@ def label_propagation(edges: DataFrame, iters: int = 5,
                .filter(F.col("_d") >= hub_degree_threshold)
                .select("v")
                .localCheckpoint())
-        sym_hot = (sym.join(F.broadcast(hot), "v", "left_semi")
-                   .withColumn("_salt",
-                               F.floor(F.rand(42) * salt).cast("int"))
-                   .localCheckpoint())
-        sym_cold = (sym.join(F.broadcast(hot), "v", "left_anti")
-                    .localCheckpoint())
-        has_hot = sym_hot.limit(1).count() > 0
-    else:
-        has_hot = False
-        sym_cold = sym
+        has_hot = hot.limit(1).count() > 0
+        # hub-free graphs (the common case at the default threshold)
+        # skip the split entirely — no duplicate adjacency blocks, no
+        # extra materializing jobs
+        if has_hot:
+            sym_hot = (sym.join(F.broadcast(hot), "v", "left_semi")
+                       .withColumn("_salt",
+                                   F.floor(F.rand(42) * salt).cast("int"))
+                       .localCheckpoint())
+            sym_cold = (sym.join(F.broadcast(hot), "v", "left_anti")
+                        .localCheckpoint())
 
     labels = nodes.withColumn("label", F.col("node")).localCheckpoint()
     w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))

@@ -43,6 +43,9 @@ def construct(triples: DataFrame,
     variables must be bound by the where clause; rows where any
     template variable is NULL (possible via OPTIONAL) are dropped, per
     CONSTRUCT semantics."""
+    if not template:
+        raise ValueError("construct requires at least one template "
+                         "pattern")
     binds = match_bgp(triples, where, optional=optional, distinct=True)
 
     def term_col(term: str, alias: str):
@@ -82,6 +85,8 @@ def forward_chain(triples: DataFrame,
     a round derives nothing.  Raises after ``max_rounds`` — rule sets
     whose fixpoint is deeper than that need the semi-naive tier, not a
     silently-truncated closure."""
+    if not rules:
+        raise ValueError("forward_chain requires at least one rule")
     base = triples.select(*TRIPLE_COLS).distinct().localCheckpoint()
     all_facts = base
     derived: DataFrame | None = None

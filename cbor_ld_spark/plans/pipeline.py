@@ -197,12 +197,20 @@ def build_kg(spark: SparkSession, repos: DataFrame, out_dir: str,
                        F.col("obj_canon").alias("dst"))
                .distinct()
                .localCheckpoint())
-        (pagerank(ent, redistribute_dangling=True)
-         .write.mode("overwrite")
-         .parquet(os.path.join(out_dir, "analytics", "pagerank")))
-        (k_core_decomposition(ent)
-         .write.mode("overwrite")
-         .parquet(os.path.join(out_dir, "analytics", "coreness")))
+        pr = pagerank(ent, redistribute_dangling=True).localCheckpoint()
+        pr.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "analytics", "pagerank"))
+        # k_core_decomposition's undirected projection drops nodes
+        # whose only edges are self-loops; re-key on the full node set
+        # (coreness 0 — no proper edges) so all three tables share one
+        # node set, the contract downstream joins rely on
+        kc = (pr.select("node")
+              .join(k_core_decomposition(ent), "node", "left")
+              .select("node",
+                      F.coalesce("coreness", F.lit(0)).cast("int")
+                      .alias("coreness")))
+        kc.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "analytics", "coreness"))
         (label_propagation(ent)
          .write.mode("overwrite")
          .parquet(os.path.join(out_dir, "analytics", "communities")))

@@ -443,9 +443,12 @@ def test_k_core_hand_checked(spark):
     from cbor_ld_spark.operators.graph import k_core_decomposition
 
     e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "a"),
-                       ("a", "d"), ("e", "f")])
+                       ("a", "d"), ("e", "f"), ("g", "g")])
     got = {r["node"]: r["coreness"]
            for r in k_core_decomposition(e).collect()}
+    # self-loop-only node g has no proper edges: dropped by the
+    # undirected projection (the pipeline analytics tier re-keys it to
+    # coreness 0 on the shared node set)
     assert got == {"a": 2, "b": 2, "c": 2, "d": 1, "e": 1, "f": 1}
 
     k4 = [(x, y) for x in "wxyz" for y in "wxyz" if x < y]

@@ -407,9 +407,14 @@ def test_streaming_sessionize_out_of_order_across_batches(spark):
 
     # user 7: straggler INSIDE the open session's span (minute 5 < 10)
     # user 8: straggler BEFORE the open session's start (minute 2 < 10)
-    batch1 = [ev(7, 0, 1.0), ev(7, 10, 2.0), ev(8, 10, 4.0)]
+    #         but within the 30-minute gap window -> merges
+    # user 9: straggler OLDER than start - gap (minute 2 vs start 50:
+    #         48 min > 30-min gap) -> late-data DROP, never merged
+    batch1 = [ev(7, 0, 1.0), ev(7, 10, 2.0), ev(8, 10, 4.0),
+              ev(9, 50, 1.0)]
     batch2 = [ev(7, 5, 0.25), ev(7, 100, 8.0),
-              ev(8, 2, 0.5), ev(8, 100, 8.0)]
+              ev(8, 2, 0.5), ev(8, 100, 8.0),
+              ev(9, 2, 0.5), ev(9, 200, 8.0)]
     schema = "user_id long, ts timestamp_ntz, value double"
 
     base = tempfile.mkdtemp(prefix="kgsess_ooo_")
@@ -428,13 +433,16 @@ def test_streaming_sessionize_out_of_order_across_batches(spark):
                (r["session_seq"], r["n_events"], r["start_tl"],
                 r["duration_secs"], r["value_milli"])
                for r in spark.read.parquet(out).collect()}
-        # one closed session per user (the minute-100 event closes it)
-        assert set(got) == {7, 8}
+        # one closed session per user (the late event closes it)
+        assert set(got) == {7, 8, 9}
         assert all(r[3] >= 0 for r in got.values())
         epoch = int(datetime(2026, 1, 1).timestamp())
         # user 7: 0,10 + merged straggler 5 -> n=3, span [0, 600]
         assert got[7] == (0, 3, epoch, 600, 3250)
         # user 8: 10 + merged straggler 2 -> n=2, start extended to 120
         assert got[8] == (0, 2, epoch + 120, 480, 4500)
+        # user 9: the minute-2 straggler is older than start - gap and
+        # is DROPPED -> the closed session is the lone minute-50 event
+        assert got[9] == (0, 1, epoch + 3000, 0, 1000)
     finally:
         shutil.rmtree(base, ignore_errors=True)

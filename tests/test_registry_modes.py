@@ -270,3 +270,29 @@ def test_varint_non_minimal_rejected():
     data = dumps(CborTag((0x06 << 8) | 0x81, [b"\x00", CborMap([])]))
     with pytest.raises(CborLdError, match="UnsupportedRegistryId"):
         decode_document(data)
+
+
+def test_driver_window_divider_accurate():
+    """The '--- past the driver's 50-query window ---' marker in
+    __spark_entry__.queries() must sit exactly after entry 50 —
+    r5/r6 both shipped drifted markers; this pins the geometry
+    executably."""
+    import os
+    import re
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "__spark_entry__.py")
+    with open(path) as f:
+        src = f.read()
+    body = src.split("def queries(")[1].split("def oracle_sql(")[0]
+    # the registry dict is the first `return {` block of queries()
+    dict_src = body.split("return {")[1].split("\n    }")[0]
+    before, marker, _after = dict_src.partition(
+        "past the driver's 50-query window")
+    assert marker, "window divider comment missing"
+    entries_before = re.findall(r'^\s+"[a-z0-9_]+": _', before, re.M)
+    assert len(entries_before) == 50, len(entries_before)
+
+    import __spark_entry__ as E
+    assert len(E.queries()) == len(
+        re.findall(r'^\s+"[a-z0-9_]+": _', dict_src, re.M))
