@@ -73,9 +73,33 @@ def _pattern_frame(triples: DataFrame, pat, i: int, var_order: list[str]):
 def match_bgp(triples: DataFrame,
               patterns: list[tuple[str, str, str]],
               optional: list[tuple[str, str, str]] | None = None,
-              distinct: bool = True) -> DataFrame:
+              distinct: bool = True,
+              filters: list[str] | None = None,
+              not_exists: list[tuple[str, str, str]] | None = None,
+              sources: list[DataFrame] | None = None) -> DataFrame:
     """Match a conjunctive BGP; returns one column per variable, in
     first-appearance order (required patterns first, then optionals).
+
+    ``filters`` are SPARQL-FILTER-style boolean SQL expressions over
+    the bound variables (e.g. ``"cast(age as int) >= 21"``), applied
+    after the required joins and before optionals — a row must satisfy
+    every filter.  They compile to ordinary Catalyst predicates, so a
+    filter on a single pattern's variable is pushed below the joins.
+
+    ``not_exists`` patterns implement SPARQL ``FILTER NOT EXISTS`` /
+    ``MINUS`` for the connected case: bindings for which the pattern
+    matches are dropped via a ``left_anti`` join on the shared
+    variables.  Each pattern must share at least one variable with the
+    required patterns; its other positions may be constants or fresh
+    variables (fresh variables are existential — any match removes the
+    binding).  Note the SPARQL corner where MINUS and FILTER NOT EXISTS
+    differ (disconnected patterns) is rejected loudly here, so the two
+    coincide on everything this accepts.
+
+    ``sources`` (advanced, used by the semi-naive rule engine) supplies
+    a per-required-pattern triples frame: pattern ``i`` scans
+    ``sources[i]`` instead of ``triples``.  Optional/not-exists
+    patterns always scan ``triples``.
 
     ``optional`` patterns follow SPARQL OPTIONAL semantics via left
     outer joins: required bindings survive with NULL for the optional
@@ -93,10 +117,15 @@ def match_bgp(triples: DataFrame,
     the SQL semantics."""
     if not patterns:
         raise ValueError("match_bgp requires at least one pattern")
+    if sources is not None and len(sources) != len(patterns):
+        raise ValueError(
+            f"sources must have one frame per required pattern "
+            f"({len(sources)} != {len(patterns)})")
     var_order: list[str] = []
     result: DataFrame | None = None
     for i, pat in enumerate(patterns):
-        frame = _pattern_frame(triples, pat, i, var_order)
+        src = sources[i] if sources is not None else triples
+        frame = _pattern_frame(src, pat, i, var_order)
         if result is None:
             result = frame
         else:
@@ -107,6 +136,19 @@ def match_bgp(triples: DataFrame,
     if not var_order:
         raise ValueError("BGP has no variables — use a plain filter to "
                          "test ground triples")
+    for expr in filters or []:
+        result = result.filter(F.expr(expr))
+    for m, pat in enumerate(not_exists or []):
+        neg_vars: list[str] = []
+        neg = _pattern_frame(triples, pat, -(m + 1), neg_vars)
+        shared = [c for c in neg.columns
+                  if c in result.columns and not c.startswith("_")]
+        if not shared:
+            raise ValueError(
+                f"not_exists pattern {m} shares no variable with the "
+                "required patterns (disconnected NOT EXISTS)")
+        result = result.join(neg.select(*shared).distinct(),
+                             on=shared, how="left_anti")
     for j, pat in enumerate(optional or []):
         frame = _pattern_frame(triples, pat, len(patterns) + j, var_order)
         shared = [c for c in frame.columns

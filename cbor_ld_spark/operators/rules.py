@@ -15,9 +15,10 @@ triple set to keep only NEW derivations; the accumulator is
 localCheckpoint'd per round (iterative-plan lineage rule).  Rounds are
 bounded by ``max_rounds`` with a loud failure — a production deployment
 materializes the fixpoint once per corpus snapshot.  The naive
-re-evaluation per round is the gate-scale formulation; the semi-naive
-refinement (join each rule against the delta only) drops in without
-changing results and is the 10^12 path when rule chains are deep.
+re-evaluation per round is the shallow-fixpoint formulation;
+``semi_naive=True`` evaluates each rule against the previous round's
+delta (k variants per k-pattern rule) so per-round cost tracks |Δ|
+instead of |all facts| — the 10^12 path when rule chains are deep.
 
 Determinism: rounds and results are pure functions of (triples, rules)
 — set semantics throughout — so the driver oracle replays the identical
@@ -36,8 +37,8 @@ TRIPLE_COLS = ("subj", "pred", "obj")
 def construct(triples: DataFrame,
               where: list[tuple[str, str, str]],
               template: list[tuple[str, str, str]],
-              optional: list[tuple[str, str, str]] | None = None
-              ) -> DataFrame:
+              optional: list[tuple[str, str, str]] | None = None,
+              sources: list[DataFrame] | None = None) -> DataFrame:
     """One CONSTRUCT application: (subj, pred, obj) rows instantiated
     from the template for every (distinct) BGP binding.  Template
     variables must be bound by the where clause; rows where any
@@ -46,7 +47,8 @@ def construct(triples: DataFrame,
     if not template:
         raise ValueError("construct requires at least one template "
                          "pattern")
-    binds = match_bgp(triples, where, optional=optional, distinct=True)
+    binds = match_bgp(triples, where, optional=optional, distinct=True,
+                      sources=sources)
 
     def term_col(term: str, alias: str):
         if term.startswith("?"):
@@ -75,24 +77,47 @@ def construct(triples: DataFrame,
 
 def forward_chain(triples: DataFrame,
                   rules: list[tuple[list, list]],
-                  max_rounds: int = 10) -> DataFrame:
+                  max_rounds: int = 10,
+                  semi_naive: bool = False) -> DataFrame:
     """Apply ``rules`` (list of (where, template) pairs) to fixpoint
     over the (subj, pred, obj) projection of ``triples``; returns the
     DERIVED triples only (distinct, never re-asserting base facts).
 
     Each round: evaluate every rule against base ∪ derived-so-far, keep
     templates instantiations not already present (left_anti), stop when
-    a round derives nothing.  Raises after ``max_rounds`` — rule sets
-    whose fixpoint is deeper than that need the semi-naive tier, not a
-    silently-truncated closure."""
+    a round derives nothing.  Raises after ``max_rounds`` (loud bound,
+    never a silently-truncated closure) — a fixpoint deeper than the
+    default needs a higher ``max_rounds``, and ``semi_naive=True`` to
+    keep those extra rounds affordable.
+
+    ``semi_naive=True`` is the deep-fixpoint/100-TB tier (classic
+    datalog delta evaluation): round r evaluates each k-pattern rule as
+    k variants, variant i binding pattern i to Δ (the facts first
+    derived in round r-1) and every other pattern to the full
+    accumulator.  Any NEW derivation must use at least one Δ fact, so
+    the union of variants is complete; distinct + the anti-join against
+    the accumulator removes the overlap between variants.  Per-round
+    cost is driven by |Δ| (shrinking) instead of |all facts| (growing)
+    — on a depth-d chain the naive tier re-derives every earlier round's
+    output d times, the semi-naive tier derives each fact once.
+    Results are identical; the equivalence is property-tested."""
     if not rules:
         raise ValueError("forward_chain requires at least one rule")
     base = triples.select(*TRIPLE_COLS).distinct().localCheckpoint()
     all_facts = base
+    delta = base
     derived: DataFrame | None = None
     for _ in range(max_rounds):
-        new_frames = [construct(all_facts, where, template)
-                      for where, template in rules]
+        if semi_naive:
+            new_frames = [
+                construct(all_facts, where, template,
+                          sources=[delta if j == i else all_facts
+                                   for j in range(len(where))])
+                for where, template in rules
+                for i in range(len(where))]
+        else:
+            new_frames = [construct(all_facts, where, template)
+                          for where, template in rules]
         new = new_frames[0]
         for f in new_frames[1:]:
             new = new.unionByName(f)
@@ -105,5 +130,6 @@ def forward_chain(triples: DataFrame,
         derived = (new if derived is None
                    else derived.unionByName(new).localCheckpoint())
         all_facts = all_facts.unionByName(new).localCheckpoint()
+        delta = new
     raise RuntimeError(
         f"forward_chain did not reach fixpoint in {max_rounds} rounds")

@@ -222,3 +222,62 @@ def test_bgp_optional_random_equivalence(spark):
         assert out.columns == var_order
         got = {tuple(r) for r in out.collect()}
         assert got == expect, (case, triples)
+
+
+def test_bgp_filter_expression(spark):
+    from cbor_ld_spark.operators.bgp import match_bgp
+
+    t = _triples(spark, _DATA)
+    out = match_bgp(t, [("?c", "subject", "?p"), ("?p", "age", "?a")],
+                    filters=["cast(a as int) >= 50"])
+    assert [tuple(r) for r in out.collect()] == [("c2", "p2", "65")]
+    # filter referencing all bound vars, multiple filters AND together
+    out = match_bgp(t, [("?c", "subject", "?p"), ("?p", "age", "?a")],
+                    filters=["cast(a as int) >= 18", "p != 'p2'"])
+    assert [tuple(r) for r in out.collect()] == [("c1", "p1", "21")]
+
+
+def test_bgp_filter_pushed_below_join(spark):
+    """A single-pattern filter must reach that pattern's scan, not sit
+    above the join — Catalyst pushdown through our compiled plan."""
+    from cbor_ld_spark.operators.bgp import match_bgp
+
+    t = _triples(spark, _DATA)
+    out = match_bgp(t, [("?c", "subject", "?p"), ("?p", "age", "?a")],
+                    filters=["a = '65'"])
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    join_pos = plan.find("Join")
+    filt_pos = plan.rfind("65")
+    assert join_pos != -1 and filt_pos > join_pos, plan
+
+
+def test_bgp_not_exists(spark):
+    from cbor_ld_spark.operators.bgp import match_bgp
+
+    t = _triples(spark, _DATA)
+    # credentials WITHOUT a subject assertion (c3)
+    out = match_bgp(t, [("?c", "issuer", "?i")],
+                    not_exists=[("?c", "subject", "?p")])
+    assert {tuple(r) for r in out.collect()} == {("c3", "org1")}
+    # fresh variable in not_exists is existential; constant positions
+    # narrow the removal: drop creds whose subject is exactly p1
+    out = match_bgp(t, [("?c", "issuer", "?i")],
+                    not_exists=[("?c", "subject", "p1")])
+    assert {tuple(r) for r in out.collect()} == {("c2", "org2"),
+                                                 ("c3", "org1")}
+    # disconnected NOT EXISTS is rejected loudly
+    with pytest.raises(ValueError, match="disconnected"):
+        match_bgp(t, [("?c", "issuer", "?i")],
+                  not_exists=[("?q", "loves", "?r")])
+
+
+def test_bgp_filter_not_exists_compose(spark):
+    """FILTER and NOT EXISTS in one query: adult subjects whose
+    credential has no second 'issuer org2' assertion."""
+    from cbor_ld_spark.operators.bgp import match_bgp
+
+    t = _triples(spark, _DATA)
+    out = match_bgp(t, [("?c", "subject", "?p"), ("?p", "age", "?a")],
+                    filters=["cast(a as int) >= 18"],
+                    not_exists=[("?c", "issuer", "org2")])
+    assert [tuple(r) for r in out.collect()] == [("c1", "p1", "21")]

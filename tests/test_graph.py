@@ -487,3 +487,41 @@ def test_k_core_matches_peeling_bruteforce(spark):
     got = {r["node"]: r["coreness"]
            for r in k_core_decomposition(_edges(spark, sorted(und))).collect()}
     assert got == core
+
+
+def test_transitive_closure_chain_doubling(spark):
+    """A 33-node chain (diameter 32) closes in <= 5 doubling rounds:
+    max_iters=5 must suffice where frontier expansion would need 32."""
+    from cbor_ld_spark.operators.graph import transitive_closure
+
+    e = _edges(spark, [(f"n{i:02d}", f"n{i+1:02d}") for i in range(32)])
+    out = transitive_closure(e, max_iters=6)
+    assert out.count() == 32 * 33 // 2  # C(33,2) ordered pairs
+    got = {(r["src"], r["dst"]) for r in out.collect()}
+    assert ("n00", "n32") in got and ("n32", "n00") not in got
+
+
+def test_transitive_closure_cycle_and_diamond(spark):
+    from cbor_ld_spark.operators.graph import transitive_closure
+
+    # 3-cycle: every ordered pair incl. self-reachability
+    cyc = transitive_closure(_edges(spark, [("a", "b"), ("b", "c"),
+                                            ("c", "a")]))
+    assert {(r["src"], r["dst"]) for r in cyc.collect()} == {
+        (x, y) for x in "abc" for y in "abc"}
+    # diamond a->{b,c}->d: no b<->c path
+    dia = transitive_closure(_edges(spark, [("a", "b"), ("a", "c"),
+                                            ("b", "d"), ("c", "d")]))
+    got = {(r["src"], r["dst"]) for r in dia.collect()}
+    assert got == {("a", "b"), ("a", "c"), ("a", "d"),
+                   ("b", "d"), ("c", "d")}
+
+
+def test_transitive_closure_max_iters_loud(spark):
+    from cbor_ld_spark.operators.graph import transitive_closure
+
+    import pytest
+
+    e = _edges(spark, [(f"n{i}", f"n{i+1}") for i in range(8)])
+    with pytest.raises(RuntimeError, match="converge"):
+        transitive_closure(e, max_iters=1)
