@@ -579,6 +579,24 @@ def _kg_bgp_filter(spark, sf_dir):
     return out.orderBy("cred", "issuer", "issued")
 
 
+_IRI_VC = "https://www.w3.org/2018/credentials#verifiableCredential"
+_PATH_ISSUER_STEPS = [(_IRI_VC, "opt"), (_IRI_ISSUER, "one")]
+
+
+def _kg_path_issuers(spark, sf_dir):
+    """SPARQL 1.1 property path ``verifiableCredential?/issuer``
+    (operators/bgp.match_path): the issuer of every credential whether
+    it appears bare or wrapped in a presentation — ``?`` unions the
+    zero-length identity over all graph terms, the sequence is an
+    equi-join.  Oracle: step-by-step Python replay with identical
+    zero-path domain semantics."""
+    from cbor_ld_spark.operators.bgp import match_path
+    from cbor_ld_spark.plans import shared_triples
+
+    out = match_path(shared_triples(spark, sf_dir), _PATH_ISSUER_STEPS)
+    return out.orderBy("src", "dst")
+
+
 def _kg_path_closure(spark, sf_dir):
     """Directed transitive closure of the entity graph (SPARQL ``p+``
     machinery, operators/graph.transitive_closure): iterative doubling
@@ -1453,6 +1471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_infer_semi_naive": _kg_infer_semi_naive,
         "kg_bgp_filter": _kg_bgp_filter,
         "kg_path_closure": _kg_path_closure,
+        "kg_path_issuers": _kg_path_issuers,
         "dedup_minhash_pairs": _dedup_minhash_pairs,
         "dedup_minhash_jaccard": _dedup_minhash_jaccard,
         "ann_cosine_topk": _ann_cosine_topk,
@@ -1463,13 +1482,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_winnow_fingerprints": _text_winnow_fingerprints,
         "sample_stratified": _sample_stratified,
         "shard_pack": _shard_pack,
-        "text_tfidf_top_terms": _text_tfidf_top_terms,
         # --- past the driver's 50-query window (slot 50 ends at
-        # text_tfidf_top_terms; re-count whenever an entry is added —
+        # shard_pack; re-count whenever an entry is added —
         # tests/test_registry_modes.py pins this marker executably) ---
         # every query below is driver-green from earlier rounds with
         # operator code unchanged since, and stays value-verified by the
         # committed three-SF self-run each round:
+        "text_tfidf_top_terms": _text_tfidf_top_terms,
         "text_repetition_signals": _text_repetition_signals,
         "text_compression_signal": _text_compression_signal,
         "text_decontaminate": _text_decontaminate,
@@ -2899,6 +2918,46 @@ def _bgp_filter_oracle(sf_dir: str | None = None) -> str:
         "cred, issuer, issued")
 
 
+def _path_oracle(steps, sf_dir: str | None = None) -> str:
+    """Python replay of match_path over the realized triples: same
+    alternation/inverse/closure semantics, zero-length identity over
+    all graph terms."""
+    triples = _realized_triples(sf_dir or _oracle_sf_dir())
+    terms = sorted({s for s, _p, _o in triples}
+                   | {o for _s, _p, o in triples})
+
+    def closure(pairs: set) -> set:
+        out = set(pairs)
+        while True:
+            new = {(a, d) for a, b in out for c, d in out
+                   if b == c} - out
+            if not new:
+                return out
+            out |= new
+
+    result = None
+    for preds, mod in steps:
+        alts = [preds] if isinstance(preds, str) else list(preds)
+        edges = set()
+        for p in alts:
+            if p.startswith("^"):
+                edges |= {(o, s) for s, pp, o in triples if pp == p[1:]}
+            else:
+                edges |= {(s, o) for s, pp, o in triples if pp == p}
+        if mod == "plus":
+            edges = closure(edges)
+        elif mod in ("star", "opt"):
+            if mod == "star":
+                edges = closure(edges)
+            edges |= {(t, t) for t in terms}
+        result = (edges if result is None else
+                  {(a, d) for a, b in result for c, d in edges
+                   if b == c})
+    return _values_oracle(
+        sorted(result), [("src", "VARCHAR"), ("dst", "VARCHAR")],
+        "src, dst")
+
+
 def _path_closure_oracle(sf_dir: str | None = None) -> str:
     """Genuine recursive-SQL transitive closure: the realized base
     edges as a VALUES CTE, closed by a DuckDB WITH RECURSIVE — the
@@ -3695,6 +3754,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_infer_semi_naive": _infer_oracle(),
         "kg_bgp_filter": _bgp_filter_oracle(),
         "kg_path_closure": _path_closure_oracle(),
+        "kg_path_issuers": _path_oracle(_PATH_ISSUER_STEPS),
         "dedup_clusters": _dedup_clusters_oracle(),
         "dedup_apply": _dedup_apply_oracle(),
         "text_oov_rate": _OOV_SQL.format(norm=_NORM_SQL),

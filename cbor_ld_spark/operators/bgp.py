@@ -160,3 +160,90 @@ def match_bgp(triples: DataFrame,
         result = result.join(frame, on=shared, how="left")
     out = result.select(*var_order)
     return out.distinct() if distinct else out
+
+
+_PATH_MODS = ("one", "plus", "star", "opt")
+
+
+def _graph_terms(triples: DataFrame) -> DataFrame:
+    """All terms of the graph (subjects ∪ objects), the SPARQL domain
+    of zero-length paths."""
+    return (triples.select(F.col("subj").alias("node"))
+            .unionByName(triples.select(F.col("obj").alias("node")))
+            .distinct())
+
+
+def match_path(triples: DataFrame,
+               steps: list[tuple],
+               max_iters: int = 20) -> DataFrame:
+    """SPARQL 1.1 property-path evaluation over the triples table,
+    returning the distinct (src, dst) pairs the path connects.
+
+    ``steps`` is the parsed path: a SEQUENCE (``p1/p2``) of steps, each
+    ``(preds, mod)`` where ``preds`` is one predicate IRI or a list of
+    ALTERNATES (``p1|p2``) — a leading ``^`` on a predicate inverts
+    that alternate (``^p``) — and ``mod`` is ``"one"``, ``"plus"``
+    (``p+``), ``"star"`` (``p*``) or ``"opt"`` (``p?``).
+
+    Spark-first compilation: each step is a pred-pushed-down scan
+    (alternates become one IN filter, inverses a column swap) reduced
+    to a distinct (src, dst) edge frame; ``plus`` runs the
+    log2(diameter)-round doubling closure (``graph.transitive_closure``);
+    ``star``/``opt`` union the zero-length identity over ALL graph
+    terms (the SPARQL zero-path domain — subjects ∪ objects);
+    sequences are equi-joins step.dst == next.src, ordered by
+    Catalyst/AQE.  Deterministic, fully distributed, no driver rows."""
+    from .graph import transitive_closure
+
+    if not steps:
+        raise ValueError("match_path requires at least one step")
+    result: DataFrame | None = None
+    identity: DataFrame | None = None
+    for i, step in enumerate(steps):
+        if len(step) != 2:
+            raise ValueError(f"step {i} must be (preds, mod): {step!r}")
+        preds, mod = step
+        if mod not in _PATH_MODS:
+            raise ValueError(f"step {i}: unknown modifier {mod!r} "
+                             f"(expected one of {_PATH_MODS})")
+        alts = [preds] if isinstance(preds, str) else list(preds)
+        if not alts:
+            raise ValueError(f"step {i}: empty alternation")
+        fwd = [p for p in alts if not p.startswith("^")]
+        inv = [p[1:] for p in alts if p.startswith("^")]
+        frames = []
+        if fwd:
+            frames.append(
+                triples.filter(F.col("pred").isin(fwd))
+                .select(F.col("subj").alias("src"),
+                        F.col("obj").alias("dst")))
+        if inv:
+            frames.append(
+                triples.filter(F.col("pred").isin(inv))
+                .select(F.col("obj").alias("src"),
+                        F.col("subj").alias("dst")))
+        edges = frames[0]
+        for fr in frames[1:]:
+            edges = edges.unionByName(fr)
+        edges = edges.distinct()
+        if mod == "plus":
+            edges = transitive_closure(edges, max_iters=max_iters)
+        elif mod in ("star", "opt"):
+            if mod == "star":
+                edges = transitive_closure(edges, max_iters=max_iters)
+            if identity is None:
+                identity = (_graph_terms(triples)
+                            .select(F.col("node").alias("src"),
+                                    F.col("node").alias("dst"))
+                            .localCheckpoint())
+            edges = edges.unionByName(identity).distinct()
+        if result is None:
+            result = edges
+        else:
+            nxt = (edges.withColumnRenamed("src", "_mid")
+                   .withColumnRenamed("dst", "_nxt"))
+            result = (result.join(nxt,
+                                  result.dst == F.col("_mid"))
+                      .select("src", F.col("_nxt").alias("dst"))
+                      .distinct())
+    return result

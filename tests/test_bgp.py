@@ -281,3 +281,63 @@ def test_bgp_filter_not_exists_compose(spark):
                     filters=["cast(a as int) >= 18"],
                     not_exists=[("?c", "issuer", "org2")])
     assert [tuple(r) for r in out.collect()] == [("c1", "p1", "21")]
+
+
+def test_path_sequence_and_inverse(spark):
+    """^issuer/subject: issuer -> their credentials' subjects."""
+    from cbor_ld_spark.operators.bgp import match_path
+
+    t = _triples(spark, _DATA)
+    out = match_path(t, [("^issuer", "one"), ("subject", "one")])
+    assert {tuple(r) for r in out.collect()} == {("org1", "p1"),
+                                                 ("org2", "p2")}
+
+
+def test_path_alternation(spark):
+    from cbor_ld_spark.operators.bgp import match_path
+
+    t = _triples(spark, _DATA)
+    out = match_path(t, [(["issuer", "subject"], "one")])
+    got = {tuple(r) for r in out.collect()}
+    assert got == {("c1", "org1"), ("c2", "org2"), ("c3", "org1"),
+                   ("c1", "p1"), ("c2", "p2")}
+
+
+def test_path_plus_star_opt(spark):
+    from cbor_ld_spark.operators.bgp import match_path
+
+    chain = [("a", "p", "b"), ("b", "p", "c"), ("x", "q", "y")]
+    t = _triples(spark, chain)
+    plus = {tuple(r) for r in match_path(t, [("p", "plus")]).collect()}
+    assert plus == {("a", "b"), ("b", "c"), ("a", "c")}
+    # star adds the zero-length identity over ALL graph terms
+    star = {tuple(r) for r in match_path(t, [("p", "star")]).collect()}
+    terms = {"a", "b", "c", "x", "y"}
+    assert star == plus | {(n, n) for n in terms}
+    opt = {tuple(r) for r in match_path(t, [("q", "opt")]).collect()}
+    assert opt == {("x", "y")} | {(n, n) for n in terms}
+
+
+def test_path_sequence_with_closure_step(spark):
+    """subject/knows+ : credential -> everyone its subject transitively
+    knows."""
+    from cbor_ld_spark.operators.bgp import match_path
+
+    rows = [("c1", "subject", "p1"), ("p1", "knows", "p2"),
+            ("p2", "knows", "p3")]
+    t = _triples(spark, rows)
+    out = match_path(t, [("subject", "one"), ("knows", "plus")])
+    assert {tuple(r) for r in out.collect()} == {("c1", "p2"),
+                                                 ("c1", "p3")}
+
+
+def test_path_rejects_degenerate(spark):
+    from cbor_ld_spark.operators.bgp import match_path
+
+    t = _triples(spark, _DATA)
+    with pytest.raises(ValueError, match="at least one step"):
+        match_path(t, [])
+    with pytest.raises(ValueError, match="unknown modifier"):
+        match_path(t, [("issuer", "twice")])
+    with pytest.raises(ValueError, match="empty alternation"):
+        match_path(t, [([], "one")])
