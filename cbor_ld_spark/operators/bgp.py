@@ -182,8 +182,11 @@ def match_path(triples: DataFrame,
     ``steps`` is the parsed path: a SEQUENCE (``p1/p2``) of steps, each
     ``(preds, mod)`` where ``preds`` is one predicate IRI or a list of
     ALTERNATES (``p1|p2``) — a leading ``^`` on a predicate inverts
-    that alternate (``^p``) — and ``mod`` is ``"one"``, ``"plus"``
-    (``p+``), ``"star"`` (``p*``) or ``"opt"`` (``p?``).
+    that alternate (``^p``), and a leading ``!`` on EVERY alternate
+    makes the step a NEGATED property set (``!(p1|p2)``: any edge via
+    a predicate not in the set, forward direction, SPARQL 1.1 §9.1) —
+    and ``mod`` is ``"one"``, ``"plus"`` (``p+``), ``"star"``
+    (``p*``) or ``"opt"`` (``p?``).
 
     Spark-first compilation: each step is a pred-pushed-down scan
     (alternates become one IN filter, inverses a column swap) reduced
@@ -209,23 +212,36 @@ def match_path(triples: DataFrame,
         alts = [preds] if isinstance(preds, str) else list(preds)
         if not alts:
             raise ValueError(f"step {i}: empty alternation")
-        fwd = [p for p in alts if not p.startswith("^")]
-        inv = [p[1:] for p in alts if p.startswith("^")]
-        frames = []
-        if fwd:
-            frames.append(
-                triples.filter(F.col("pred").isin(fwd))
-                .select(F.col("subj").alias("src"),
-                        F.col("obj").alias("dst")))
-        if inv:
-            frames.append(
-                triples.filter(F.col("pred").isin(inv))
-                .select(F.col("obj").alias("src"),
-                        F.col("subj").alias("dst")))
-        edges = frames[0]
-        for fr in frames[1:]:
-            edges = edges.unionByName(fr)
-        edges = edges.distinct()
+        neg = [p[1:] for p in alts if p.startswith("!")]
+        if neg:
+            # negated property set !(p1|p2): any edge whose predicate
+            # is NOT in the set, forward direction (SPARQL 1.1 §9.1)
+            if len(neg) != len(alts):
+                raise ValueError(
+                    f"step {i}: cannot mix negated (!p) and plain "
+                    "alternates in one property set")
+            edges = (triples.filter(~F.col("pred").isin(neg))
+                     .select(F.col("subj").alias("src"),
+                             F.col("obj").alias("dst"))
+                     .distinct())
+        else:
+            fwd = [p for p in alts if not p.startswith("^")]
+            inv = [p[1:] for p in alts if p.startswith("^")]
+            frames = []
+            if fwd:
+                frames.append(
+                    triples.filter(F.col("pred").isin(fwd))
+                    .select(F.col("subj").alias("src"),
+                            F.col("obj").alias("dst")))
+            if inv:
+                frames.append(
+                    triples.filter(F.col("pred").isin(inv))
+                    .select(F.col("obj").alias("src"),
+                            F.col("subj").alias("dst")))
+            edges = frames[0]
+            for fr in frames[1:]:
+                edges = edges.unionByName(fr)
+            edges = edges.distinct()
         if mod == "plus":
             edges = transitive_closure(edges, max_iters=max_iters)
         elif mod in ("star", "opt"):

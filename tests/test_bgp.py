@@ -341,3 +341,21 @@ def test_path_rejects_degenerate(spark):
         match_path(t, [("issuer", "twice")])
     with pytest.raises(ValueError, match="empty alternation"):
         match_path(t, [([], "one")])
+
+
+def test_path_negated_property_set(spark):
+    """!(issuer|subject): edges via any OTHER predicate (SPARQL 1.1
+    negated property set, forward direction)."""
+    from cbor_ld_spark.operators.bgp import match_path
+
+    t = _triples(spark, _DATA)
+    out = match_path(t, [(["!issuer", "!subject"], "one")])
+    got = {tuple(r) for r in out.collect()}
+    assert got == {("p1", "21"), ("p2", "65"), ("x", "x"), ("y", "z")}
+    # single negated pred as a bare string
+    only_age = {("c1", "org1"), ("c2", "org2"), ("c3", "org1"),
+                ("c1", "p1"), ("c2", "p2"), ("x", "x"), ("y", "z")}
+    got2 = {tuple(r) for r in match_path(t, [("!age", "one")]).collect()}
+    assert got2 == only_age
+    with pytest.raises(ValueError, match="mix negated"):
+        match_path(t, [(["!issuer", "subject"], "one")])
