@@ -359,3 +359,71 @@ def test_path_negated_property_set(spark):
     assert got2 == only_age
     with pytest.raises(ValueError, match="mix negated"):
         match_path(t, [(["!issuer", "subject"], "one")])
+
+
+def test_sparql_parsers():
+    from cbor_ld_spark.operators.sparql import parse_path, parse_pattern
+
+    assert parse_pattern("?c <urn:p> ?x .") == ("?c", "urn:p", "?x")
+    assert parse_pattern('?c <urn:p> "two words"') == \
+        ("?c", "urn:p", "two words")
+    with pytest.raises(ValueError, match="exactly 3"):
+        parse_pattern("?a ?b")
+    with pytest.raises(ValueError, match="bare '\\?'"):
+        parse_pattern("? <urn:p> ?x")
+
+    assert parse_path("<urn:p>") == [("urn:p", "one")]
+    assert parse_path("<urn:p>/<urn:q>|<urn:r>+/^<urn:s>") == [
+        ("urn:p", "one"), (["urn:q", "urn:r"], "plus"),
+        ("^urn:s", "one")]
+    assert parse_path("!<urn:p>|!<urn:q>*") == [
+        (["!urn:p", "!urn:q"], "star")]
+    with pytest.raises(ValueError, match="parenthesised"):
+        parse_path("(<urn:p>/<urn:q>)+")
+    with pytest.raises(ValueError, match="empty step"):
+        parse_path("<urn:p>//<urn:q>")
+
+
+def test_kg_query_cli_end_to_end(spark, tmp_path):
+    """The CLI surface over a parquet triples table: BGP with FILTER +
+    NOT EXISTS, then a property path, both against the same tiny KG."""
+    import io
+    import sys as _sys
+
+    t = _triples(spark, _DATA)
+    tdir = str(tmp_path / "triples")
+    t.write.parquet(tdir)
+
+    import importlib.util
+    import os
+    spec = importlib.util.spec_from_file_location(
+        "kg_query", os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "jobs", "kg_query.py"))
+    kg_query = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(kg_query)
+
+    def run(argv):
+        buf = io.StringIO()
+        old = _sys.stdout
+        _sys.stdout = buf
+        try:
+            rc = kg_query.main(argv)
+        finally:
+            _sys.stdout = old
+        assert rc == 0
+        return buf.getvalue().strip().splitlines()
+
+    lines = run(["--triples", tdir,
+                 "--pattern", "?c <subject> ?p",
+                 "--pattern", "?p <age> ?a",
+                 "--filter", "cast(a as int) >= 50"])
+    assert lines[0] == "c\tp\ta" and lines[1:] == ["c2\tp2\t65"]
+
+    lines = run(["--triples", tdir,
+                 "--pattern", "?c <issuer> ?i",
+                 "--not-exists", "?c <subject> ?s"])
+    assert lines[1:] == ["c3\torg1"]
+
+    lines = run(["--triples", tdir, "--path", "^<issuer>/<subject>"])
+    assert lines[0] == "src\tdst"
+    assert set(lines[1:]) == {"org1\tp1", "org2\tp2"}
