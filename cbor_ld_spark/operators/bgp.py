@@ -162,6 +162,36 @@ def match_bgp(triples: DataFrame,
     return out.distinct() if distinct else out
 
 
+def match_union(triples: DataFrame,
+                groups: list[list[tuple[str, str, str]]],
+                distinct: bool = True) -> DataFrame:
+    """SPARQL UNION of BGP groups: each group matches independently,
+    results are unioned over the UNION of the groups' variables
+    (first-appearance order across groups) with NULL for variables a
+    group does not bind — SPARQL's unbound-variable semantics.
+
+    Plan shape: one match_bgp plan per group (each with its own
+    pushed-down scans and join order) plus a zero-shuffle unionByName;
+    the optional final distinct is the only added exchange."""
+    if not groups:
+        raise ValueError("match_union requires at least one group")
+    frames = [match_bgp(triples, pats, distinct=False)
+              for pats in groups]
+    var_order: list[str] = []
+    for fr in frames:
+        for c in fr.columns:
+            if c not in var_order:
+                var_order.append(c)
+    padded = [fr.select(*[
+        F.col(v) if v in fr.columns
+        else F.lit(None).cast("string").alias(v)
+        for v in var_order]) for fr in frames]
+    out = padded[0]
+    for fr in padded[1:]:
+        out = out.unionByName(fr)
+    return out.distinct() if distinct else out
+
+
 _PATH_MODS = ("one", "plus", "star", "opt")
 
 

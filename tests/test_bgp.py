@@ -427,3 +427,25 @@ def test_kg_query_cli_end_to_end(spark, tmp_path):
     lines = run(["--triples", tdir, "--path", "^<issuer>/<subject>"])
     assert lines[0] == "src\tdst"
     assert set(lines[1:]) == {"org1\tp1", "org2\tp2"}
+
+
+def test_bgp_union(spark):
+    """UNION of two groups with partly-disjoint variables: NULL pads
+    the unbound side, columns in first-appearance order across
+    groups."""
+    from cbor_ld_spark.operators.bgp import match_union
+
+    t = _triples(spark, _DATA)
+    out = match_union(t, [
+        [("?c", "issuer", "?i")],
+        [("?c", "subject", "?p"), ("?p", "age", "?a")],
+    ])
+    assert out.columns == ["c", "i", "p", "a"]
+    got = {tuple(r) for r in out.collect()}
+    assert got == {
+        ("c1", "org1", None, None), ("c2", "org2", None, None),
+        ("c3", "org1", None, None),
+        ("c1", None, "p1", "21"), ("c2", None, "p2", "65")}
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="at least one group"):
+        match_union(t, [])
