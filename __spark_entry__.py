@@ -615,6 +615,29 @@ def _kg_path_issuers(spark, sf_dir):
     return out.orderBy("src", "dst")
 
 
+_TRUAGE_ISSUER = \
+    "did:key:z6MkkUbCFazdoducKf8SUye7cAxuicMdDBhXKWuTEuGA3jQF"
+
+
+def _kg_path_truage_issuer(spark, sf_dir):
+    """The SAME property path with a GROUND object — "which documents
+    chain to THIS issuer", the question a reference consumer actually
+    asks (tests/samples/truage.jsonld:15 pins the did:key) — evaluated
+    by the SEEDED tier (r6 VERDICT #2): frontier expansion right-to-
+    left from the constant (operators/bgp.py `_seeded_eval`), never
+    the full quadratic closure-then-filter plan.  Cost tracks the
+    constant's in-edges, not the relation: the plan that survives a
+    10^12-triple graph.  Oracle: the unconstrained Python replay
+    filtered to the endpoint — exactly the equivalence the seeded
+    tier property-tests."""
+    from cbor_ld_spark.operators.bgp import match_path
+    from cbor_ld_spark.plans import shared_triples
+
+    out = match_path(shared_triples(spark, sf_dir), _PATH_ISSUER_STEPS,
+                     dst=_TRUAGE_ISSUER)
+    return out.orderBy("src", "dst")
+
+
 def _kg_path_closure(spark, sf_dir):
     """Directed transitive closure of the entity graph (SPARQL ``p+``
     machinery, operators/graph.transitive_closure): iterative doubling
@@ -1436,19 +1459,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries in registry order.  STANDING RULE (r6+): any NEW query lands
     # INSIDE slot 50 in the same commit that adds it, demoting a long-stable
     # single to the tail — so every operator earns a hard-signal driver row
-    # the round it ships.  Window exits this round (all driver-green in
-    # earlier rounds, operator code untouched, still value-verified by the
-    # committed three-SF self-run): text_token_stats, text_quality,
-    # text_lang_id_multi, text_token_stats_bpe, text_fingerprints,
-    # text_term_dictionary, dedup_simhash_groups, dedup_simhash_near,
-    # dedup_ngram_jaccard, dedup_exact, kg_entity_components,
-    # kg_cardinality_sketch, multimodal_image_features,
-    # multimodal_audio_features, multimodal_video_frames,
-    # multimodal_frame_dedup.  Window entries: the 7 r5-tail operators
-    # (dedup_apply, text_oov_rate, kg_obj_datatypes, kg_ppr, kg_hits,
-    # kg_reachability, kg_communities) + the 8 r6-new queries
-    # (kg_neighbor_overlap_lsh, kg_anf, kg_bgp_truage, kg_bgp_optional,
-    # kg_kcore, stream_dedup_parity, kg_nquads_export, kg_infer_vouches).
+    # the round it ships.  ROTATION RULE (r7+, VERDICT r6 #8): each round,
+    # ~10 stable tail queries whose last driver row is >=3 rounds old swap
+    # back into the window in place of now-proven recent additions, so every
+    # registry query re-earns a driver row at least every ~4 rounds.
+    # Window exits this round (all driver-green r6, operator code untouched
+    # in r7, still value-verified by the committed three-SF self-run):
+    # dedup_apply, text_oov_rate, kg_obj_datatypes, kg_ppr, kg_hits,
+    # kg_reachability, kg_communities, kg_anf, kg_neighbor_overlap_lsh,
+    # kg_nquads_export, kg_infer_vouches, dedup_minhash_jaccard,
+    # sample_stratified.  Window entries: kg_path_truage_issuer (NEW r7 —
+    # seeded property-path tier) + 12 rotations whose last driver row was
+    # r4 (rel_* x8, events_by_type, events_sessions, kg_hex_roundtrip,
+    # emb_near_dup).  Queries whose operators WERE touched in r7 (bgp.py
+    # paths/parser, graph.py k-core) all stay in-window: kg_bgp_*,
+    # kg_path_*, kg_infer_semi_naive, kg_kcore.
     return {
         "kg_corpus_shape": _kg_corpus_shape,
         "kg_doc_results": _kg_doc_results,
@@ -1472,6 +1497,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_windowed_parity": _stream_windowed_parity,
         "stream_dedup_parity": _stream_dedup_parity,
         "events_retention": _events_retention,
+        "kg_path_truage_issuer": _kg_path_truage_issuer,
+        "kg_bgp_truage": _kg_bgp_truage,
+        "kg_kcore": _kg_kcore,
+        "kg_bgp_optional": _kg_bgp_optional,
+        "kg_infer_semi_naive": _kg_infer_semi_naive,
+        "kg_bgp_filter": _kg_bgp_filter,
+        "kg_path_closure": _kg_path_closure,
+        "kg_path_issuers": _kg_path_issuers,
+        "kg_bgp_group": _kg_bgp_group,
+        "rel_pricing_summary": _rel_pricing_summary,
+        "rel_top_customers": _rel_top_customers,
+        "rel_orders_with_returns": _rel_orders_with_returns,
+        "rel_orders_no_returns": _rel_orders_no_returns,
+        "rel_segment_revenue": _rel_segment_revenue,
+        "rel_nation_revenue": _rel_nation_revenue,
+        "rel_shipping_priority": _rel_shipping_priority,
+        "rel_revenue_rollup": _rel_revenue_rollup,
+        "events_by_type": _events_by_type,
+        "events_sessions": _events_sessions,
+        "kg_hex_roundtrip": _kg_hex_roundtrip,
+        "emb_near_dup": _emb_near_dup,
+        "dedup_minhash_pairs": _dedup_minhash_pairs,
+        "ann_cosine_topk": _ann_cosine_topk,
+        "ann_lsh_topk": _ann_lsh_topk,
+        "ann_ivf_topk": _ann_ivf_topk,
+        "emb_near_dup_blocked": _emb_near_dup_blocked,
+        "dedup_embedding_lsh": _dedup_embedding_lsh,
+        "text_winnow_fingerprints": _text_winnow_fingerprints,
+        # --- past the driver's 50-query window (slot 50 ends at
+        # text_winnow_fingerprints; re-count whenever an entry is added —
+        # tests/test_registry_modes.py pins this marker executably) ---
+        "sample_stratified": _sample_stratified,
+        "shard_pack": _shard_pack,
+        # every query below is driver-green from earlier rounds with
+        # operator code unchanged since, and stays value-verified by the
+        # committed three-SF self-run each round:
         "dedup_apply": _dedup_apply,
         "text_oov_rate": _text_oov_rate,
         "kg_obj_datatypes": _kg_obj_datatypes,
@@ -1481,32 +1542,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_communities": _kg_communities,
         "kg_neighbor_overlap_lsh": _kg_neighbor_overlap_lsh,
         "kg_anf": _kg_anf,
-        "kg_bgp_truage": _kg_bgp_truage,
-        "kg_kcore": _kg_kcore,
         "kg_nquads_export": _kg_nquads_export,
-        "kg_bgp_optional": _kg_bgp_optional,
         "kg_infer_vouches": _kg_infer_vouches,
-        "kg_infer_semi_naive": _kg_infer_semi_naive,
-        "kg_bgp_filter": _kg_bgp_filter,
-        "kg_path_closure": _kg_path_closure,
-        "kg_path_issuers": _kg_path_issuers,
-        "kg_bgp_group": _kg_bgp_group,
-        "dedup_minhash_pairs": _dedup_minhash_pairs,
         "dedup_minhash_jaccard": _dedup_minhash_jaccard,
-        "ann_cosine_topk": _ann_cosine_topk,
-        "ann_lsh_topk": _ann_lsh_topk,
-        "ann_ivf_topk": _ann_ivf_topk,
-        "emb_near_dup_blocked": _emb_near_dup_blocked,
-        "dedup_embedding_lsh": _dedup_embedding_lsh,
-        "text_winnow_fingerprints": _text_winnow_fingerprints,
-        "sample_stratified": _sample_stratified,
-        # --- past the driver's 50-query window (slot 50 ends at
-        # sample_stratified; re-count whenever an entry is added —
-        # tests/test_registry_modes.py pins this marker executably) ---
-        "shard_pack": _shard_pack,
-        # every query below is driver-green from earlier rounds with
-        # operator code unchanged since, and stays value-verified by the
-        # committed three-SF self-run each round:
         "text_tfidf_top_terms": _text_tfidf_top_terms,
         "text_repetition_signals": _text_repetition_signals,
         "text_compression_signal": _text_compression_signal,
@@ -1527,22 +1565,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_groups": _dedup_simhash_groups,
         "dedup_simhash_near": _dedup_simhash_near,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
-        "rel_pricing_summary": _rel_pricing_summary,
-        "rel_top_customers": _rel_top_customers,
-        "rel_orders_with_returns": _rel_orders_with_returns,
-        "rel_orders_no_returns": _rel_orders_no_returns,
-        "rel_segment_revenue": _rel_segment_revenue,
-        "rel_nation_revenue": _rel_nation_revenue,
-        "rel_shipping_priority": _rel_shipping_priority,
-        "rel_revenue_rollup": _rel_revenue_rollup,
-        "events_by_type": _events_by_type,
         "events_hourly": _events_hourly,
         "events_user_activity": _events_user_activity,
         "events_session_stats": _events_session_stats,
-        "events_sessions": _events_sessions,
-        "kg_hex_roundtrip": _kg_hex_roundtrip,
         "text_lang_id": _text_lang_id,
-        "emb_near_dup": _emb_near_dup,
     }
 
 
@@ -2957,10 +2983,15 @@ def _bgp_group_oracle(sf_dir: str | None = None) -> str:
         "issuer")
 
 
-def _path_oracle(steps, sf_dir: str | None = None) -> str:
+def _path_oracle(steps, sf_dir: str | None = None,
+                 src: str | None = None,
+                 dst: str | None = None) -> str:
     """Python replay of match_path over the realized triples: same
-    alternation/inverse/closure semantics, zero-length identity over
-    all graph terms."""
+    alternation/inverse/closure/nested-group semantics, zero-length
+    identity over all graph terms.  ``src``/``dst`` filter the final
+    pairs — the oracle replays the UNCONSTRAINED relation then
+    filters, which is exactly the equivalence the seeded tier
+    property-tests against."""
     triples = _realized_triples(sf_dir or _oracle_sf_dir())
     terms = sorted({s for s, _p, _o in triples}
                    | {o for _s, _p, o in triples})
@@ -2974,24 +3005,50 @@ def _path_oracle(steps, sf_dir: str | None = None) -> str:
                 return out
             out |= new
 
-    result = None
-    for preds, mod in steps:
-        alts = [preds] if isinstance(preds, str) else list(preds)
-        edges = set()
-        for p in alts:
-            if p.startswith("^"):
-                edges |= {(o, s) for s, pp, o in triples if pp == p[1:]}
+    def eval_steps(steps) -> set:
+        result = None
+        for preds, mod in steps:
+            if (isinstance(preds, (list, tuple)) and preds
+                    and isinstance(preds[0], tuple)):
+                edges = eval_steps(list(preds))  # nested group
             else:
-                edges |= {(s, o) for s, pp, o in triples if pp == p}
-        if mod == "plus":
-            edges = closure(edges)
-        elif mod in ("star", "opt"):
-            if mod == "star":
+                alts = ([preds] if isinstance(preds, str)
+                        else list(preds))
+                edges = set()
+                neg = [p[1:] for p in alts if p.startswith("!")]
+                if neg:
+                    # negated property set — mirror match_path: all
+                    # alternates must be negated, forward edges whose
+                    # pred is not in the set (SPARQL 1.1 §9.1)
+                    if len(neg) != len(alts):
+                        raise ValueError("mixed negated/plain property "
+                                         "set in _path_oracle")
+                    edges |= {(s, o) for s, pp, o in triples
+                              if pp not in neg}
+                else:
+                    for p in alts:
+                        if p.startswith("^"):
+                            edges |= {(o, s) for s, pp, o in triples
+                                      if pp == p[1:]}
+                        else:
+                            edges |= {(s, o) for s, pp, o in triples
+                                      if pp == p}
+            if mod == "plus":
                 edges = closure(edges)
-            edges |= {(t, t) for t in terms}
-        result = (edges if result is None else
-                  {(a, d) for a, b in result for c, d in edges
-                   if b == c})
+            elif mod in ("star", "opt"):
+                if mod == "star":
+                    edges = closure(edges)
+                edges |= {(t, t) for t in terms}
+            result = (edges if result is None else
+                      {(a, d) for a, b in result for c, d in edges
+                       if b == c})
+        return result
+
+    result = eval_steps(steps)
+    if src is not None:
+        result = {p for p in result if p[0] == src}
+    if dst is not None:
+        result = {p for p in result if p[1] == dst}
     return _values_oracle(
         sorted(result), [("src", "VARCHAR"), ("dst", "VARCHAR")],
         "src, dst")
@@ -3794,6 +3851,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_bgp_filter": _bgp_filter_oracle(),
         "kg_path_closure": _path_closure_oracle(),
         "kg_path_issuers": _path_oracle(_PATH_ISSUER_STEPS),
+        "kg_path_truage_issuer": _path_oracle(_PATH_ISSUER_STEPS,
+                                              dst=_TRUAGE_ISSUER),
         "kg_bgp_group": _bgp_group_oracle(),
         "dedup_clusters": _dedup_clusters_oracle(),
         "dedup_apply": _dedup_apply_oracle(),

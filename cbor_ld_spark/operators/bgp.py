@@ -49,6 +49,15 @@ def _pattern_frame(triples: DataFrame, pat, i: int, var_order: list[str]):
             var = term[1:]
             if not var:
                 raise ValueError(f"pattern {i}: bare '?' variable")
+            if var.startswith("_"):
+                # '_'-prefixed columns are reserved for the internal
+                # EXISTS-guard markers (_exists_i); a '?_x' variable
+                # would be silently excluded from the equi-join keys
+                # (cross join / ambiguous-column error instead of a
+                # typed one), so reject loudly here.
+                raise ValueError(
+                    f"pattern {i}: variable name {term!r} may not "
+                    "start with '_' (reserved for internal columns)")
             if var in seen:
                 filters.append(F.col(pos) == F.col(seen[var]))
             else:
@@ -203,9 +212,154 @@ def _graph_terms(triples: DataFrame) -> DataFrame:
             .distinct())
 
 
+def _step_edges(triples: DataFrame, alts: list[str], i: int) -> DataFrame:
+    """One path step's distinct (src, dst) edge frame: pred-pushed
+    scan; alternates = one IN filter; ``^p`` inverts that alternate;
+    all-``!`` alternates form a negated property set (forward)."""
+    neg = [p[1:] for p in alts if p.startswith("!")]
+    if neg:
+        # negated property set !(p1|p2): any edge whose predicate
+        # is NOT in the set, forward direction (SPARQL 1.1 §9.1)
+        if len(neg) != len(alts):
+            raise ValueError(
+                f"step {i}: cannot mix negated (!p) and plain "
+                "alternates in one property set")
+        return (triples.filter(~F.col("pred").isin(neg))
+                .select(F.col("subj").alias("src"),
+                        F.col("obj").alias("dst"))
+                .distinct())
+    fwd = [p for p in alts if not p.startswith("^")]
+    inv = [p[1:] for p in alts if p.startswith("^")]
+    frames = []
+    if fwd:
+        frames.append(
+            triples.filter(F.col("pred").isin(fwd))
+            .select(F.col("subj").alias("src"),
+                    F.col("obj").alias("dst")))
+    if inv:
+        frames.append(
+            triples.filter(F.col("pred").isin(inv))
+            .select(F.col("obj").alias("src"),
+                    F.col("subj").alias("dst")))
+    edges = frames[0]
+    for fr in frames[1:]:
+        edges = edges.unionByName(fr)
+    return edges.distinct()
+
+
+def _is_group(preds) -> bool:
+    """A GROUP step's preds is a nested list of steps — ``(p/q)+``
+    parses to ``([(p, 'one'), (q, 'one')], 'plus')`` — versus an
+    alternation, which is a list of predicate strings."""
+    return (isinstance(preds, (list, tuple)) and bool(preds)
+            and isinstance(preds[0], tuple))
+
+
+def _validate_step(step, i: int):
+    """Shared step validation -> (preds, mod)."""
+    if len(step) != 2:
+        raise ValueError(f"step {i} must be (preds, mod): {step!r}")
+    preds, mod = step
+    if mod not in _PATH_MODS:
+        raise ValueError(f"step {i}: unknown modifier {mod!r} "
+                         f"(expected one of {_PATH_MODS})")
+    if not isinstance(preds, str) and not preds:
+        raise ValueError(f"step {i}: empty alternation")
+    return preds, mod
+
+
+def _bfs_fix(frontier: DataFrame, step_fn, max_iters: int) -> DataFrame:
+    """Nodes with a path of >= 1 applications of ``step_fn`` from
+    ``frontier`` — plain BFS, one anti-join + localCheckpoint per
+    layer (k_hop's layer machinery).  Rounds = eccentricity of the
+    frontier, but each round touches only the frontier's out-edges —
+    never the whole relation's closure.  ``step_fn`` maps a ``node``
+    frame to the nodes one step away (an edge join for atom steps, a
+    recursive sub-path evaluation for group steps)."""
+    reached: DataFrame | None = None
+    layer = frontier
+    for _ in range(max_iters):
+        nxt = step_fn(layer).distinct()
+        if reached is not None:
+            nxt = nxt.join(reached, on="node", how="left_anti")
+        nxt = nxt.localCheckpoint()
+        if nxt.isEmpty():
+            break
+        reached = (nxt if reached is None
+                   else reached.unionByName(nxt).localCheckpoint())
+        layer = nxt
+    else:
+        raise RuntimeError(
+            f"seeded path expansion did not converge in {max_iters} "
+            "layers (eccentricity bound; raise max_iters)")
+    if reached is None:
+        return frontier.limit(0)
+    return reached
+
+
+def _seeded_eval(triples: DataFrame, steps: list[tuple],
+                 frontier: DataFrame, reverse: bool,
+                 max_iters: int) -> DataFrame:
+    """Frontier evaluation of a path over a ``node`` frame of current
+    positions.  ``reverse=True`` evaluates right-to-left (ground
+    OBJECT): steps in reverse order with each leaf step's edge frame
+    direction swapped — exactly the inverse path (applied recursively
+    to nested groups)."""
+    ordered = list(reversed(steps)) if reverse else list(steps)
+    for i, step in enumerate(ordered):
+        preds, mod = _validate_step(step, i)
+        if _is_group(preds):
+            sub = list(preds)
+
+            def step_fn(fr, _sub=sub):
+                return _seeded_eval(triples, _sub, fr, reverse,
+                                    max_iters)
+        else:
+            alts = [preds] if isinstance(preds, str) else list(preds)
+            edges = _step_edges(triples, alts, i)
+            if reverse:
+                edges = edges.select(F.col("dst").alias("src"),
+                                     F.col("src").alias("dst"))
+            edges = edges.localCheckpoint()
+
+            def step_fn(fr, _e=edges):
+                return (fr.join(_e, fr.node == _e.src)
+                        .select(F.col("dst").alias("node")))
+        if mod == "one":
+            frontier = step_fn(frontier).distinct().localCheckpoint()
+        elif mod == "opt":
+            frontier = (step_fn(frontier)
+                        .unionByName(frontier)
+                        .distinct().localCheckpoint())
+        elif mod == "plus":
+            frontier = _bfs_fix(frontier, step_fn, max_iters)
+        else:  # star
+            frontier = (_bfs_fix(frontier, step_fn, max_iters)
+                        .unionByName(frontier)
+                        .distinct().localCheckpoint())
+    return frontier
+
+
+def _seeded_path_nodes(triples: DataFrame, steps: list[tuple],
+                       seed: str, reverse: bool,
+                       max_iters: int) -> DataFrame:
+    """Seeded tier entry: final positions of the path from one ground
+    endpoint.  The initial frontier is the seed INTERSECTED with the
+    graph terms, which preserves exact equivalence with the
+    unconstrained tier (whose zero-length identity ranges over graph
+    terms only): a seed that is not a graph term has no edges and no
+    zero-path identity, so every result is empty either way."""
+    frontier = (_graph_terms(triples)
+                .filter(F.col("node") == F.lit(seed))
+                .localCheckpoint())
+    return _seeded_eval(triples, steps, frontier, reverse, max_iters)
+
+
 def match_path(triples: DataFrame,
                steps: list[tuple],
-               max_iters: int = 20) -> DataFrame:
+               max_iters: int = 20,
+               src: str | None = None,
+               dst: str | None = None) -> DataFrame:
     """SPARQL 1.1 property-path evaluation over the triples table,
     returning the distinct (src, dst) pairs the path connects.
 
@@ -216,7 +370,10 @@ def match_path(triples: DataFrame,
     makes the step a NEGATED property set (``!(p1|p2)``: any edge via
     a predicate not in the set, forward direction, SPARQL 1.1 §9.1) —
     and ``mod`` is ``"one"``, ``"plus"`` (``p+``), ``"star"``
-    (``p*``) or ``"opt"`` (``p?``).
+    (``p*``) or ``"opt"`` (``p?``).  ``preds`` may also be a nested
+    list of steps — a parenthesised GROUP, ``(p/q)+`` =
+    ``([(p, 'one'), (q, 'one')], 'plus')`` — evaluated as the closure
+    (or option) of the composed sub-relation; groups nest.
 
     Spark-first compilation: each step is a pred-pushed-down scan
     (alternates become one IN filter, inverses a column swap) reduced
@@ -225,64 +382,63 @@ def match_path(triples: DataFrame,
     ``star``/``opt`` union the zero-length identity over ALL graph
     terms (the SPARQL zero-path domain — subjects ∪ objects);
     sequences are equi-joins step.dst == next.src, ordered by
-    Catalyst/AQE.  Deterministic, fully distributed, no driver rows."""
-    from .graph import transitive_closure
+    Catalyst/AQE.  Deterministic, fully distributed, no driver rows.
 
+    ``src`` / ``dst`` (ground endpoints — r6 VERDICT #2): when the
+    query binds an endpoint to a constant (CLI ``<c> p+ ?x`` /
+    ``?s p+ <c>``), the scale-right plan is NOT "close the whole
+    relation, then filter": closure output is quadratic in component
+    size while the seeded answer is one node set.  With ``src`` set,
+    evaluation switches to frontier expansion from the constant
+    (k_hop's layer machinery — one join per BFS layer, cost tracks the
+    frontier's out-edges); with only ``dst`` set, the path is
+    evaluated right-to-left over direction-swapped edges; with both
+    set, the result is the (src, dst) pair if connected, else empty.
+    Exact-equivalence with the unconstrained tier is property-tested
+    (including the zero-length-identity graph-terms domain)."""
     if not steps:
         raise ValueError("match_path requires at least one step")
+    if src is not None:
+        nodes = _seeded_path_nodes(triples, steps, src, False, max_iters)
+        if dst is not None:
+            nodes = nodes.filter(F.col("node") == F.lit(dst))
+        return nodes.select(F.lit(src).alias("src"),
+                            F.col("node").alias("dst"))
+    if dst is not None:
+        nodes = _seeded_path_nodes(triples, steps, dst, True, max_iters)
+        return nodes.select(F.col("node").alias("src"),
+                            F.lit(dst).alias("dst"))
+    return _path_relation(triples, steps, max_iters, [None])
+
+
+def _path_relation(triples: DataFrame, steps: list[tuple],
+                   max_iters: int, ident: list) -> DataFrame:
+    """Unconstrained tier: the full (src, dst) relation of a step
+    sequence.  Group steps recurse (closure over the composed
+    sub-relation); ``ident`` is a one-slot holder so the zero-length
+    identity frame is computed once across the whole (nested) path."""
+    from .graph import transitive_closure
+
     result: DataFrame | None = None
-    identity: DataFrame | None = None
     for i, step in enumerate(steps):
-        if len(step) != 2:
-            raise ValueError(f"step {i} must be (preds, mod): {step!r}")
-        preds, mod = step
-        if mod not in _PATH_MODS:
-            raise ValueError(f"step {i}: unknown modifier {mod!r} "
-                             f"(expected one of {_PATH_MODS})")
-        alts = [preds] if isinstance(preds, str) else list(preds)
-        if not alts:
-            raise ValueError(f"step {i}: empty alternation")
-        neg = [p[1:] for p in alts if p.startswith("!")]
-        if neg:
-            # negated property set !(p1|p2): any edge whose predicate
-            # is NOT in the set, forward direction (SPARQL 1.1 §9.1)
-            if len(neg) != len(alts):
-                raise ValueError(
-                    f"step {i}: cannot mix negated (!p) and plain "
-                    "alternates in one property set")
-            edges = (triples.filter(~F.col("pred").isin(neg))
-                     .select(F.col("subj").alias("src"),
-                             F.col("obj").alias("dst"))
-                     .distinct())
+        preds, mod = _validate_step(step, i)
+        if _is_group(preds):
+            edges = _path_relation(triples, list(preds), max_iters,
+                                   ident)
         else:
-            fwd = [p for p in alts if not p.startswith("^")]
-            inv = [p[1:] for p in alts if p.startswith("^")]
-            frames = []
-            if fwd:
-                frames.append(
-                    triples.filter(F.col("pred").isin(fwd))
-                    .select(F.col("subj").alias("src"),
-                            F.col("obj").alias("dst")))
-            if inv:
-                frames.append(
-                    triples.filter(F.col("pred").isin(inv))
-                    .select(F.col("obj").alias("src"),
-                            F.col("subj").alias("dst")))
-            edges = frames[0]
-            for fr in frames[1:]:
-                edges = edges.unionByName(fr)
-            edges = edges.distinct()
+            alts = [preds] if isinstance(preds, str) else list(preds)
+            edges = _step_edges(triples, alts, i)
         if mod == "plus":
             edges = transitive_closure(edges, max_iters=max_iters)
         elif mod in ("star", "opt"):
             if mod == "star":
                 edges = transitive_closure(edges, max_iters=max_iters)
-            if identity is None:
-                identity = (_graph_terms(triples)
+            if ident[0] is None:
+                ident[0] = (_graph_terms(triples)
                             .select(F.col("node").alias("src"),
                                     F.col("node").alias("dst"))
                             .localCheckpoint())
-            edges = edges.unionByName(identity).distinct()
+            edges = edges.unionByName(ident[0]).distinct()
         if result is None:
             result = edges
         else:

@@ -193,8 +193,12 @@ def transitive_closure(edges: DataFrame,
     ``approx_neighborhood_function`` (sketched), which exist for
     exactly that reason.
 
-    Raises after ``max_iters`` rounds (covers diameter 2^max_iters —
-    loud bound, same contract as forward_chain)."""
+    Raises after ``max_iters`` rounds.  Bound, stated precisely: after
+    r productive rounds the closure covers path length 2^r, but
+    convergence is only OBSERVED on the following round (the one where
+    the count stops growing), so ``max_iters`` rounds are guaranteed
+    sufficient for diameter <= 2^(max_iters - 1) — the detection round
+    costs one extra iteration (same contract as forward_chain)."""
     reach = (edges.select("src", "dst").distinct().localCheckpoint())
     n = reach.count()
     for _ in range(max_iters):
@@ -211,7 +215,8 @@ def transitive_closure(edges: DataFrame,
         reach, n = grown, m
     raise RuntimeError(
         f"transitive_closure did not converge in {max_iters} doubling "
-        f"rounds (diameter > 2^{max_iters}?)")
+        f"rounds (guaranteed only for diameter <= 2^{max_iters - 1}; "
+        "raise max_iters)")
 
 
 def triangle_stats(edges: DataFrame) -> DataFrame:
@@ -589,14 +594,21 @@ def k_core_decomposition(edges: DataFrame,
     result AND the iteration count are pure functions of the edge set
     (replayable by the oracle), with ``max_iters`` as a loud bound.
 
-    Scale shape: per round, one shuffle join (adjacency x estimates, on
-    the uniform node key) + one per-node window (partitioned by node,
-    never global) + one hash agg; per-iteration localCheckpoint (the
-    iterative-plan lineage rule) and a 1-row convergence count — the
-    accepted driver sync for convergence-driven loops.  A degree-d hub
-    costs d window rows per round; at extreme skew the h-index can be
-    computed from a bounded value histogram instead (values are capped
-    by degree) — documented tier, not needed at gate scale.
+    Scale shape (r7 — the bounded-histogram tier, VERDICT r6 #3): per
+    round, one shuffle join (adjacency x estimates, on the uniform
+    node key), then the h-index is computed from a per-node VALUE
+    HISTOGRAM instead of a per-node ``row_number`` window over raw
+    neighbor messages.  The histogram ``groupBy(node, value)`` has
+    map-side partial aggregation, so a degree-d mega-hub never
+    funnels d rows into one task's sort buffer — only its distinct
+    neighbor-estimate values shuffle; values are then CAPPED at the
+    node's current estimate (a new estimate can never exceed it, and
+    capped values yield the identical h-index), which bounds the
+    per-node histogram at cap+1 rows, so the remaining cumulative-sum
+    window touches <= cap+1 rows per node per round regardless of
+    degree.  Bit-identical to the direct h-index (property-tested,
+    incl. a 10^4-degree hub); per-iteration localCheckpoint (the
+    iterative-plan lineage rule) and a 1-row convergence count.
 
     Output: (node, coreness int).
     """
@@ -613,15 +625,26 @@ def k_core_decomposition(edges: DataFrame,
     cur = (sym.groupBy(F.col("u").alias("node"))
            .agg(F.count(F.lit(1)).alias("c"))
            .localCheckpoint())
-    w = Window.partitionBy("node").orderBy(F.desc("c_nb"), F.asc("v"))
+    wh = (Window.partitionBy("node").orderBy(F.desc("val"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     for _ in range(max_iters):
         nbr = cur.select(F.col("node").alias("v"), F.col("c").alias("c_nb"))
         msgs = sym.join(nbr, "v").select(F.col("u").alias("node"),
-                                         "c_nb", "v")
-        # h-index = max over desc-sorted neighbors of min(rank, value)
-        h = (msgs.withColumn("_rn", F.row_number().over(w))
+                                         "c_nb")
+        # raw histogram first: map-side combine absorbs hub fan-in
+        hist0 = (msgs.groupBy("node", "c_nb")
+                 .agg(F.count(F.lit(1)).alias("cnt")))
+        # cap at the node's current estimate and re-bucket: <= cap+1
+        # histogram rows per node survive
+        hist = (hist0.join(cur, "node")
+                .select("node", F.least("c_nb", "c").alias("val"),
+                        "cnt")
+                .groupBy("node", "val").agg(F.sum("cnt").alias("cnt")))
+        # h-index over the histogram: rows desc by value, running
+        # neighbor count m — h = max over rows of min(val, m)
+        h = (hist.withColumn("_m", F.sum("cnt").over(wh))
              .groupBy("node")
-             .agg(F.max(F.least(F.col("_rn"), F.col("c_nb")))
+             .agg(F.max(F.least(F.col("val"), F.col("_m")))
                   .alias("h")))
         new = (cur.join(h, "node")
                .select("node", F.least("c", "h").alias("c"))

@@ -12,9 +12,18 @@ writing Python:
         --filter "i like 'did:%'" \
         --out /data/answers
 
-    # SPARQL property path (sequence / alternation / ^ / ! / + * ?)
+    # SPARQL property path (sequence / alternation / ^ / ! / + * ? /
+    # parenthesised groups); a ground endpoint switches to the seeded
+    # frontier tier (no full closure)
     spark-submit jobs/kg_query.py --triples /data/kg/triples \
-        --path '<...#verifiableCredential>?/<...#issuer>' --limit 20
+        --path '<...#verifiableCredential>?/<...#issuer>' \
+        --dst '<did:key:...>' --limit 20
+
+    # UNION groups (';'-separated patterns per group) + GROUP BY
+    spark-submit jobs/kg_query.py --triples /data/kg/triples \
+        --union '?c <...#issuer> ?i' \
+        --union '?c <...#holder> ?i' \
+        --group-by i --agg 'count(distinct c) AS n' --having 'n > 1'
 
 Without --out, prints up to --limit rows as TSV to stdout (small
 results only — the point of --out is that answers stay distributed).
@@ -44,22 +53,54 @@ def main(argv=None):
     ap.add_argument("--path", default=None,
                     help="property-path expression (mutually exclusive "
                          "with --pattern)")
+    ap.add_argument("--src", default=None,
+                    help="ground SUBJECT endpoint for --path: seeded "
+                         "frontier evaluation instead of full closure")
+    ap.add_argument("--dst", default=None,
+                    help="ground OBJECT endpoint for --path (seeded, "
+                         "evaluated right-to-left)")
+    ap.add_argument("--union", action="append", default=[],
+                    help="one UNION group: its patterns separated by "
+                         "';' (repeatable; mutually exclusive with "
+                         "--pattern/--path)")
+    ap.add_argument("--group-by", default=None,
+                    help="comma-separated binding variables to GROUP "
+                         "BY (requires --agg)")
+    ap.add_argument("--agg", action="append", default=[],
+                    help="aggregate SQL expression over the bindings, "
+                         "e.g. 'count(distinct cred) AS n_creds' "
+                         "(repeatable)")
+    ap.add_argument("--having", action="append", default=[],
+                    help="HAVING boolean SQL expression over the "
+                         "aggregated columns (repeatable)")
     ap.add_argument("--out", default=None,
                     help="write the full answer set as parquet here")
     ap.add_argument("--limit", type=int, default=50,
                     help="stdout row cap when --out is not given")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
-    if bool(args.path) == bool(args.pattern):
-        ap.error("provide either --path or at least one --pattern")
+    n_modes = sum([bool(args.path), bool(args.pattern),
+                   bool(args.union)])
+    if n_modes != 1:
+        ap.error("provide exactly one of --path, --pattern (>=1) "
+                 "or --union (>=1)")
     if args.path and (args.optional or args.filter or args.not_exists):
         ap.error("--optional/--filter/--not-exists apply to --pattern "
                  "queries only")
+    if (args.src or args.dst) and not args.path:
+        ap.error("--src/--dst apply to --path queries only")
+    if bool(args.group_by) != bool(args.agg):
+        ap.error("--group-by and --agg go together")
+    if args.having and not args.agg:
+        ap.error("--having requires --agg")
 
-    from pyspark.sql import SparkSession
+    from pyspark.sql import SparkSession, functions as F
 
-    from cbor_ld_spark.operators.bgp import match_bgp, match_path
-    from cbor_ld_spark.operators.sparql import parse_path, parse_pattern
+    from cbor_ld_spark.operators.bgp import (match_bgp, match_path,
+                                             match_union)
+    from cbor_ld_spark.operators.sparql import (parse_path,
+                                                parse_pattern,
+                                                parse_term)
 
     existing = SparkSession.getActiveSession()
     b = SparkSession.builder.appName("kg_query")
@@ -69,7 +110,16 @@ def main(argv=None):
     try:
         triples = spark.read.parquet(args.triples)
         if args.path:
-            result = match_path(triples, parse_path(args.path))
+            result = match_path(
+                triples, parse_path(args.path),
+                src=parse_term(args.src) if args.src else None,
+                dst=parse_term(args.dst) if args.dst else None)
+        elif args.union:
+            groups = [[parse_pattern(p) for p in g.split(";")
+                       if p.strip()] for g in args.union]
+            if any(not g for g in groups):
+                ap.error("each --union group needs >=1 pattern")
+            result = match_union(triples, groups)
         else:
             result = match_bgp(
                 triples,
@@ -79,6 +129,13 @@ def main(argv=None):
                 filters=args.filter or None,
                 not_exists=[parse_pattern(p) for p in args.not_exists]
                 or None)
+        if args.group_by:
+            keys = [k.strip() for k in args.group_by.split(",")
+                    if k.strip()]
+            result = result.groupBy(*keys).agg(
+                *[F.expr(a) for a in args.agg])
+            for h in args.having:
+                result = result.filter(F.expr(h))
         if args.out:
             result.write.mode("overwrite").parquet(args.out)
             print(f"wrote {spark.read.parquet(args.out).count()} rows "

@@ -68,6 +68,10 @@ def test_bgp_rejects_degenerate_inputs(spark):
         match_bgp(t, [("c1", "issuer", "org1")])  # no variables
     with pytest.raises(ValueError):
         match_bgp(t, [("?", "issuer", "?x")])  # bare '?'
+    # '_'-prefixed vars collide with internal _exists_i guard columns:
+    # must be a typed error, not a silent cross join (r6 ADVICE)
+    with pytest.raises(ValueError, match="may not start with '_'"):
+        match_bgp(t, [("?_x", "issuer", "?y")])
 
 
 def _bgp_eval_py(triples, patterns):
@@ -378,10 +382,24 @@ def test_sparql_parsers():
         ("^urn:s", "one")]
     assert parse_path("!<urn:p>|!<urn:q>*") == [
         (["!urn:p", "!urn:q"], "star")]
-    with pytest.raises(ValueError, match="parenthesised"):
-        parse_path("(<urn:p>/<urn:q>)+")
     with pytest.raises(ValueError, match="empty step"):
         parse_path("<urn:p>//<urn:q>")
+    # r7: https IRIs tokenize correctly (the old split('/') parser
+    # broke on any scheme://); parenthesised groups parse and nest
+    assert parse_path("<https://w.org/x>/<https://w.org/y>+") == [
+        ("https://w.org/x", "one"), ("https://w.org/y", "plus")]
+    assert parse_path("(<urn:p>/<urn:q>)+") == [
+        ([("urn:p", "one"), ("urn:q", "one")], "plus")]
+    assert parse_path("(<urn:p>/(<urn:q>|<urn:r>)*)+") == [
+        ([("urn:p", "one"),
+          ([(["urn:q", "urn:r"], "one")], "star")], "plus")]
+    for bad, msg in [("(<urn:p>", "unbalanced"),
+                     ("<urn:p>)", "trailing"),
+                     ("(<urn:p>)|<urn:q>", "outside this subset"),
+                     ("<urn:p>|", "dangling"),
+                     ("", "empty path")]:
+        with pytest.raises(ValueError, match=msg):
+            parse_path(bad)
 
 
 def test_kg_query_cli_end_to_end(spark, tmp_path):
@@ -428,6 +446,32 @@ def test_kg_query_cli_end_to_end(spark, tmp_path):
     assert lines[0] == "src\tdst"
     assert set(lines[1:]) == {"org1\tp1", "org2\tp2"}
 
+    # r7: ground endpoint -> seeded tier from the shell
+    lines = run(["--triples", tdir, "--path", "^<issuer>/<subject>",
+                 "--src", "<org1>"])
+    assert set(lines[1:]) == {"org1\tp1"}
+    lines = run(["--triples", tdir, "--path", "^<issuer>/<subject>",
+                 "--dst", "p2"])
+    assert set(lines[1:]) == {"org2\tp2"}
+
+    # r7: UNION groups + GROUP BY/HAVING from the shell — the
+    # kg_bgp_group shape end-to-end (r6 VERDICT #5)
+    lines = run(["--triples", tdir,
+                 "--union", "?c <issuer> ?i",
+                 "--union", "?c <subject> ?i ; ?i <age> ?a"])
+    assert lines[0] == "c\ti\ta"
+    # NULL prints as "" (the buffer strip drops a trailing tab on the
+    # last line) — compare rstripped
+    assert {l.rstrip("\t") for l in lines[1:]} == {
+        "c1\torg1", "c2\torg2", "c3\torg1",
+        "c1\tp1\t21", "c2\tp2\t65"}
+    lines = run(["--triples", tdir,
+                 "--pattern", "?c <issuer> ?i",
+                 "--group-by", "i",
+                 "--agg", "count(distinct c) AS n_creds",
+                 "--having", "n_creds > 1"])
+    assert lines[0] == "i\tn_creds" and lines[1:] == ["org1\t2"]
+
 
 def test_bgp_union(spark):
     """UNION of two groups with partly-disjoint variables: NULL pads
@@ -449,3 +493,137 @@ def test_bgp_union(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="at least one group"):
         match_union(t, [])
+
+
+def test_path_oracle_negated_property_set(monkeypatch):
+    """The pure-python oracle replay implements '!' steps with the
+    same semantics as match_path (r6 ADVICE: previously a '!' atom
+    fell into the plain-predicate branch and matched nothing)."""
+    import __spark_entry__ as se
+
+    triples = [("a", "p", "b"), ("b", "q", "c"), ("a", "r", "d")]
+    monkeypatch.setattr(se, "_realized_triples", lambda sf: triples)
+    sql = se._path_oracle([(["!p"], "one")], sf_dir="ignored")
+    # edges via any predicate other than p: (b,c) and (a,d), not (a,b)
+    assert "'b'::VARCHAR, 'c'::VARCHAR" in sql
+    assert "'a'::VARCHAR, 'd'::VARCHAR" in sql
+    assert "'a'::VARCHAR, 'b'::VARCHAR" not in sql
+    with pytest.raises(ValueError, match="mixed negated"):
+        se._path_oracle([(["!p", "q"], "one")], sf_dir="ignored")
+
+
+def test_path_seeded_equivalence_random(spark):
+    """Seeded (ground-endpoint) path evaluation == the unconstrained
+    tier filtered to that endpoint — random graphs x random step
+    sequences covering one/plus/star/opt, inverse and negated-set
+    alternates, for src-bound, dst-bound and both-bound calls."""
+    import random
+
+    from cbor_ld_spark.operators.bgp import match_path
+
+    rng = random.Random(20260817)
+    preds = ["p", "q", "r"]
+    for case in range(5):
+        nodes = [f"n{i}" for i in range(7)]
+        triples = sorted({
+            (rng.choice(nodes), rng.choice(preds), rng.choice(nodes))
+            for _ in range(14)})
+        t = _triples(spark, triples)
+        def rand_atom():
+            kind = rng.random()
+            if kind < 0.2:
+                return ["!" + p for p in rng.sample(preds, 2)]
+            if kind < 0.4:
+                return ["^" + rng.choice(preds), rng.choice(preds)]
+            return rng.choice(preds)
+
+        steps = []
+        for _ in range(rng.randint(1, 3)):
+            mod = rng.choice(["one", "plus", "star", "opt"])
+            if rng.random() < 0.25:  # parenthesised group step
+                steps.append(([(rand_atom(), "one")
+                               for _ in range(rng.randint(1, 2))],
+                              mod))
+            else:
+                steps.append((rand_atom(), mod))
+        full = {tuple(r) for r in match_path(t, steps).collect()}
+        seed = rng.choice(nodes + ["ghost"])  # maybe not a graph term
+        got_s = {tuple(r)
+                 for r in match_path(t, steps, src=seed).collect()}
+        assert got_s == {p for p in full if p[0] == seed}, (
+            case, steps, seed)
+        got_d = {tuple(r)
+                 for r in match_path(t, steps, dst=seed).collect()}
+        assert got_d == {p for p in full if p[1] == seed}, (
+            case, steps, seed)
+        end = rng.choice(nodes)
+        got_b = {tuple(r) for r in match_path(
+            t, steps, src=seed, dst=end).collect()}
+        assert got_b == {p for p in full
+                         if p[0] == seed and p[1] == end}, (
+            case, steps, seed, end)
+
+
+def test_path_seeded_skips_offpath_component(spark):
+    """A bound endpoint must not pay for the closure of components the
+    seed cannot reach: chain from the seed + a 40-clique elsewhere.
+    The full closure holds >1600 clique pairs; the seeded answer is
+    the 5-node chain suffix, and the frontier layers (bounded by the
+    chain's eccentricity) never materialize clique pairs."""
+    from cbor_ld_spark.operators.bgp import match_path
+
+    chain = [(f"c{i}", "p", f"c{i+1}") for i in range(5)]
+    clique = [(f"k{i}", "p", f"k{j}")
+              for i in range(40) for j in range(40) if i != j]
+    t = _triples(spark, chain + clique)
+    out = match_path(t, [("p", "plus")], src="c0", max_iters=8)
+    got = {tuple(r) for r in out.collect()}
+    assert got == {("c0", f"c{i}") for i in range(1, 6)}
+    # the unconstrained closure of the same graph is quadratic in the
+    # clique: documented contrast, not exercised here (cost)
+
+
+def test_path_group_steps(spark):
+    """(p/q)+ — closure of the COMPOSED sub-relation, not of either
+    predicate alone — equivalence-tested vs manual composition
+    (r6 VERDICT #7)."""
+    from cbor_ld_spark.operators.bgp import match_path
+    from cbor_ld_spark.operators.sparql import parse_path
+
+    # a -p-> b -q-> c -p-> d -q-> e   plus a stray p edge
+    rows = [("a", "p", "b"), ("b", "q", "c"), ("c", "p", "d"),
+            ("d", "q", "e"), ("x", "p", "y")]
+    t = _triples(spark, rows)
+    steps = parse_path("(<p>/<q>)+")
+    got = {tuple(r) for r in match_path(t, steps).collect()}
+
+    # manual composition: R = p JOIN q, then closure
+    base = {("a", "c"), ("c", "e")}
+    expect = set(base)
+    while True:
+        new = {(a, d) for a, b in expect for c, d in expect
+               if b == c} - expect
+        if not new:
+            break
+        expect |= new
+    assert got == expect == {("a", "c"), ("c", "e"), ("a", "e")}
+
+    # seeded tier over the same group step
+    got_s = {tuple(r)
+             for r in match_path(t, steps, src="a").collect()}
+    assert got_s == {("a", "c"), ("a", "e")}
+    got_d = {tuple(r)
+             for r in match_path(t, steps, dst="e").collect()}
+    assert got_d == {("a", "e"), ("c", "e")}
+
+    # nested: ((p/q)*/p)? — star group inside an opt group
+    nested = parse_path("((<p>/<q>)*/<p>)?")
+    full = {tuple(r) for r in match_path(t, nested).collect()}
+    terms = {x for r in rows for x in (r[0], r[2])}
+    ident = {(x, x) for x in terms}
+    # (p/q)* = closure ∪ identity; then /p; then ∪ identity
+    pq_star = expect | ident
+    comp = {(a, d) for a, b in pq_star
+            for c, d in [(r[0], r[2]) for r in rows if r[1] == "p"]
+            if b == c}
+    assert full == comp | ident
