@@ -508,6 +508,36 @@ def _kg_bgp_optional(spark, sf_dir):
     return out.orderBy("cred", "issuer", "person", "age")
 
 
+_BGP_UNBOUND_REQUIRED = [
+    ("?person", "http://schema.org/birthDate", "?bd"),
+]
+_BGP_UNBOUND_OPTIONAL = [
+    ("?person", "https://w3id.org/cit#concealedIdToken", "?tok"),
+    ("?tok", "https://w3id.org/security#proofValue", "?pv"),
+]
+
+
+def _kg_bgp_optional_unbound(spark, sf_dir):
+    """NESTED OPTIONALs hitting SPARQL's unbound-compatibility corner
+    (r6 VERDICT #4): the PRC resident (the one person with a
+    birthDate) has no concealedIdToken, so the first OPTIONAL leaves
+    ?tok unbound — the second OPTIONAL then joins on ?tok.  SQL NULL
+    semantics would emit one all-NULL row; SPARQL 1.1 §18.5 LeftJoin
+    compatibility (match_bgp's default `unbound_compat=True`) binds
+    the unbound ?tok to EVERY proofValue subject, emitted via the
+    IS-NULL-OR-EQUAL join + coalesce tier in operators/bgp.py.
+    Oracle: the Python replay with the same compatibility rule — this
+    row is the hard signal that the Spark join tier implements the
+    W3C semantics, not the SQL accident."""
+    from cbor_ld_spark.operators.bgp import match_bgp
+    from cbor_ld_spark.plans import shared_triples
+
+    out = match_bgp(shared_triples(spark, sf_dir),
+                    _BGP_UNBOUND_REQUIRED,
+                    optional=_BGP_UNBOUND_OPTIONAL)
+    return out.orderBy("person", "bd", "tok", "pv")
+
+
 _IRI_ISSUER = "https://www.w3.org/2018/credentials#issuer"
 _IRI_SUBJECT = "https://www.w3.org/2018/credentials#credentialSubject"
 _IRI_OVERAGE = "https://w3id.org/age#overAge"
@@ -1468,12 +1498,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dedup_apply, text_oov_rate, kg_obj_datatypes, kg_ppr, kg_hits,
     # kg_reachability, kg_communities, kg_anf, kg_neighbor_overlap_lsh,
     # kg_nquads_export, kg_infer_vouches, dedup_minhash_jaccard,
-    # sample_stratified.  Window entries: kg_path_truage_issuer (NEW r7 —
-    # seeded property-path tier) + 12 rotations whose last driver row was
-    # r4 (rel_* x8, events_by_type, events_sessions, kg_hex_roundtrip,
-    # emb_near_dup).  Queries whose operators WERE touched in r7 (bgp.py
-    # paths/parser, graph.py k-core) all stay in-window: kg_bgp_*,
-    # kg_path_*, kg_infer_semi_naive, kg_kcore.
+    # sample_stratified, text_winnow_fingerprints.  Window entries:
+    # kg_path_truage_issuer + kg_bgp_optional_unbound (NEW r7 — seeded
+    # property-path tier; SPARQL unbound-compatibility OPTIONAL tier) +
+    # 12 rotations whose last driver row was r4 (rel_* x8,
+    # events_by_type, events_sessions, kg_hex_roundtrip, emb_near_dup).
+    # Queries whose operators WERE touched in r7 (bgp.py
+    # paths/parser/optional-compat, graph.py k-core) all stay in-window:
+    # kg_bgp_*, kg_path_*, kg_infer_semi_naive, kg_kcore.
     return {
         "kg_corpus_shape": _kg_corpus_shape,
         "kg_doc_results": _kg_doc_results,
@@ -1498,6 +1530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup_parity": _stream_dedup_parity,
         "events_retention": _events_retention,
         "kg_path_truage_issuer": _kg_path_truage_issuer,
+        "kg_bgp_optional_unbound": _kg_bgp_optional_unbound,
         "kg_bgp_truage": _kg_bgp_truage,
         "kg_kcore": _kg_kcore,
         "kg_bgp_optional": _kg_bgp_optional,
@@ -1524,10 +1557,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _ann_ivf_topk,
         "emb_near_dup_blocked": _emb_near_dup_blocked,
         "dedup_embedding_lsh": _dedup_embedding_lsh,
-        "text_winnow_fingerprints": _text_winnow_fingerprints,
         # --- past the driver's 50-query window (slot 50 ends at
-        # text_winnow_fingerprints; re-count whenever an entry is added —
+        # dedup_embedding_lsh; re-count whenever an entry is added —
         # tests/test_registry_modes.py pins this marker executably) ---
+        "text_winnow_fingerprints": _text_winnow_fingerprints,
         "sample_stratified": _sample_stratified,
         "shard_pack": _shard_pack,
         # every query below is driver-green from earlier rounds with
@@ -2850,17 +2883,22 @@ def _nquads_export_oracle(sf_dir: str | None = None) -> str:
          ("line_hash_xor", "BIGINT")], "n_lines")
 
 
-def _bgp_match_one(b: dict, pat, spo):
+def _bgp_match_one(b: dict, pat, spo, compat: bool = False):
     """Extend binding b with pattern pat matched against triple spo;
-    None if incompatible.  A shared var bound to None (left-join NULL)
-    never matches — SQL semantics, mirroring match_bgp."""
+    None if incompatible.  ``compat=False``: a shared var bound to
+    None (left-join NULL) never matches — SQL semantics.
+    ``compat=True``: SPARQL 1.1 compatibility — an unbound (None) var
+    is compatible with any value and gets BOUND by the match,
+    mirroring match_bgp's unbound_compat tier."""
     m = dict(b)
     for term, val in zip(pat, spo):
         if term.startswith("?"):
             var = term[1:]
-            if var in m:
-                if m[var] is None or m[var] != val:
+            if var in m and m[var] is not None:
+                if m[var] != val:
                     return None
+            elif var in m and not compat:
+                return None
             else:
                 m[var] = val
         elif term != val:
@@ -2869,11 +2907,17 @@ def _bgp_match_one(b: dict, pat, spo):
 
 
 def _bgp_oracle(patterns=None, optional=None,
-                sf_dir: str | None = None) -> str:
+                sf_dir: str | None = None,
+                unbound_compat: bool = False) -> str:
     """Pure-Python BGP evaluation (nested-bind join, sequential
     left-join OPTIONALs) over the realized triples — distinct
     projection in first-appearance variable order, mirroring
-    operators/bgp.match_bgp."""
+    operators/bgp.match_bgp.  ``unbound_compat=True`` replays the
+    SPARQL compatibility semantics for vars left unbound by an
+    earlier OPTIONAL (match_bgp's default tier); False replays plain
+    SQL NULL-key semantics.  The two coincide whenever every optional
+    joins on required-bound variables (all pre-r7 registry queries),
+    so existing oracles keep the historical default."""
     patterns = patterns or _BGP_PATTERNS
     triples = _realized_triples(sf_dir or _oracle_sf_dir())
     var_order: list[str] = []
@@ -2889,7 +2933,9 @@ def _bgp_oracle(patterns=None, optional=None,
         new = []
         for b in binds:
             matches = [m for spo in triples
-                       if (m := _bgp_match_one(b, pat, spo)) is not None]
+                       if (m := _bgp_match_one(
+                           b, pat, spo, compat=unbound_compat))
+                       is not None]
             if matches:
                 new.extend(matches)
             else:
@@ -3846,6 +3892,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_nquads_export": _nquads_export_oracle(),
         "kg_bgp_optional": _bgp_oracle(_BGP_OPT_REQUIRED,
                                        optional=_BGP_OPT_OPTIONAL),
+        "kg_bgp_optional_unbound": _bgp_oracle(
+            _BGP_UNBOUND_REQUIRED, optional=_BGP_UNBOUND_OPTIONAL,
+            unbound_compat=True),
         "kg_infer_vouches": _infer_oracle(),
         "kg_infer_semi_naive": _infer_oracle(),
         "kg_bgp_filter": _bgp_filter_oracle(),

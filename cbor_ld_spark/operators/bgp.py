@@ -85,7 +85,8 @@ def match_bgp(triples: DataFrame,
               distinct: bool = True,
               filters: list[str] | None = None,
               not_exists: list[tuple[str, str, str]] | None = None,
-              sources: list[DataFrame] | None = None) -> DataFrame:
+              sources: list[DataFrame] | None = None,
+              unbound_compat: bool = True) -> DataFrame:
     """Match a conjunctive BGP; returns one column per variable, in
     first-appearance order (required patterns first, then optionals).
 
@@ -117,13 +118,24 @@ def match_bgp(triples: DataFrame,
     required/optional patterns (an unconnected OPTIONAL would be a
     cross product — rejected loudly instead of silently exploding).
 
-    Semantics note, stated precisely: sequential LEFT JOINs implement
-    SPARQL's common case (each OPTIONAL references variables bound by
-    the required patterns).  When a later optional joins on a variable
-    a previous optional left NULL, SQL join semantics apply (NULL keys
-    do not match) — SPARQL's unbound-compatibility rule for nested
-    OPTIONALs is intentionally out of scope, and the oracle replays
-    the SQL semantics."""
+    Semantics note, stated precisely (r7 — VERDICT r6 #4): sequential
+    LEFT JOINs implement SPARQL's common case exactly (each OPTIONAL
+    references variables bound by the required patterns).  When a
+    later optional joins on a variable a PREVIOUS optional may have
+    left NULL, ``unbound_compat=True`` (default) applies SPARQL's
+    compatibility rule: the join condition for each possibly-unbound
+    shared variable becomes ``v IS NULL OR v = candidate`` and the
+    output takes ``coalesce(v, candidate)`` — an unbound variable is
+    compatible with (and gets bound by) any value, per SPARQL 1.1
+    §18.5 LeftJoin.  ``unbound_compat=False`` restores plain SQL NULL
+    semantics (NULL keys never match).  Statically, compatibility
+    conditions are emitted ONLY for shared variables introduced by an
+    earlier OPTIONAL; variables bound by required patterns keep plain
+    equi-join keys, so the common case still hash-joins — the
+    OR-IS-NULL residual (and, when NO shared variable is
+    required-bound, a broadcast nested-loop join over the optional's
+    filtered scan) is paid only by queries that actually hit the
+    nested-unbound corner."""
     if not patterns:
         raise ValueError("match_bgp requires at least one pattern")
     if sources is not None and len(sources) != len(patterns):
@@ -158,15 +170,44 @@ def match_bgp(triples: DataFrame,
                 "required patterns (disconnected NOT EXISTS)")
         result = result.join(neg.select(*shared).distinct(),
                              on=shared, how="left_anti")
+    maybe_unbound: set[str] = set()
     for j, pat in enumerate(optional or []):
         frame = _pattern_frame(triples, pat, len(patterns) + j, var_order)
-        shared = [c for c in frame.columns
-                  if c in result.columns and not c.startswith("_")]
+        fcols = [c for c in frame.columns if not c.startswith("_")]
+        shared = [c for c in fcols if c in result.columns]
         if not shared:
             raise ValueError(
                 f"optional pattern {j} shares no variable with the "
                 "preceding patterns (unconnected OPTIONAL)")
-        result = result.join(frame, on=shared, how="left")
+        new_vars = [c for c in fcols if c not in result.columns]
+        compat = [c for c in shared
+                  if unbound_compat and c in maybe_unbound]
+        if not compat:
+            result = result.join(frame, on=shared, how="left")
+        else:
+            # SPARQL unbound-compatibility: rename the right side's
+            # shared columns, join on equality for required-bound vars
+            # plus IS-NULL-OR-EQUAL for possibly-unbound ones, then
+            # coalesce the compat vars into the binding
+            ren = {c: f"__opt{j}_{c}" for c in shared}
+            f2 = frame.select(
+                *[F.col(c).alias(ren.get(c, c)) for c in frame.columns])
+            cond = None
+            for c in shared:
+                lc, rc = result[c], F.col(ren[c])
+                e = (lc.isNull() | (lc == rc)) if c in compat \
+                    else (lc == rc)
+                cond = e if cond is None else (cond & e)
+            result = result.join(f2, cond, "left")
+            for c in compat:
+                result = result.withColumn(
+                    c, F.coalesce(F.col(c), F.col(ren[c])))
+            result = result.drop(*ren.values())
+        # vars introduced by this optional are NULL on its miss rows;
+        # required-bound shared vars stay always-bound (left value
+        # kept), compat vars remain possibly-unbound (NULL iff still
+        # unmatched after coalesce)
+        maybe_unbound.update(new_vars)
     out = result.select(*var_order)
     return out.distinct() if distinct else out
 

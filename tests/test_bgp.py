@@ -627,3 +627,108 @@ def test_path_group_steps(spark):
             for c, d in [(r[0], r[2]) for r in rows if r[1] == "p"]
             if b == c}
     assert full == comp | ident
+
+
+def test_bgp_optional_unbound_compat(spark):
+    """Nested OPTIONALs where the first leaves a var unbound (r6
+    VERDICT #4): SPARQL 1.1 compatibility binds the unbound var to
+    every match of the second optional; unbound_compat=False restores
+    SQL NULL-key semantics (one all-NULL extension row)."""
+    from cbor_ld_spark.operators.bgp import match_bgp
+
+    data = [
+        ("c1", "subject", "p1"), ("c2", "subject", "p2"),
+        ("p1", "spouse", "s1"),            # p2 has no spouse
+        ("s1", "age", "40"), ("q7", "age", "99"),
+    ]
+    t = _triples(spark, data)
+    args = dict(optional=[("?p", "spouse", "?s"),
+                          ("?s", "age", "?a")])
+    # SPARQL semantics (default): c2's unbound ?s binds to every
+    # age-subject via compatibility
+    got = {tuple(r) for r in match_bgp(
+        t, [("?c", "subject", "?p")], **args).collect()}
+    assert got == {
+        ("c1", "p1", "s1", "40"),
+        ("c2", "p2", "s1", "40"), ("c2", "p2", "q7", "99")}
+    # SQL tier: NULL ?s never matches
+    got_sql = {tuple(r) for r in match_bgp(
+        t, [("?c", "subject", "?p")], unbound_compat=False,
+        **args).collect()}
+    assert got_sql == {
+        ("c1", "p1", "s1", "40"), ("c2", "p2", None, None)}
+    # vars bound by REQUIRED patterns keep plain equi semantics in
+    # both tiers (the common case is unchanged)
+    same = [("?c", "subject", "?p")], dict(
+        optional=[("?p", "age", "?a")])
+    a = {tuple(r) for r in match_bgp(t, same[0], **same[1]).collect()}
+    b = {tuple(r) for r in match_bgp(
+        t, same[0], unbound_compat=False, **same[1]).collect()}
+    assert a == b
+
+
+def test_bgp_optional_unbound_compat_random(spark):
+    """Random graphs x random nested-optional chains vs a Python
+    evaluator implementing SPARQL compatibility semantics."""
+    import random
+
+    from cbor_ld_spark.operators.bgp import match_bgp
+
+    def eval_py(triples, patterns, optional):
+        def match(b, pat, spo):
+            m = dict(b)
+            for term, val in zip(pat, spo):
+                if term.startswith("?"):
+                    v = term[1:]
+                    if v in m and m[v] is not None:
+                        if m[v] != val:
+                            return None
+                    else:
+                        m[v] = val  # unbound: compatible, binds
+                elif term != val:
+                    return None
+            return m
+
+        var_order = []
+        for pat in list(patterns) + list(optional):
+            for t_ in pat:
+                if t_.startswith("?") and t_[1:] not in var_order:
+                    var_order.append(t_[1:])
+        binds = [{}]
+        for pat in patterns:
+            binds = [m for b in binds for spo in triples
+                     if (m := match(b, pat, spo)) is not None]
+        for pat in optional:
+            new = []
+            for b in binds:
+                ms = [m for spo in triples
+                      if (m := match(b, pat, spo)) is not None]
+                if ms:
+                    new.extend(ms)
+                else:
+                    miss = dict(b)
+                    for t_ in pat:
+                        if t_.startswith("?") and t_[1:] not in miss:
+                            miss[t_[1:]] = None
+                    new.append(miss)
+            binds = new
+        return {tuple(m.get(v) for v in var_order) for m in binds}, \
+            var_order
+
+    rng = random.Random(20260818)
+    subs = [f"s{i}" for i in range(5)]
+    preds = ["p", "q", "r"]
+    for case in range(4):
+        triples = sorted({
+            (rng.choice(subs), rng.choice(preds), rng.choice(subs))
+            for _ in range(12)})
+        t = _triples(spark, triples)
+        patterns = [("?a", rng.choice(preds), "?b")]
+        optional = [("?b", rng.choice(preds), "?c"),
+                    ("?c", rng.choice(preds), "?d"),
+                    ("?d", rng.choice(preds), "?e")][:rng.randint(2, 3)]
+        expect, var_order = eval_py(triples, patterns, optional)
+        out = match_bgp(t, patterns, optional=optional)
+        assert out.columns == var_order, (case, optional)
+        got = {tuple(r) for r in out.collect()}
+        assert got == expect, (case, optional)
