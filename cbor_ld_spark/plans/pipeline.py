@@ -183,12 +183,6 @@ def build_kg(spark: SparkSession, repos: DataFrame, out_dir: str,
                    summary["edges_total"], t3)
 
     if analytics:
-        from cbor_ld_spark.operators.graph import (
-            k_core_decomposition,
-            label_propagation,
-            pagerank,
-        )
-
         t4 = time.monotonic()
         # one distinct entity-edge frame feeds all three analytics —
         # the job-level twin of plans/shared.shared_entity_edges
@@ -197,6 +191,80 @@ def build_kg(spark: SparkSession, repos: DataFrame, out_dir: str,
                        F.col("obj_canon").alias("dst"))
                .distinct()
                .localCheckpoint())
+        reused = _analytics_stage(spark, out_dir, run_id, ent)
+        n_rank = spark.read.parquet(
+            os.path.join(out_dir, "analytics", "pagerank")).count()
+        summary["analytics_nodes"] = n_rank
+        summary["analytics_reused"] = reused
+        _stage_lineage(spark, out_dir, run_id,
+                       "analytics_reuse" if reused else "analytics",
+                       n_rank, t4)
+
+    # unpersist the handles that were actually cached (unpersisting the
+    # joined frame would be a no-op against the cache manager)
+    canon_cached.unpersist()
+    comp_by_subj.unpersist()
+    return summary
+
+
+def _analytics_stage(spark: SparkSession, out_dir: str, run_id: str,
+                     ent: DataFrame) -> bool:
+    """Write (or REUSE) the analytics product tables over the distinct
+    canonical entity-edge frame; returns True when reused.
+
+    Incremental maintenance on corpus append (r6 VERDICT #6): the
+    analytics tables are a pure function of the entity-edge set, so
+    the stage fingerprints it — ``(count, bit_xor(xxhash64(src,
+    dst)))``, one order-insensitive 1-row aggregate — and SKIPS the
+    whole recompute when the fingerprint matches the one stored from
+    the previous run and all three tables are readable.  Appends that
+    only re-assert existing entities/edges (the common case for this
+    deterministic entity space — e.g. the 500k -> 550k soak) cost one
+    aggregate scan instead of three iterative dataflows, and the
+    tables stay BYTE-identical to a from-scratch run by construction.
+
+    When the edge set HAS changed, all three algorithms recompute from
+    scratch — warm-starting is documented out of scope because each
+    would break the value-identity contract: PageRank here is
+    fixed-iteration (a warm init changes the trajectory, hence the
+    rounded values); prior coreness is a LOWER bound after appends
+    (edges only get added) while the h-index iteration needs an upper
+    bound init; label-propagation's fixpoint is init-dependent.  A
+    same-values warm path would need convergence-defined variants of
+    all three — a semantic change, not an optimization."""
+    from cbor_ld_spark.operators.graph import (
+        k_core_decomposition,
+        label_propagation,
+        pagerank,
+    )
+
+    fp = ent.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.coalesce(F.bit_xor(F.xxhash64("src", "dst")),
+                   F.lit(0)).alias("edge_xor")).collect()[0]
+    fp_path = os.path.join(out_dir, "analytics", "edges_fingerprint")
+    prior = None
+    try:
+        rows = (spark.read.parquet(fp_path)
+                .orderBy(F.desc("committed_at")).limit(1).collect())
+        prior = rows[0] if rows else None
+    except Exception:
+        prior = None
+
+    def _tables_readable() -> bool:
+        try:
+            for t in ("pagerank", "coreness", "communities"):
+                spark.read.parquet(
+                    os.path.join(out_dir, "analytics", t)).schema
+            return True
+        except Exception:
+            return False
+
+    reused = (prior is not None
+              and prior["n_edges"] == fp["n_edges"]
+              and prior["edge_xor"] == fp["edge_xor"]
+              and _tables_readable())
+    if not reused:
         pr = pagerank(ent, redistribute_dangling=True).localCheckpoint()
         pr.write.mode("overwrite").parquet(
             os.path.join(out_dir, "analytics", "pagerank"))
@@ -214,16 +282,14 @@ def build_kg(spark: SparkSession, repos: DataFrame, out_dir: str,
         (label_propagation(ent)
          .write.mode("overwrite")
          .parquet(os.path.join(out_dir, "analytics", "communities")))
-        n_rank = spark.read.parquet(
-            os.path.join(out_dir, "analytics", "pagerank")).count()
-        summary["analytics_nodes"] = n_rank
-        _stage_lineage(spark, out_dir, run_id, "analytics", n_rank, t4)
-
-    # unpersist the handles that were actually cached (unpersisting the
-    # joined frame would be a no-op against the cache manager)
-    canon_cached.unpersist()
-    comp_by_subj.unpersist()
-    return summary
+    (spark.createDataFrame(
+        [(int(fp["n_edges"]), int(fp["edge_xor"]))],
+        "n_edges long, edge_xor long")
+     .withColumn("run_id", F.lit(run_id))
+     .withColumn("reused", F.lit(bool(reused)))
+     .withColumn("committed_at", F.current_timestamp())
+     .write.mode("append").parquet(fp_path))
+    return reused
 
 
 def _stage_lineage(spark: SparkSession, out_dir: str, run_id: str,

@@ -251,3 +251,51 @@ def test_build_kg_analytics_tier(spark):
         assert "analytics" in stages
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_build_kg_analytics_incremental_reuse(spark):
+    """Incremental analytics maintenance (r6 VERDICT #6): an append
+    that introduces no new distinct entity edges reuses the tables
+    (fingerprint match — byte-identical by construction); an append
+    that DOES change the edge set recomputes, and the recomputed
+    tables equal a from-scratch build on the same corpus."""
+    from cbor_ld_spark.plans import build_kg
+    from cbor_ld_spark.sources import synthesize_corpus
+
+    def table(out, name):
+        return {tuple(r) for r in spark.read.parquet(
+            os.path.join(out, "analytics", name)).collect()}
+
+    out = tempfile.mkdtemp(prefix="kgtest_inc_")
+    out2 = tempfile.mkdtemp(prefix="kgtest_inc_scratch_")
+    try:
+        s1 = build_kg(spark, synthesize_corpus(spark, 120), out,
+                      run_id="r1", n_buckets=4, analytics=True)
+        assert s1["analytics_reused"] is False
+        before = {t: table(out, t)
+                  for t in ("pagerank", "coreness", "communities")}
+
+        # duplicate append: same 120-row corpus again under a new
+        # run_id -> same distinct docs -> same entity edges -> REUSE
+        s2 = build_kg(spark, synthesize_corpus(spark, 120), out,
+                      run_id="r2", n_buckets=4, analytics=True)
+        assert s2["analytics_reused"] is True
+        for t in before:
+            assert table(out, t) == before[t]
+        lineage = spark.read.parquet(os.path.join(out, "lineage"))
+        stages = [r["stage"] for r in lineage.select("stage").collect()]
+        assert "analytics_reuse" in stages
+
+        # growing append: 120 -> 200 rows draws new (variant, entity)
+        # combinations -> new edges -> fingerprint differs -> recompute
+        s3 = build_kg(spark, synthesize_corpus(spark, 200), out,
+                      run_id="r3", n_buckets=4, analytics=True)
+        assert s3["analytics_reused"] is False
+        # value-identity vs a from-scratch build of the same corpus
+        build_kg(spark, synthesize_corpus(spark, 200), out2,
+                 run_id="s1", n_buckets=4, analytics=True)
+        for t in ("pagerank", "coreness", "communities"):
+            assert table(out, t) == table(out2, t), t
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(out2, ignore_errors=True)
