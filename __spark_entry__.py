@@ -609,6 +609,33 @@ def _kg_bgp_filter(spark, sf_dir):
     return out.orderBy("cred", "issuer", "issued")
 
 
+_SPARQL_SELECT_TEXT = f"""
+SELECT ?cred ?issuer ?issued WHERE {{
+  ?cred <{_IRI_ISSUER}> ?issuer .
+  ?cred <{_IRI_ISSUED}> ?issued .
+  FILTER(issued >= '{_BGP_FILTER_EXPR_CUTOFF}')
+  FILTER NOT EXISTS {{
+    ?cred <{_IRI_RDF_TYPE}> <https://w3id.org/age#OverAgeTokenCredential>
+  }}
+}}"""
+
+
+def _kg_sparql_select(spark, sf_dir):
+    """The SPARQL SELECT TEXT surface (r7, operators/sparql.py
+    parse_sparql/run_sparql): the kg_bgp_filter query written as an
+    actual query string — tokenizer (opaque <>/()/\" segments),
+    recursive parse, routed through the same match_bgp plan.  Shares
+    kg_bgp_filter's oracle, so text-path vs programmatic-path
+    equivalence is a hard driver signal, same tier-equivalence pattern
+    as the rules engine's naive/semi-naive pair."""
+    from cbor_ld_spark.operators.sparql import run_sparql
+    from cbor_ld_spark.plans import shared_triples
+
+    out = run_sparql(shared_triples(spark, sf_dir),
+                     _SPARQL_SELECT_TEXT)
+    return out.orderBy("cred", "issuer", "issued")
+
+
 _IRI_VC = "https://www.w3.org/2018/credentials#verifiableCredential"
 _PATH_ISSUER_STEPS = [(_IRI_VC, "opt"), (_IRI_ISSUER, "one")]
 
@@ -722,6 +749,51 @@ def _kg_anf(spark, sf_dir, k: int = 4):
         rows.append((h, cum, abs(e - cum) <= 0.1 * cum))
     return spark.createDataFrame(
         rows, "hop int, exact_pairs long, anf_ok boolean")
+
+
+def _kg_anf_diameter(spark, sf_dir):
+    """Effective diameter (90th-percentile hop distance) from the
+    HyperANF curve run to SATURATION (operators/graph.py
+    effective_diameter) — the r6-verdict-suggested derivation that
+    turns the ANF primitive into the statistic users actually quote.
+    Gate-scale verification (tolerance-bool pattern): the batched
+    k_hop BFS computes the exact curve, the row carries the exact
+    effective diameter + saturation hop and a bool pinning the sketch
+    answer within one hop; the oracle replays the exact BFS."""
+    from cbor_ld_spark.operators.graph import effective_diameter, k_hop
+    from cbor_ld_spark.plans import shared_entity_edges
+
+    edges = shared_entity_edges(spark, sf_dir)
+    est_eff, est_sat, _curve = effective_diameter(
+        edges, alpha=0.9, max_hops=24)
+    nodes = (edges.select(F.col("src").alias("node"))
+             .unionByName(edges.select(F.col("dst").alias("node")))
+             .distinct()
+             .localCheckpoint())
+    n = nodes.count()
+    k = est_sat + 4
+    reach = k_hop(edges, nodes, k=k)
+    layer = {r["first_hop"]: r["n"]
+             for r in reach.groupBy("first_hop")
+             .agg(F.count(F.lit(1)).alias("n")).collect()}
+    if layer.get(k, 0) > 0:
+        raise RuntimeError(
+            f"exact BFS still growing at hop {k} while the sketch "
+            f"saturated at {est_sat} — sketch regression")
+    cum, curve = n, [n]
+    for h in range(1, k + 1):
+        cum += layer.get(h, 0)
+        curve.append(cum)
+    exact_sat = max((h for h in range(1, k + 1)
+                     if layer.get(h, 0) > 0), default=0)
+    final = curve[exact_sat]
+    exact_eff = next(h for h in range(exact_sat + 1)
+                     if curve[h] * 10 >= 9 * final)
+    return spark.createDataFrame(
+        [(0.9, int(exact_eff), int(exact_sat),
+          bool(abs(est_eff - exact_eff) <= 1))],
+        "alpha double, eff_hops_exact int, saturation_exact int, "
+        "anf_diam_ok boolean")
 
 
 def _kg_neighbor_overlap_lsh(spark, sf_dir):
@@ -1498,9 +1570,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dedup_apply, text_oov_rate, kg_obj_datatypes, kg_ppr, kg_hits,
     # kg_reachability, kg_communities, kg_anf, kg_neighbor_overlap_lsh,
     # kg_nquads_export, kg_infer_vouches, dedup_minhash_jaccard,
-    # sample_stratified, text_winnow_fingerprints.  Window entries:
-    # kg_path_truage_issuer + kg_bgp_optional_unbound (NEW r7 — seeded
-    # property-path tier; SPARQL unbound-compatibility OPTIONAL tier) +
+    # sample_stratified, text_winnow_fingerprints, emb_near_dup_blocked,
+    # dedup_embedding_lsh.  Window entries: the 4 NEW r7 queries
+    # (kg_path_truage_issuer — seeded property-path tier;
+    # kg_bgp_optional_unbound — SPARQL unbound-compatibility OPTIONAL;
+    # kg_sparql_select — SPARQL text surface, shares kg_bgp_filter's
+    # oracle; kg_anf_diameter — effective diameter to saturation) +
     # 12 rotations whose last driver row was r4 (rel_* x8,
     # events_by_type, events_sessions, kg_hex_roundtrip, emb_near_dup).
     # Queries whose operators WERE touched in r7 (bgp.py
@@ -1536,6 +1611,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_optional": _kg_bgp_optional,
         "kg_infer_semi_naive": _kg_infer_semi_naive,
         "kg_bgp_filter": _kg_bgp_filter,
+        "kg_sparql_select": _kg_sparql_select,
+        "kg_anf_diameter": _kg_anf_diameter,
         "kg_path_closure": _kg_path_closure,
         "kg_path_issuers": _kg_path_issuers,
         "kg_bgp_group": _kg_bgp_group,
@@ -1555,11 +1632,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _ann_cosine_topk,
         "ann_lsh_topk": _ann_lsh_topk,
         "ann_ivf_topk": _ann_ivf_topk,
+        # --- past the driver's 50-query window (slot 50 ends at
+        # ann_ivf_topk; re-count whenever an entry is added —
+        # tests/test_registry_modes.py pins this marker executably) ---
         "emb_near_dup_blocked": _emb_near_dup_blocked,
         "dedup_embedding_lsh": _dedup_embedding_lsh,
-        # --- past the driver's 50-query window (slot 50 ends at
-        # dedup_embedding_lsh; re-count whenever an entry is added —
-        # tests/test_registry_modes.py pins this marker executably) ---
         "text_winnow_fingerprints": _text_winnow_fingerprints,
         "sample_stratified": _sample_stratified,
         "shard_pack": _shard_pack,
@@ -3614,6 +3691,49 @@ def _anf_oracle(k: int = 4, sf_dir: str | None = None) -> str:
                ("anf_ok", "BOOLEAN")], "hop")
 
 
+def _anf_diameter_oracle(sf_dir: str | None = None) -> str:
+    """Exact effective-diameter replay: BFS from every node to
+    saturation over the realized edges; the sketch-within-one-hop
+    bool is TRUE by the tolerance contract."""
+    from collections import defaultdict
+
+    edges = _realized_entity_edges(sf_dir or _oracle_sf_dir())
+    adj: dict[str, set] = defaultdict(set)
+    nodes = set()
+    for s, d in edges:
+        adj[s].add(d)
+        nodes.add(s)
+        nodes.add(d)
+    n = len(nodes)
+    layer_totals: list[int] = []
+    for root in nodes:
+        visited = {root}
+        frontier = [root]
+        h = 0
+        while frontier:
+            nxt = {d for u in frontier for d in adj.get(u, ())} - visited
+            h += 1
+            if nxt:
+                while len(layer_totals) < h:
+                    layer_totals.append(0)
+                layer_totals[h - 1] += len(nxt)
+            visited |= nxt
+            frontier = list(nxt)
+    exact_sat = len(layer_totals)
+    curve, cum = [n], n
+    for h in range(exact_sat):
+        cum += layer_totals[h]
+        curve.append(cum)
+    final = curve[exact_sat]
+    exact_eff = next(h for h in range(exact_sat + 1)
+                     if curve[h] * 10 >= 9 * final)
+    return _values_oracle(
+        [(0.9, exact_eff, exact_sat, True)],
+        [("alpha", "DOUBLE"), ("eff_hops_exact", "INTEGER"),
+         ("saturation_exact", "INTEGER"), ("anf_diam_ok", "BOOLEAN")],
+        "alpha")
+
+
 def _neighbor_overlap_lsh_oracle(threshold: float = 0.5,
                                  num_hashes: int = 24, bands: int = 8,
                                  sf_dir: str | None = None) -> str:
@@ -3887,6 +4007,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_neighbor_overlap": _neighbor_overlap_oracle(),
         "kg_neighbor_overlap_lsh": _neighbor_overlap_lsh_oracle(),
         "kg_anf": _anf_oracle(),
+        "kg_anf_diameter": _anf_diameter_oracle(),
         "kg_bgp_truage": _bgp_oracle(),
         "kg_kcore": _kcore_oracle(),
         "kg_nquads_export": _nquads_export_oracle(),
@@ -3898,6 +4019,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_infer_vouches": _infer_oracle(),
         "kg_infer_semi_naive": _infer_oracle(),
         "kg_bgp_filter": _bgp_filter_oracle(),
+        # text-surface twin: same semantics, same oracle — the driver
+        # row pins text-path/programmatic-path tier equivalence
+        "kg_sparql_select": _bgp_filter_oracle(),
         "kg_path_closure": _path_closure_oracle(),
         "kg_path_issuers": _path_oracle(_PATH_ISSUER_STEPS),
         "kg_path_truage_issuer": _path_oracle(_PATH_ISSUER_STEPS,

@@ -712,6 +712,66 @@ def approx_neighborhood_function(edges: DataFrame, k: int = 4,
     return spark.createDataFrame(est_rows, "hop int, est_pairs long")
 
 
+def effective_diameter(edges: DataFrame, alpha: float = 0.9,
+                       max_hops: int = 32,
+                       lg_k: int = 12) -> tuple[int, int, list[int]]:
+    """Effective diameter from the HyperANF curve (Boldi/Rosa/Vigna):
+    the smallest hop h whose neighborhood-function value reaches
+    ``alpha`` of the saturated total — the classic "90% of reachable
+    pairs are within h hops" statistic, computable at 10^12 scale
+    because it needs only the ANF curve, never all-pairs distances.
+
+    Runs the same sketch-per-node iteration as
+    ``approx_neighborhood_function`` but to SATURATION (stops the hop
+    after the floored-estimate total stops growing) instead of a fixed
+    k, with ``max_hops`` as the loud bound.  The threshold compare is
+    exact integer arithmetic (``alpha`` as a fraction, cross-
+    multiplied), so the result is a deterministic pure function of the
+    edge set — the property the tolerance-bool oracle pattern needs.
+
+    Returns ``(eff_hops, saturation_hop, curve)`` where ``curve[h]``
+    is the floored ANF total at hop h (driver-side ints: one 1-row
+    collect per hop, the algorithm's own output — bounded)."""
+    from fractions import Fraction
+
+    fa = Fraction(alpha).limit_denominator(10 ** 6)
+    edges = edges.localCheckpoint()
+    nodes = (edges.select(F.col("src").alias("node"))
+             .unionByName(edges.select(F.col("dst").alias("node")))
+             .distinct()
+             .localCheckpoint())
+    n = nodes.count()
+    if n == 0:
+        return 0, 0, [0]
+    r = (nodes.groupBy("node")
+         .agg(F.hll_sketch_agg("node", F.lit(lg_k)).alias("sk"))
+         .localCheckpoint())
+    curve = [int(n)]
+    sat = None
+    for _h in range(1, max_hops + 1):
+        nbr = (edges.join(r, edges.dst == r.node)
+               .select(edges.src.alias("node"), "sk"))
+        r = (r.unionByName(nbr)
+             .groupBy("node")
+             .agg(F.hll_union_agg("sk").alias("sk"))
+             .localCheckpoint())
+        est = int(r.agg(
+            F.sum(F.floor(F.hll_sketch_estimate("sk")).cast("long"))
+            .alias("e")).collect()[0]["e"])
+        if est == curve[-1]:
+            sat = _h - 1  # no growth this hop: saturated at previous
+            break
+        curve.append(est)
+    if sat is None:
+        raise RuntimeError(
+            f"effective_diameter: ANF total still growing after "
+            f"{max_hops} hops — raise max_hops")
+    final = curve[sat]
+    eff = next(h for h in range(sat + 1)
+               if curve[h] * fa.denominator >= fa.numerator * final)
+    return eff, sat, curve
+
+
 def label_propagation(edges: DataFrame, iters: int = 5,
                       hub_degree_threshold: int | None = 10_000,
                       salt: int = 16) -> DataFrame:

@@ -169,3 +169,273 @@ def parse_path(expr: str) -> list[tuple]:
         raise ValueError(f"trailing {toks[pos]!r} in path {expr!r} "
                          "(unbalanced ')'?)")
     return steps
+
+
+# --- SPARQL SELECT text syntax (r7) ----------------------------------------
+#
+# query    := 'SELECT' ('DISTINCT'? '?'var+ | '*') 'WHERE' group
+# group    := '{' member* '}'
+# member   := pattern '.'?                      (triple pattern)
+#           | 'OPTIONAL' group                  (patterns only inside)
+#           | 'FILTER' '(' sql-expr ')'         (SQL boolean expr over vars)
+#           | 'FILTER' 'NOT' 'EXISTS' group     (patterns only inside)
+#           | group ('UNION' group)+            (must be the ONLY member;
+#                                                each group patterns-only)
+# A single-pattern query whose predicate uses path syntax
+# (/ | ^ ! + * ? or parens) is routed to match_path — with a ground
+# subject/object it runs the SEEDED tier.  Set semantics throughout
+# (match_bgp's distinct), keywords case-insensitive, FILTER bodies are
+# Spark SQL expressions over the bound variable names (documented
+# subset — not SPARQL's function library).
+
+_KEYWORDS = {"select", "where", "optional", "filter", "union",
+             "distinct", "not", "exists"}
+_PATH_CHARS = set("/|^!+*?()")
+
+
+def _sparql_tokens(text: str) -> list[str]:
+    """Tokens: '{' '}' braces, the statement '.' (whitespace- or
+    brace-delimited), and WORDS — maximal non-space runs where
+    ``<...>``, ``(...)`` (balanced, spaces allowed inside) and
+    ``"..."`` are opaque segments, so ``<p>+/<q>`` and
+    ``(cast(a as int) >= 50)`` each stay one token."""
+    toks: list[str] = []
+    i, n = 0, len(text)
+    while i < n:
+        c = text[i]
+        if c.isspace():
+            i += 1
+            continue
+        if c in "{}":
+            toks.append(c)
+            i += 1
+            continue
+        if c == "." and (i + 1 == n or text[i + 1].isspace()
+                         or text[i + 1] in "{}"):
+            toks.append(".")
+            i += 1
+            continue
+        j = i
+        while j < n and not text[j].isspace() and text[j] not in "{}":
+            if text[j] == "<":
+                k = text.find(">", j)
+                if k < 0:
+                    raise ValueError(
+                        f"unterminated '<' in query at {j}")
+                j = k + 1
+            elif text[j] == "(":
+                depth, k = 1, j + 1
+                while k < n and depth:
+                    if text[k] == "(":
+                        depth += 1
+                    elif text[k] == ")":
+                        depth -= 1
+                    k += 1
+                if depth:
+                    raise ValueError(
+                        f"unbalanced '(' in query at {j}")
+                j = k
+            elif text[j] == '"':
+                k = text.find('"', j + 1)
+                if k < 0:
+                    raise ValueError(
+                        f"unterminated '\"' in query at {j}")
+                j = k + 1
+            elif text[j] == "." and (j + 1 == n
+                                     or text[j + 1].isspace()
+                                     or text[j + 1] in "{}"):
+                break  # statement dot terminates the word
+            else:
+                j += 1
+        toks.append(text[i:j])
+        i = j
+    return toks
+
+
+def _has_path_syntax(raw_pred: str) -> bool:
+    """Path punctuation OUTSIDE <>-wrapped IRI segments (an https IRI
+    contains '/' INSIDE the brackets — that is not a path)."""
+    i, n = 0, len(raw_pred)
+    while i < n:
+        if raw_pred[i] == "<":
+            k = raw_pred.find(">", i)
+            if k < 0:
+                return False
+            i = k + 1
+        elif raw_pred[i] in _PATH_CHARS:
+            return True
+        else:
+            i += 1
+    return False
+
+
+def _expect(toks: list[str], pos: int, word: str) -> int:
+    if pos >= len(toks) or toks[pos].lower() != word:
+        got = toks[pos] if pos < len(toks) else "<end>"
+        raise ValueError(f"expected {word.upper()!r}, got {got!r}")
+    return pos + 1
+
+
+def _parse_plain_group(toks: list[str], pos: int) -> tuple[list, int]:
+    """A '{ pattern . pattern }' group containing ONLY triple
+    patterns (used inside OPTIONAL / NOT EXISTS / UNION)."""
+    pos = _expect(toks, pos, "{")
+    pats = []
+    while pos < len(toks) and toks[pos] != "}":
+        if toks[pos].lower() in _KEYWORDS or toks[pos] == "{":
+            raise ValueError(
+                f"only triple patterns are allowed inside this group "
+                f"(got {toks[pos]!r}) — nested OPTIONAL/FILTER/UNION "
+                "are outside this subset")
+        if pos + 3 > len(toks):
+            raise ValueError("truncated triple pattern")
+        pats.append(tuple(parse_term(t) for t in toks[pos:pos + 3]))
+        pos += 3
+        if pos < len(toks) and toks[pos] == ".":
+            pos += 1
+    if pos >= len(toks):
+        raise ValueError("unterminated '{' group")
+    if not pats:
+        raise ValueError("empty group")
+    return pats, pos + 1
+
+
+def parse_sparql(text: str) -> dict:
+    """Parse a SPARQL SELECT (subset above) into an execution spec:
+    ``{"select", "patterns", "optional", "filters", "not_exists",
+    "union", "path"}`` — consumed by ``run_sparql``."""
+    toks = _sparql_tokens(text)
+    pos = _expect(toks, 0, "select")
+    if pos < len(toks) and toks[pos].lower() == "distinct":
+        pos += 1  # set semantics are the default throughout
+    select: list[str] = []
+    if pos < len(toks) and toks[pos] == "*":
+        pos += 1
+    else:
+        while pos < len(toks) and toks[pos].startswith("?"):
+            select.append(toks[pos][1:])
+            pos += 1
+        if not select:
+            raise ValueError("SELECT needs '*' or at least one ?var")
+    pos = _expect(toks, pos, "where")
+    pos = _expect(toks, pos, "{")
+    spec = {"select": select or None, "patterns": [], "optional": [],
+            "filters": [], "not_exists": [], "union": None,
+            "path": None}
+    while pos < len(toks) and toks[pos] != "}":
+        t = toks[pos]
+        low = t.lower()
+        if low == "optional":
+            pats, pos = _parse_plain_group(toks, pos + 1)
+            spec["optional"].extend(pats)
+        elif low.startswith("filter("):
+            # no space between FILTER and '(' — one word token
+            spec["filters"].append(t[len("filter"):][1:-1].strip())
+            pos += 1
+        elif low == "filter":
+            pos += 1
+            if pos < len(toks) and toks[pos].lower() == "not":
+                pos = _expect(toks, pos + 1, "exists")
+                pats, pos = _parse_plain_group(toks, pos)
+                spec["not_exists"].extend(pats)
+            elif pos < len(toks) and toks[pos].startswith("("):
+                spec["filters"].append(toks[pos][1:-1].strip())
+                pos += 1
+            else:
+                raise ValueError("FILTER needs '(expr)' or NOT EXISTS")
+        elif t == "{":
+            if spec["patterns"] or spec["optional"] or \
+                    spec["filters"] or spec["not_exists"]:
+                raise ValueError(
+                    "a UNION block must be the only member of the "
+                    "WHERE group in this subset")
+            groups = []
+            pats, pos = _parse_plain_group(toks, pos)
+            groups.append(pats)
+            while pos < len(toks) and toks[pos].lower() == "union":
+                pats, pos = _parse_plain_group(toks, pos + 1)
+                groups.append(pats)
+            if len(groups) < 2:
+                raise ValueError("braced group without UNION")
+            spec["union"] = groups
+            if pos < len(toks) and toks[pos] != "}":
+                raise ValueError("no members may follow a UNION block")
+        elif low in _KEYWORDS:
+            raise ValueError(f"unexpected keyword {t!r} in group")
+        else:
+            if pos + 3 > len(toks):
+                raise ValueError("truncated triple pattern")
+            raw_pred = toks[pos + 1]
+            subj, pred, obj = (parse_term(x) for x in toks[pos:pos + 3])
+            pos += 3
+            if pos < len(toks) and toks[pos] == ".":
+                pos += 1
+            if not raw_pred.startswith("?") and \
+                    _has_path_syntax(raw_pred):
+                spec["patterns"].append(("__path__", raw_pred,
+                                         subj, obj))
+            else:
+                spec["patterns"].append((subj, pred, obj))
+    if pos >= len(toks):
+        raise ValueError("unterminated WHERE group")
+    if pos + 1 != len(toks):
+        raise ValueError(f"trailing tokens after '}}': {toks[pos + 1:]}")
+    # route single path-pattern queries to match_path
+    paths = [p for p in spec["patterns"] if p[0] == "__path__"]
+    if paths:
+        if len(spec["patterns"]) != 1 or spec["optional"] or \
+                spec["filters"] or spec["not_exists"] or spec["union"]:
+            raise ValueError(
+                "a property-path pattern must be the only pattern in "
+                "the query in this subset")
+        _tag, raw_pred, subj, obj = paths[0]
+        spec["patterns"] = []
+        spec["path"] = {
+            "steps": parse_path(raw_pred),
+            "subj": subj, "obj": obj,
+        }
+    if spec["union"] is None and spec["path"] is None \
+            and not spec["patterns"]:
+        raise ValueError("WHERE group has no patterns")
+    return spec
+
+
+def run_sparql(triples, text: str):
+    """Execute a SPARQL SELECT (subset) against a triples DataFrame:
+    parse_sparql -> match_bgp / match_union / match_path (seeded when
+    a path endpoint is ground) -> project the selected variables."""
+    from .bgp import match_bgp, match_path, match_union
+
+    spec = parse_sparql(text)
+    if spec["path"] is not None:
+        p = spec["path"]
+        s_var = p["subj"][1:] if p["subj"].startswith("?") else None
+        o_var = p["obj"][1:] if p["obj"].startswith("?") else None
+        out = match_path(
+            triples, p["steps"],
+            src=None if s_var is not None else p["subj"],
+            dst=None if o_var is not None else p["obj"])
+        cols = []
+        if s_var is not None:
+            cols.append(out["src"].alias(s_var))
+        if o_var is not None:
+            cols.append(out["dst"].alias(o_var))
+        if not cols:  # both endpoints ground: EXISTS-style 1/0 rows
+            cols = [out["src"].alias("src"), out["dst"].alias("dst")]
+        result = out.select(*cols).distinct()
+    elif spec["union"] is not None:
+        result = match_union(triples, spec["union"])
+    else:
+        result = match_bgp(
+            triples, spec["patterns"],
+            optional=spec["optional"] or None,
+            filters=spec["filters"] or None,
+            not_exists=spec["not_exists"] or None)
+    if spec["select"]:
+        missing = [v for v in spec["select"]
+                   if v not in result.columns]
+        if missing:
+            raise ValueError(
+                f"SELECT vars not bound by the WHERE group: {missing}")
+        result = result.select(*spec["select"]).distinct()
+    return result

@@ -25,6 +25,11 @@ writing Python:
         --union '?c <...#holder> ?i' \
         --group-by i --agg 'count(distinct c) AS n' --having 'n > 1'
 
+    # or a whole SPARQL SELECT string (subset in operators/sparql.py)
+    spark-submit jobs/kg_query.py --triples /data/kg/triples \
+        --sparql 'SELECT ?c ?i WHERE { ?c <...#issuer> ?i .
+                  FILTER NOT EXISTS { ?c <...#type> <...#Revoked> } }'
+
 Without --out, prints up to --limit rows as TSV to stdout (small
 results only — the point of --out is that answers stay distributed).
 Syntax subset is documented in ``operators/sparql.py``.
@@ -63,6 +68,11 @@ def main(argv=None):
                     help="one UNION group: its patterns separated by "
                          "';' (repeatable; mutually exclusive with "
                          "--pattern/--path)")
+    ap.add_argument("--sparql", default=None,
+                    help="a whole SPARQL SELECT query string (subset: "
+                         "patterns, OPTIONAL, FILTER(sql)/NOT EXISTS, "
+                         "UNION, property paths; see "
+                         "operators/sparql.py)")
     ap.add_argument("--group-by", default=None,
                     help="comma-separated binding variables to GROUP "
                          "BY (requires --agg)")
@@ -80,10 +90,10 @@ def main(argv=None):
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
     n_modes = sum([bool(args.path), bool(args.pattern),
-                   bool(args.union)])
+                   bool(args.union), bool(args.sparql)])
     if n_modes != 1:
-        ap.error("provide exactly one of --path, --pattern (>=1) "
-                 "or --union (>=1)")
+        ap.error("provide exactly one of --sparql, --path, "
+                 "--pattern (>=1) or --union (>=1)")
     if args.path and (args.optional or args.filter or args.not_exists):
         ap.error("--optional/--filter/--not-exists apply to --pattern "
                  "queries only")
@@ -109,7 +119,11 @@ def main(argv=None):
     spark = b.getOrCreate()
     try:
         triples = spark.read.parquet(args.triples)
-        if args.path:
+        if args.sparql:
+            from cbor_ld_spark.operators.sparql import run_sparql
+
+            result = run_sparql(triples, args.sparql)
+        elif args.path:
             result = match_path(
                 triples, parse_path(args.path),
                 src=parse_term(args.src) if args.src else None,

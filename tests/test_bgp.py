@@ -732,3 +732,100 @@ def test_bgp_optional_unbound_compat_random(spark):
         assert out.columns == var_order, (case, optional)
         got = {tuple(r) for r in out.collect()}
         assert got == expect, (case, optional)
+
+
+def test_parse_sparql_units():
+    """Tokenizer + parser: opaque <>/()/\" segments, FILTER forms,
+    UNION blocks, path routing, loud rejections."""
+    from cbor_ld_spark.operators.sparql import parse_sparql
+
+    s = parse_sparql(
+        'SELECT ?c WHERE { ?c <urn:p> ?i . '
+        'OPTIONAL { ?c <urn:q> ?x } FILTER(i != "z") '
+        'FILTER NOT EXISTS { ?c <urn:r> ?y } }')
+    assert s["select"] == ["c"]
+    assert s["patterns"] == [("?c", "urn:p", "?i")]
+    assert s["optional"] == [("?c", "urn:q", "?x")]
+    assert s["filters"] == ['i != "z"']
+    assert s["not_exists"] == [("?c", "urn:r", "?y")]
+
+    u = parse_sparql('SELECT * WHERE { { ?a <urn:p> ?b } UNION '
+                     '{ ?a <urn:q> ?b } }')
+    assert u["union"] == [[("?a", "urn:p", "?b")],
+                          [("?a", "urn:q", "?b")]]
+
+    # an https IRI predicate is NOT a path (/ inside <>)
+    p = parse_sparql('SELECT * WHERE { ?s <https://w.org/p> ?o }')
+    assert p["path"] is None
+    # a real path routes, keeps ground endpoints
+    p2 = parse_sparql('SELECT ?x WHERE { <urn:c> <urn:p>+/<urn:q> ?x }')
+    assert p2["path"]["subj"] == "urn:c"
+    assert p2["path"]["steps"] == [("urn:p", "plus"), ("urn:q", "one")]
+
+    import pytest as _p
+    for bad, msg in [
+            ('SELECT ?x WHERE { ?x <urn:p>+ ?y . ?y <urn:q> ?z }',
+             "only pattern"),
+            ('SELECT * WHERE { OPTIONAL { ?a <urn:p> ?b } }',
+             "no patterns"),
+            ('SELECT * WHERE { { ?a <urn:p> ?b } }',
+             "without UNION"),
+            ('SELECT * WHERE { ?a <urn:p> ?b', "unterminated"),
+            ('SELECT * { ?a <urn:p> ?b }', "expected 'WHERE'")]:
+        with _p.raises(ValueError, match=msg):
+            parse_sparql(bad)
+
+
+def test_run_sparql_matches_programmatic(spark):
+    """The text surface and the programmatic API produce identical
+    results for the same query (the kg_sparql_select driver row pins
+    this on the corpus; here on the hand graph, incl. seeded paths)."""
+    from cbor_ld_spark.operators.bgp import match_bgp, match_path
+    from cbor_ld_spark.operators.sparql import run_sparql
+
+    t = _triples(spark, _DATA)
+    text = ('SELECT ?c ?i WHERE { ?c <issuer> ?i . '
+            'FILTER NOT EXISTS { ?c <subject> ?s } }')
+    via_text = {tuple(r) for r in run_sparql(t, text).collect()}
+    via_api = {tuple(r) for r in match_bgp(
+        t, [("?c", "issuer", "?i")],
+        not_exists=[("?c", "subject", "?s")]).collect()}
+    assert via_text == via_api == {("c3", "org1")}
+
+    ptext = 'SELECT ?o WHERE { <c1> <issuer>|<subject> ?o }'
+    via_text = {r["o"] for r in run_sparql(t, ptext).collect()}
+    via_api = {r["dst"] for r in match_path(
+        t, [(["issuer", "subject"], "one")], src="c1").collect()}
+    assert via_text == via_api == {"org1", "p1"}
+
+
+def test_kg_query_cli_sparql(spark, tmp_path):
+    """--sparql end-to-end from the shell."""
+    import io
+    import sys as _sys
+
+    t = _triples(spark, _DATA)
+    tdir = str(tmp_path / "triples")
+    t.write.parquet(tdir)
+
+    import importlib.util
+    import os
+    spec = importlib.util.spec_from_file_location(
+        "kg_query2", os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "jobs", "kg_query.py"))
+    kg_query = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(kg_query)
+    buf = io.StringIO()
+    old = _sys.stdout
+    _sys.stdout = buf
+    try:
+        rc = kg_query.main([
+            "--triples", tdir, "--sparql",
+            "SELECT ?p ?a WHERE { ?c <subject> ?p . "
+            "OPTIONAL { ?p <age> ?a } FILTER(p != 'p9') }"])
+    finally:
+        _sys.stdout = old
+    assert rc == 0
+    lines = buf.getvalue().strip().splitlines()
+    assert lines[0] == "p\ta"
+    assert {l.rstrip("\t") for l in lines[1:]} == {"p1\t21", "p2\t65"}

@@ -545,3 +545,28 @@ def test_k_core_mega_hub_histogram_tier(spark):
     assert all(got[f"k{i}"] == 4 for i in range(1, 5))
     assert all(got[f"leaf{i}"] == 1 for i in range(0, 10_000, 997))
     assert len(got) == 10_005
+
+
+def test_effective_diameter(spark):
+    """90%-effective diameter from the saturated ANF curve: chain of 6
+    (sat hop 5; 90% of pairs within 4 hops -> eff 4 for this exact
+    curve), plus a star (eff 1) and the empty graph."""
+    from cbor_ld_spark.operators.graph import effective_diameter
+
+    chain = [(f"c{i}", f"c{i+1}") for i in range(5)]
+    eff, sat, curve = effective_diameter(_edges(spark, chain))
+    # exact curve (HLL exact at these cardinalities): cum totals
+    # 6,11,15,18,20,21 -> threshold 0.9*21=18.9 -> first h with
+    # curve[h]*10 >= 9*21=189 is h=4 (20*10=200)
+    assert (eff, sat) == (4, 5) and curve == [6, 11, 15, 18, 20, 21]
+
+    star = [("hub", f"s{i}") for i in range(20)]
+    eff_s, sat_s, _ = effective_diameter(_edges(spark, star))
+    assert (eff_s, sat_s) == (1, 1)
+
+    empty = spark.createDataFrame([], "src string, dst string")
+    assert effective_diameter(empty) == (0, 0, [0])
+
+    import pytest as _p
+    with _p.raises(RuntimeError, match="still growing"):
+        effective_diameter(_edges(spark, chain), max_hops=3)
