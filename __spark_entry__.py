@@ -620,6 +620,31 @@ SELECT ?cred ?issuer ?issued WHERE {{
 }}"""
 
 
+_SPARQL_GROUP_TEXT = f"""
+SELECT ?issuer (COUNT(DISTINCT ?cred) AS ?n_creds)
+       (COUNT(DISTINCT ?person) AS ?n_subjects)
+WHERE {{
+  ?cred <{_IRI_ISSUER}> ?issuer .
+  ?cred <{_IRI_SUBJECT}> ?person
+}}
+GROUP BY ?issuer
+HAVING(?n_creds > 1)
+ORDER BY ?issuer"""
+
+
+def _kg_sparql_group(spark, sf_dir):
+    """SPARQL aggregation in TEXT form (r7): GROUP BY / HAVING /
+    ORDER BY parsed from the query string and compiled to the same
+    groupBy-over-bindings plan as kg_bgp_group — whose oracle this
+    query shares (text/programmatic tier equivalence, the same
+    hard-signal pattern as kg_sparql_select)."""
+    from cbor_ld_spark.operators.sparql import run_sparql
+    from cbor_ld_spark.plans import shared_triples
+
+    return run_sparql(shared_triples(spark, sf_dir),
+                      _SPARQL_GROUP_TEXT)
+
+
 def _kg_sparql_select(spark, sf_dir):
     """The SPARQL SELECT TEXT surface (r7, operators/sparql.py
     parse_sparql/run_sparql): the kg_bgp_filter query written as an
@@ -1571,12 +1596,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # kg_reachability, kg_communities, kg_anf, kg_neighbor_overlap_lsh,
     # kg_nquads_export, kg_infer_vouches, dedup_minhash_jaccard,
     # sample_stratified, text_winnow_fingerprints, emb_near_dup_blocked,
-    # dedup_embedding_lsh.  Window entries: the 4 NEW r7 queries
-    # (kg_path_truage_issuer — seeded property-path tier;
+    # dedup_embedding_lsh, ann_ivf_topk.  Window entries: the 5 NEW r7
+    # queries (kg_path_truage_issuer — seeded property-path tier;
     # kg_bgp_optional_unbound — SPARQL unbound-compatibility OPTIONAL;
     # kg_sparql_select — SPARQL text surface, shares kg_bgp_filter's
-    # oracle; kg_anf_diameter — effective diameter to saturation) +
-    # 12 rotations whose last driver row was r4 (rel_* x8,
+    # oracle; kg_sparql_group — text GROUP BY/HAVING/ORDER BY, shares
+    # kg_bgp_group's oracle; kg_anf_diameter — effective diameter to
+    # saturation) + 12 rotations whose last driver row was r4 (rel_* x8,
     # events_by_type, events_sessions, kg_hex_roundtrip, emb_near_dup).
     # Queries whose operators WERE touched in r7 (bgp.py
     # paths/parser/optional-compat, graph.py k-core) all stay in-window:
@@ -1612,6 +1638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_infer_semi_naive": _kg_infer_semi_naive,
         "kg_bgp_filter": _kg_bgp_filter,
         "kg_sparql_select": _kg_sparql_select,
+        "kg_sparql_group": _kg_sparql_group,
         "kg_anf_diameter": _kg_anf_diameter,
         "kg_path_closure": _kg_path_closure,
         "kg_path_issuers": _kg_path_issuers,
@@ -1631,10 +1658,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_pairs": _dedup_minhash_pairs,
         "ann_cosine_topk": _ann_cosine_topk,
         "ann_lsh_topk": _ann_lsh_topk,
-        "ann_ivf_topk": _ann_ivf_topk,
         # --- past the driver's 50-query window (slot 50 ends at
-        # ann_ivf_topk; re-count whenever an entry is added —
+        # ann_lsh_topk; re-count whenever an entry is added —
         # tests/test_registry_modes.py pins this marker executably) ---
+        "ann_ivf_topk": _ann_ivf_topk,
         "emb_near_dup_blocked": _emb_near_dup_blocked,
         "dedup_embedding_lsh": _dedup_embedding_lsh,
         "text_winnow_fingerprints": _text_winnow_fingerprints,
@@ -4027,6 +4054,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_path_truage_issuer": _path_oracle(_PATH_ISSUER_STEPS,
                                               dst=_TRUAGE_ISSUER),
         "kg_bgp_group": _bgp_group_oracle(),
+        # text-surface twin (GROUP BY/HAVING/ORDER BY parsed from the
+        # query string): same semantics, same oracle
+        "kg_sparql_group": _bgp_group_oracle(),
         "dedup_clusters": _dedup_clusters_oracle(),
         "dedup_apply": _dedup_apply_oracle(),
         "text_oov_rate": _OOV_SQL.format(norm=_NORM_SQL),

@@ -173,7 +173,14 @@ def parse_path(expr: str) -> list[tuple]:
 
 # --- SPARQL SELECT text syntax (r7) ----------------------------------------
 #
-# query    := 'SELECT' ('DISTINCT'? '?'var+ | '*') 'WHERE' group
+# query    := 'SELECT' ('DISTINCT'? item+ | '*') 'WHERE' group
+#             ('GROUP' 'BY' '?'var+)? ('HAVING' '(' expr ')')*
+#             ('ORDER' 'BY' ('?'var | 'DESC(?'var')' | 'ASC(?'var')')+)?
+#             ('LIMIT' int)?
+# item     := '?'var | '(' agg-expr 'AS' '?'name ')'
+#             (agg-expr: a Spark SQL aggregate over ?vars, e.g.
+#              COUNT(DISTINCT ?c); plain select vars must be GROUP BY
+#              keys when aggregates are present)
 # group    := '{' member* '}'
 # member   := pattern '.'?                      (triple pattern)
 #           | 'OPTIONAL' group                  (patterns only inside)
@@ -300,28 +307,61 @@ def _parse_plain_group(toks: list[str], pos: int) -> tuple[list, int]:
     return pats, pos + 1
 
 
+import re as _re
+
+
+def _devar(expr: str) -> str:
+    """'?name' -> 'name' inside an expression body (SPARQL variables
+    become the binding DataFrame's column names)."""
+    return _re.sub(r"\?(\w+)", r"\1", expr)
+
+
 def parse_sparql(text: str) -> dict:
     """Parse a SPARQL SELECT (subset above) into an execution spec:
-    ``{"select", "patterns", "optional", "filters", "not_exists",
-    "union", "path"}`` — consumed by ``run_sparql``."""
+    ``{"select", "aggs", "patterns", "optional", "filters",
+    "not_exists", "union", "path", "group_by", "having", "order_by",
+    "limit"}`` — consumed by ``run_sparql``.
+
+    Aggregation (r7): SELECT items may be ``(AGG_EXPR AS ?name)``
+    (COUNT/SUM/MIN/MAX/AVG etc. — the body is a Spark SQL aggregate
+    expression with ?vars rewritten to column names), combined with
+    trailing ``GROUP BY ?v ...``, ``HAVING(expr)``, ``ORDER BY
+    ?v | DESC(?v) ...`` and ``LIMIT n`` after the WHERE group."""
     toks = _sparql_tokens(text)
     pos = _expect(toks, 0, "select")
     if pos < len(toks) and toks[pos].lower() == "distinct":
         pos += 1  # set semantics are the default throughout
     select: list[str] = []
+    aggs: list[tuple[str, str]] = []  # (sql_expr, alias)
     if pos < len(toks) and toks[pos] == "*":
         pos += 1
     else:
-        while pos < len(toks) and toks[pos].startswith("?"):
-            select.append(toks[pos][1:])
-            pos += 1
+        while pos < len(toks):
+            t = toks[pos]
+            if t.startswith("?"):
+                select.append(t[1:])
+                pos += 1
+            elif t.startswith("("):
+                body = t[1:-1].strip()
+                m = _re.match(r"(.+)\s+AS\s+\?(\w+)$", body,
+                              _re.IGNORECASE | _re.DOTALL)
+                if not m:
+                    raise ValueError(
+                        f"SELECT expression needs '(expr AS ?name)': "
+                        f"{t!r}")
+                aggs.append((_devar(m.group(1).strip()), m.group(2)))
+                select.append(m.group(2))
+                pos += 1
+            else:
+                break
         if not select:
             raise ValueError("SELECT needs '*' or at least one ?var")
     pos = _expect(toks, pos, "where")
     pos = _expect(toks, pos, "{")
-    spec = {"select": select or None, "patterns": [], "optional": [],
-            "filters": [], "not_exists": [], "union": None,
-            "path": None}
+    spec = {"select": select or None, "aggs": aggs, "patterns": [],
+            "optional": [], "filters": [], "not_exists": [],
+            "union": None, "path": None, "group_by": [],
+            "having": [], "order_by": [], "limit": None}
     while pos < len(toks) and toks[pos] != "}":
         t = toks[pos]
         low = t.lower()
@@ -378,8 +418,76 @@ def parse_sparql(text: str) -> dict:
                 spec["patterns"].append((subj, pred, obj))
     if pos >= len(toks):
         raise ValueError("unterminated WHERE group")
-    if pos + 1 != len(toks):
-        raise ValueError(f"trailing tokens after '}}': {toks[pos + 1:]}")
+    pos += 1  # past '}'
+    # trailing solution modifiers: GROUP BY / HAVING / ORDER BY / LIMIT
+    while pos < len(toks):
+        low = toks[pos].lower()
+        if low == "group":
+            pos = _expect(toks, pos + 1, "by")
+            while pos < len(toks) and toks[pos].startswith("?"):
+                spec["group_by"].append(toks[pos][1:])
+                pos += 1
+            if not spec["group_by"]:
+                raise ValueError("GROUP BY needs at least one ?var")
+        elif low.startswith("having(") or low == "having":
+            if low == "having":
+                pos += 1
+                if pos >= len(toks) or not toks[pos].startswith("("):
+                    raise ValueError("HAVING needs '(expr)'")
+                body = toks[pos][1:-1]
+                pos += 1
+            else:
+                body = toks[pos][len("having"):][1:-1]
+                pos += 1
+            spec["having"].append(_devar(body.strip()))
+        elif low == "order":
+            pos = _expect(toks, pos + 1, "by")
+            got = False
+            while pos < len(toks):
+                t = toks[pos]
+                tl = t.lower()
+                if t.startswith("?"):
+                    spec["order_by"].append((t[1:], "asc"))
+                elif tl.startswith("desc(") and t.endswith(")"):
+                    v = t[5:-1].strip()
+                    spec["order_by"].append((v.lstrip("?"), "desc"))
+                elif tl.startswith("asc(") and t.endswith(")"):
+                    v = t[4:-1].strip()
+                    spec["order_by"].append((v.lstrip("?"), "asc"))
+                else:
+                    break
+                got = True
+                pos += 1
+            if not got:
+                raise ValueError("ORDER BY needs ?var / DESC(?var)")
+        elif low == "limit":
+            pos += 1
+            if pos >= len(toks) or not toks[pos].isdigit():
+                raise ValueError("LIMIT needs an integer")
+            spec["limit"] = int(toks[pos])
+            pos += 1
+        else:
+            raise ValueError(
+                f"trailing tokens after '}}': {toks[pos:]}")
+    if (spec["aggs"] or spec["having"]) and not spec["group_by"]:
+        # SPARQL allows implicit one-group aggregation; supported:
+        # plain select vars are then forbidden (must be aggregated)
+        plain = [v for v in (spec["select"] or [])
+                 if v not in {a for _, a in spec["aggs"]}]
+        if plain:
+            raise ValueError(
+                f"non-aggregated SELECT vars {plain} need GROUP BY")
+    if spec["group_by"]:
+        bad = [v for v in (spec["select"] or [])
+               if v not in spec["group_by"]
+               and v not in {a for _, a in spec["aggs"]}]
+        if bad:
+            raise ValueError(
+                f"SELECT vars {bad} are neither GROUP BY keys nor "
+                "aggregate aliases")
+        if not spec["aggs"]:
+            raise ValueError("GROUP BY without aggregate SELECT "
+                             "expressions")
     # route single path-pattern queries to match_path
     paths = [p for p in spec["patterns"] if p[0] == "__path__"]
     if paths:
@@ -431,11 +539,39 @@ def run_sparql(triples, text: str):
             optional=spec["optional"] or None,
             filters=spec["filters"] or None,
             not_exists=spec["not_exists"] or None)
+    if spec["aggs"]:
+        from pyspark.sql import functions as F
+
+        keys = spec["group_by"]
+        missing = [v for v in keys if v not in result.columns]
+        if missing:
+            raise ValueError(
+                f"GROUP BY vars not bound by the WHERE group: "
+                f"{missing}")
+        exprs = [F.expr(e).alias(a) for e, a in spec["aggs"]]
+        result = (result.groupBy(*keys).agg(*exprs) if keys
+                  else result.agg(*exprs))
+        for h in spec["having"]:
+            result = result.filter(F.expr(h))
     if spec["select"]:
         missing = [v for v in spec["select"]
                    if v not in result.columns]
         if missing:
             raise ValueError(
                 f"SELECT vars not bound by the WHERE group: {missing}")
-        result = result.select(*spec["select"]).distinct()
+        result = result.select(*spec["select"])
+        if not spec["aggs"]:
+            result = result.distinct()
+    if spec["order_by"]:
+        from pyspark.sql import functions as F
+
+        missing = [v for v, _d in spec["order_by"]
+                   if v not in result.columns]
+        if missing:
+            raise ValueError(f"ORDER BY vars not in result: {missing}")
+        result = result.orderBy(*[
+            F.col(v).desc() if d == "desc" else F.col(v).asc()
+            for v, d in spec["order_by"]])
+    if spec["limit"] is not None:
+        result = result.limit(spec["limit"])
     return result

@@ -829,3 +829,39 @@ def test_kg_query_cli_sparql(spark, tmp_path):
     lines = buf.getvalue().strip().splitlines()
     assert lines[0] == "p\ta"
     assert {l.rstrip("\t") for l in lines[1:]} == {"p1\t21", "p2\t65"}
+
+
+def test_sparql_text_aggregation(spark):
+    """GROUP BY / HAVING / ORDER BY / LIMIT parsed from the query
+    string compile to the same groupBy-over-bindings plan; SPARQL
+    projection rules enforced loudly."""
+    from cbor_ld_spark.operators.sparql import run_sparql
+
+    data = _DATA + [("c4", "issuer", "org1")]
+    t = _triples(spark, data)
+    q = ('SELECT ?i (COUNT(DISTINCT ?c) AS ?n) WHERE '
+         '{ ?c <issuer> ?i } GROUP BY ?i HAVING(?n > 1) '
+         'ORDER BY DESC(?n) LIMIT 5')
+    out = run_sparql(t, q)
+    assert out.columns == ["i", "n"]
+    assert [tuple(r) for r in out.collect()] == [("org1", 3)]
+    # implicit one-group aggregation
+    tot = run_sparql(
+        t, 'SELECT (COUNT(DISTINCT ?c) AS ?total) WHERE '
+           '{ ?c <issuer> ?i }')
+    assert [tuple(r) for r in tot.collect()] == [(4,)]
+    # plain ORDER BY + LIMIT without aggregation
+    top = run_sparql(
+        t, 'SELECT ?c WHERE { ?c <issuer> ?i } ORDER BY ?c LIMIT 2')
+    assert [r["c"] for r in top.collect()] == ["c1", "c2"]
+    for bad, msg in [
+            ('SELECT ?c (COUNT(?x) AS ?n) WHERE { ?c <issuer> ?i } '
+             'GROUP BY ?i', "neither GROUP BY keys"),
+            ('SELECT ?i WHERE { ?c <issuer> ?i } GROUP BY ?i',
+             "without aggregate"),
+            ('SELECT (COUNT(?c) AS ?n) ?i WHERE { ?c <issuer> ?i }',
+             "need GROUP BY"),
+            ('SELECT ?c WHERE { ?c <issuer> ?i } LIMIT x',
+             "LIMIT needs an integer")]:
+        with pytest.raises(ValueError, match=msg):
+            run_sparql(t, bad)
