@@ -620,6 +620,51 @@ SELECT ?cred ?issuer ?issued WHERE {{
 }}"""
 
 
+_IRI_VC = "https://www.w3.org/2018/credentials#verifiableCredential"
+_TRUAGE_ISSUER = \
+    "did:key:z6MkkUbCFazdoducKf8SUye7cAxuicMdDBhXKWuTEuGA3jQF"
+
+
+_SPARQL_PATH_TYPE_TEXT = f"""
+SELECT ?cred ?t WHERE {{
+  ?cred <{_IRI_VC}>?/<{_IRI_ISSUER}> <{_TRUAGE_ISSUER}> .
+  ?cred <{_IRI_RDF_TYPE}> ?t
+}}"""
+
+
+def _kg_sparql_path_type(spark, sf_dir):
+    """Property path INSIDE a BGP, from the text surface (r7): the
+    rdf:type of every document chaining to the TruAge issuer — the
+    path pattern (ground object -> SEEDED frontier tier,
+    operators/bgp.py `_path_frame`) joins into the bindings like a
+    pattern frame and composes with the plain type pattern.  Oracle:
+    Python replay of the path relation filtered to the ground issuer,
+    joined with the realized rdf:type triples."""
+    from cbor_ld_spark.operators.sparql import run_sparql
+    from cbor_ld_spark.plans import shared_triples
+
+    out = run_sparql(shared_triples(spark, sf_dir),
+                     _SPARQL_PATH_TYPE_TEXT)
+    return out.orderBy("cred", "t")
+
+
+def _sparql_path_type_oracle(sf_dir: str | None = None) -> str:
+    """Replay: (vc? / issuer) pairs with the ground issuer object,
+    joined to rdf:type triples on the credential."""
+    triples = _realized_triples(sf_dir or _oracle_sf_dir())
+    terms = ({s for s, _p, _o in triples}
+             | {o for _s, _p, o in triples})
+    vc = {(s, o) for s, p, o in triples if p == _IRI_VC}
+    vc |= {(t, t) for t in terms}  # zero-length identity (opt)
+    iss = {(s, o) for s, p, o in triples if p == _IRI_ISSUER
+           and o == _TRUAGE_ISSUER}
+    creds = {a for a, b in vc for c, _d in iss if b == c}
+    rows = sorted({(s, o) for s, p, o in triples
+                   if p == _IRI_RDF_TYPE and s in creds})
+    return _values_oracle(
+        rows, [("cred", "VARCHAR"), ("t", "VARCHAR")], "cred, t")
+
+
 _SPARQL_GROUP_TEXT = f"""
 SELECT ?issuer (COUNT(DISTINCT ?cred) AS ?n_creds)
        (COUNT(DISTINCT ?person) AS ?n_subjects)
@@ -661,7 +706,6 @@ def _kg_sparql_select(spark, sf_dir):
     return out.orderBy("cred", "issuer", "issued")
 
 
-_IRI_VC = "https://www.w3.org/2018/credentials#verifiableCredential"
 _PATH_ISSUER_STEPS = [(_IRI_VC, "opt"), (_IRI_ISSUER, "one")]
 
 
@@ -697,8 +741,6 @@ def _kg_path_issuers(spark, sf_dir):
     return out.orderBy("src", "dst")
 
 
-_TRUAGE_ISSUER = \
-    "did:key:z6MkkUbCFazdoducKf8SUye7cAxuicMdDBhXKWuTEuGA3jQF"
 
 
 def _kg_path_truage_issuer(spark, sf_dir):
@@ -1596,14 +1638,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # kg_reachability, kg_communities, kg_anf, kg_neighbor_overlap_lsh,
     # kg_nquads_export, kg_infer_vouches, dedup_minhash_jaccard,
     # sample_stratified, text_winnow_fingerprints, emb_near_dup_blocked,
-    # dedup_embedding_lsh, ann_ivf_topk.  Window entries: the 5 NEW r7
-    # queries (kg_path_truage_issuer — seeded property-path tier;
-    # kg_bgp_optional_unbound — SPARQL unbound-compatibility OPTIONAL;
-    # kg_sparql_select — SPARQL text surface, shares kg_bgp_filter's
-    # oracle; kg_sparql_group — text GROUP BY/HAVING/ORDER BY, shares
-    # kg_bgp_group's oracle; kg_anf_diameter — effective diameter to
-    # saturation) + 12 rotations whose last driver row was r4 (rel_* x8,
-    # events_by_type, events_sessions, kg_hex_roundtrip, emb_near_dup).
+    # dedup_embedding_lsh, ann_ivf_topk, ann_lsh_topk.  Window entries:
+    # the 6 NEW r7 queries (kg_path_truage_issuer — seeded property-path
+    # tier; kg_bgp_optional_unbound — SPARQL unbound-compatibility
+    # OPTIONAL; kg_sparql_select — SPARQL text surface, shares
+    # kg_bgp_filter's oracle; kg_sparql_group — text GROUP BY/HAVING/
+    # ORDER BY, shares kg_bgp_group's oracle; kg_sparql_path_type —
+    # property path INSIDE a BGP, seeded ground endpoint;
+    # kg_anf_diameter — effective diameter to saturation) + 12 rotations
+    # whose last driver row was r4 (rel_* x8, events_by_type,
+    # events_sessions, kg_hex_roundtrip, emb_near_dup).
     # Queries whose operators WERE touched in r7 (bgp.py
     # paths/parser/optional-compat, graph.py k-core) all stay in-window:
     # kg_bgp_*, kg_path_*, kg_infer_semi_naive, kg_kcore.
@@ -1639,6 +1683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_filter": _kg_bgp_filter,
         "kg_sparql_select": _kg_sparql_select,
         "kg_sparql_group": _kg_sparql_group,
+        "kg_sparql_path_type": _kg_sparql_path_type,
         "kg_anf_diameter": _kg_anf_diameter,
         "kg_path_closure": _kg_path_closure,
         "kg_path_issuers": _kg_path_issuers,
@@ -1657,10 +1702,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup": _emb_near_dup,
         "dedup_minhash_pairs": _dedup_minhash_pairs,
         "ann_cosine_topk": _ann_cosine_topk,
-        "ann_lsh_topk": _ann_lsh_topk,
         # --- past the driver's 50-query window (slot 50 ends at
-        # ann_lsh_topk; re-count whenever an entry is added —
+        # ann_cosine_topk; re-count whenever an entry is added —
         # tests/test_registry_modes.py pins this marker executably) ---
+        "ann_lsh_topk": _ann_lsh_topk,
         "ann_ivf_topk": _ann_ivf_topk,
         "emb_near_dup_blocked": _emb_near_dup_blocked,
         "dedup_embedding_lsh": _dedup_embedding_lsh,
@@ -4057,6 +4102,7 @@ def oracle_sql() -> dict[str, str]:
         # text-surface twin (GROUP BY/HAVING/ORDER BY parsed from the
         # query string): same semantics, same oracle
         "kg_sparql_group": _bgp_group_oracle(),
+        "kg_sparql_path_type": _sparql_path_type_oracle(),
         "dedup_clusters": _dedup_clusters_oracle(),
         "dedup_apply": _dedup_apply_oracle(),
         "text_oov_rate": _OOV_SQL.format(norm=_NORM_SQL),

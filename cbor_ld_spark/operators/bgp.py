@@ -79,6 +79,50 @@ def _pattern_frame(triples: DataFrame, pat, i: int, var_order: list[str]):
     return frame
 
 
+def _path_var(term: str, k: int) -> str | None:
+    """'?name' -> 'name' with the same validation as pattern vars;
+    None for a ground term."""
+    if not term.startswith("?"):
+        return None
+    var = term[1:]
+    if not var:
+        raise ValueError(f"path pattern {k}: bare '?' variable")
+    if var.startswith("_"):
+        raise ValueError(
+            f"path pattern {k}: variable name {term!r} may not start "
+            "with '_' (reserved for internal columns)")
+    return var
+
+
+def _path_frame(triples: DataFrame, steps: list[tuple], s: str, o: str,
+                k: int, var_order: list[str]) -> DataFrame:
+    """A property-path pattern used INSIDE a BGP (r7): evaluates the
+    path relation via ``match_path`` — the SEEDED tier when an
+    endpoint is ground — and shapes it like a pattern frame (one
+    column per endpoint variable; a fully-ground path becomes a lazy
+    EXISTS guard; a repeated variable an intra-row equality)."""
+    s_var, o_var = _path_var(s, k), _path_var(o, k)
+    rel = match_path(triples, steps,
+                     src=None if s_var is not None else s,
+                     dst=None if o_var is not None else o)
+    if s_var is None and o_var is None:
+        # fully-ground path: EXISTS guard, no driver action
+        return rel.select(F.lit(1).alias(f"_exists_path{k}")).limit(1)
+    if s_var is not None and s_var == o_var:
+        frame = (rel.filter(F.col("src") == F.col("dst"))
+                 .select(F.col("src").alias(s_var)).distinct())
+        if s_var not in var_order:
+            var_order.append(s_var)
+        return frame
+    cols = []
+    for var, pos in ((s_var, "src"), (o_var, "dst")):
+        if var is not None:
+            cols.append(F.col(pos).alias(var))
+            if var not in var_order:
+                var_order.append(var)
+    return rel.select(*cols).distinct()
+
+
 def match_bgp(triples: DataFrame,
               patterns: list[tuple[str, str, str]],
               optional: list[tuple[str, str, str]] | None = None,
@@ -86,7 +130,8 @@ def match_bgp(triples: DataFrame,
               filters: list[str] | None = None,
               not_exists: list[tuple[str, str, str]] | None = None,
               sources: list[DataFrame] | None = None,
-              unbound_compat: bool = True) -> DataFrame:
+              unbound_compat: bool = True,
+              paths: list[tuple] | None = None) -> DataFrame:
     """Match a conjunctive BGP; returns one column per variable, in
     first-appearance order (required patterns first, then optionals).
 
@@ -105,6 +150,17 @@ def match_bgp(triples: DataFrame,
     binding).  Note the SPARQL corner where MINUS and FILTER NOT EXISTS
     differ (disconnected patterns) is rejected loudly here, so the two
     coincide on everything this accepts.
+
+    ``paths`` (r7) — property-path patterns INSIDE the BGP: each entry
+    ``(steps, subj, obj)`` where steps is a ``match_path`` step list
+    and subj/obj are ``'?var'`` or ground terms.  The path relation is
+    evaluated (the SEEDED frontier tier when an endpoint is ground)
+    and joined into the bindings exactly like a pattern frame — so
+    ``?cred vc?/issuer ?i . ?cred rdf:type ?t`` is one query.  Paths
+    join after the required patterns (their variables order after
+    pattern variables); fully-ground paths act as EXISTS guards and a
+    repeated endpoint variable as an intra-row equality, mirroring
+    plain patterns.
 
     ``sources`` (advanced, used by the semi-naive rule engine) supplies
     a per-required-pattern triples frame: pattern ``i`` scans
@@ -136,7 +192,7 @@ def match_bgp(triples: DataFrame,
     required-bound, a broadcast nested-loop join over the optional's
     filtered scan) is paid only by queries that actually hit the
     nested-unbound corner."""
-    if not patterns:
+    if not patterns and not paths:
         raise ValueError("match_bgp requires at least one pattern")
     if sources is not None and len(sources) != len(patterns):
         raise ValueError(
@@ -144,16 +200,22 @@ def match_bgp(triples: DataFrame,
             f"({len(sources)} != {len(patterns)})")
     var_order: list[str] = []
     result: DataFrame | None = None
+
+    def _join(result, frame):
+        if result is None:
+            return frame
+        shared = [c for c in frame.columns
+                  if c in result.columns and not c.startswith("_")]
+        return (result.join(frame, on=shared) if shared
+                else result.crossJoin(frame))
+
     for i, pat in enumerate(patterns):
         src = sources[i] if sources is not None else triples
         frame = _pattern_frame(src, pat, i, var_order)
-        if result is None:
-            result = frame
-        else:
-            shared = [c for c in frame.columns
-                      if c in result.columns and not c.startswith("_")]
-            result = (result.join(frame, on=shared) if shared
-                      else result.crossJoin(frame))
+        result = _join(result, frame)
+    for k, (steps, s, o) in enumerate(paths or []):
+        frame = _path_frame(triples, steps, s, o, k, var_order)
+        result = _join(result, frame)
     if not var_order:
         raise ValueError("BGP has no variables — use a plain filter to "
                          "test ground triples")

@@ -188,9 +188,12 @@ def parse_path(expr: str) -> list[tuple]:
 #           | 'FILTER' 'NOT' 'EXISTS' group     (patterns only inside)
 #           | group ('UNION' group)+            (must be the ONLY member;
 #                                                each group patterns-only)
-# A single-pattern query whose predicate uses path syntax
-# (/ | ^ ! + * ? or parens) is routed to match_path — with a ground
-# subject/object it runs the SEEDED tier.  Set semantics throughout
+# A pattern whose predicate uses path syntax (/ | ^ ! + * ? or
+# parens) is a PROPERTY PATH: alone it routes to match_path; mixed
+# with other top-level members it joins into the BGP like a pattern
+# (match_bgp `paths=`) — either way a ground subject/object runs the
+# SEEDED tier.  Paths inside OPTIONAL/NOT EXISTS/UNION groups are
+# outside this subset (rejected loudly).  Set semantics throughout
 # (match_bgp's distinct), keywords case-insensitive, FILTER bodies are
 # Spark SQL expressions over the bound variable names (documented
 # subset — not SPARQL's function library).
@@ -296,6 +299,11 @@ def _parse_plain_group(toks: list[str], pos: int) -> tuple[list, int]:
                 "are outside this subset")
         if pos + 3 > len(toks):
             raise ValueError("truncated triple pattern")
+        raw_pred = toks[pos + 1]
+        if not raw_pred.startswith("?") and _has_path_syntax(raw_pred):
+            raise ValueError(
+                "property paths inside OPTIONAL / NOT EXISTS / UNION "
+                "groups are outside this subset")
         pats.append(tuple(parse_term(t) for t in toks[pos:pos + 3]))
         pos += 3
         if pos < len(toks) and toks[pos] == ".":
@@ -360,7 +368,8 @@ def parse_sparql(text: str) -> dict:
     pos = _expect(toks, pos, "{")
     spec = {"select": select or None, "aggs": aggs, "patterns": [],
             "optional": [], "filters": [], "not_exists": [],
-            "union": None, "path": None, "group_by": [],
+            "union": None, "path": None, "path_patterns": [],
+            "group_by": [],
             "having": [], "order_by": [], "limit": None}
     while pos < len(toks) and toks[pos] != "}":
         t = toks[pos]
@@ -488,22 +497,32 @@ def parse_sparql(text: str) -> dict:
         if not spec["aggs"]:
             raise ValueError("GROUP BY without aggregate SELECT "
                              "expressions")
-    # route single path-pattern queries to match_path
+    # path-pattern routing: a LONE path keeps the dedicated
+    # match_path route (seeded + both-ground EXISTS shape); paths
+    # mixed with other members become match_bgp `paths=` entries (r7)
     paths = [p for p in spec["patterns"] if p[0] == "__path__"]
     if paths:
-        if len(spec["patterns"]) != 1 or spec["optional"] or \
-                spec["filters"] or spec["not_exists"] or spec["union"]:
-            raise ValueError(
-                "a property-path pattern must be the only pattern in "
-                "the query in this subset")
-        _tag, raw_pred, subj, obj = paths[0]
-        spec["patterns"] = []
-        spec["path"] = {
-            "steps": parse_path(raw_pred),
-            "subj": subj, "obj": obj,
-        }
+        plain = [p for p in spec["patterns"] if p[0] != "__path__"]
+        lone = (len(spec["patterns"]) == 1 and not spec["optional"]
+                and not spec["filters"] and not spec["not_exists"]
+                and not spec["union"])
+        if lone:
+            _tag, raw_pred, subj, obj = paths[0]
+            spec["patterns"] = []
+            spec["path"] = {
+                "steps": parse_path(raw_pred),
+                "subj": subj, "obj": obj,
+            }
+        else:
+            if spec["union"]:
+                raise ValueError("property paths inside UNION queries "
+                                 "are outside this subset")
+            spec["patterns"] = plain
+            spec["path_patterns"] = [
+                (parse_path(raw), subj, obj)
+                for _tag, raw, subj, obj in paths]
     if spec["union"] is None and spec["path"] is None \
-            and not spec["patterns"]:
+            and not spec["patterns"] and not spec["path_patterns"]:
         raise ValueError("WHERE group has no patterns")
     return spec
 
@@ -538,7 +557,8 @@ def run_sparql(triples, text: str):
             triples, spec["patterns"],
             optional=spec["optional"] or None,
             filters=spec["filters"] or None,
-            not_exists=spec["not_exists"] or None)
+            not_exists=spec["not_exists"] or None,
+            paths=spec["path_patterns"] or None)
     if spec["aggs"]:
         from pyspark.sql import functions as F
 

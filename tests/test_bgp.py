@@ -762,10 +762,17 @@ def test_parse_sparql_units():
     assert p2["path"]["subj"] == "urn:c"
     assert p2["path"]["steps"] == [("urn:p", "plus"), ("urn:q", "one")]
 
+    # r7 late: a path MIXED with other patterns becomes a match_bgp
+    # paths= entry instead of an error
+    mix = parse_sparql(
+        'SELECT ?x WHERE { ?x <urn:p>+ ?y . ?y <urn:q> ?z }')
+    assert mix["path"] is None
+    assert mix["patterns"] == [("?y", "urn:q", "?z")]
+    assert mix["path_patterns"] == [
+        ([("urn:p", "plus")], "?x", "?y")]
+
     import pytest as _p
     for bad, msg in [
-            ('SELECT ?x WHERE { ?x <urn:p>+ ?y . ?y <urn:q> ?z }',
-             "only pattern"),
             ('SELECT * WHERE { OPTIONAL { ?a <urn:p> ?b } }',
              "no patterns"),
             ('SELECT * WHERE { { ?a <urn:p> ?b } }',
@@ -865,3 +872,52 @@ def test_sparql_text_aggregation(spark):
              "LIMIT needs an integer")]:
         with pytest.raises(ValueError, match=msg):
             run_sparql(t, bad)
+
+
+def test_bgp_path_patterns(spark):
+    """Property paths INSIDE a BGP (r7): the path relation joins like
+    a pattern frame — var endpoints, ground endpoints (seeded tier),
+    fully-ground EXISTS guards, repeated endpoint vars."""
+    from cbor_ld_spark.operators.bgp import match_bgp
+    from cbor_ld_spark.operators.sparql import run_sparql
+
+    rows = [("pres1", "vc", "c1"), ("c1", "issuer", "org1"),
+            ("c2", "issuer", "org2"), ("c1", "type", "T1"),
+            ("c2", "type", "T2"), ("a", "p", "b"), ("b", "p", "c")]
+    t = _triples(spark, rows)
+    steps = [("vc", "opt"), ("issuer", "one")]
+
+    out = match_bgp(t, [("?cred", "type", "?ty")],
+                    paths=[(steps, "?cred", "?i")])
+    assert {tuple(r) for r in out.collect()} == {
+        ("c1", "T1", "org1"), ("c2", "T2", "org2")}
+
+    # ground object endpoint -> seeded tier inside the BGP
+    out = match_bgp(t, [("?cred", "type", "?ty")],
+                    paths=[(steps, "?cred", "org1")])
+    assert {tuple(r) for r in out.collect()} == {("c1", "T1")}
+
+    # fully-ground path = EXISTS guard
+    present = match_bgp(t, [("?x", "type", "?ty")],
+                        paths=[([("p", "plus")], "a", "c")])
+    assert present.count() == 2
+    absent = match_bgp(t, [("?x", "type", "?ty")],
+                       paths=[([("p", "plus")], "a", "zzz")])
+    assert absent.count() == 0
+
+    # repeated endpoint var: p+ cycles only (none here)
+    none = match_bgp(t, [], paths=[([("p", "plus")], "?x", "?x")])
+    assert none.count() == 0
+
+    # text surface end-to-end, mixed with FILTER
+    q = ("SELECT ?cred ?ty WHERE { ?cred <vc>?/<issuer> <org1> . "
+         "?cred <type> ?ty . FILTER(ty != 'T9') }")
+    assert [tuple(r) for r in run_sparql(t, q).collect()] == \
+        [("c1", "T1")]
+
+    # loud rejections
+    with pytest.raises(ValueError, match="may not start with '_'"):
+        match_bgp(t, [], paths=[([("p", "one")], "?_x", "?y")])
+    with pytest.raises(ValueError, match="outside this subset"):
+        run_sparql(t, "SELECT ?x WHERE { ?x <type> ?t . "
+                      "OPTIONAL { ?x <p>+ ?y } }")
