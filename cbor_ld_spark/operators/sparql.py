@@ -186,6 +186,12 @@ def parse_path(expr: str) -> list[tuple]:
 #           | 'OPTIONAL' group                  (patterns only inside)
 #           | 'FILTER' '(' sql-expr ')'         (SQL boolean expr over vars)
 #           | 'FILTER' 'NOT' 'EXISTS' group     (patterns only inside)
+#           | 'VALUES' '?'var '{' term+ '}'     (restricts an already-
+#                                                bound var to the listed
+#                                                terms — an IN filter;
+#                                                SPARQL's new-binding /
+#                                                multi-var forms are
+#                                                outside this subset)
 #           | group ('UNION' group)+            (must be the ONLY member;
 #                                                each group patterns-only)
 # A pattern whose predicate uses path syntax (/ | ^ ! + * ? or
@@ -369,7 +375,7 @@ def parse_sparql(text: str) -> dict:
     spec = {"select": select or None, "aggs": aggs, "patterns": [],
             "optional": [], "filters": [], "not_exists": [],
             "union": None, "path": None, "path_patterns": [],
-            "group_by": [],
+            "values": [], "group_by": [],
             "having": [], "order_by": [], "limit": None}
     while pos < len(toks) and toks[pos] != "}":
         t = toks[pos]
@@ -377,6 +383,29 @@ def parse_sparql(text: str) -> dict:
         if low == "optional":
             pats, pos = _parse_plain_group(toks, pos + 1)
             spec["optional"].extend(pats)
+        elif low == "values":
+            pos += 1
+            if pos >= len(toks) or not toks[pos].startswith("?") \
+                    or len(toks[pos]) < 2:
+                raise ValueError("VALUES needs one ?var then "
+                                 "'{ term ... }'")
+            var = toks[pos][1:]
+            pos = _expect(toks, pos + 1, "{")
+            vals = []
+            while pos < len(toks) and toks[pos] != "}":
+                t2 = toks[pos]
+                if t2.lower() in _KEYWORDS or t2.startswith("?") \
+                        or t2 in ("{", "."):
+                    raise ValueError(
+                        f"VALUES terms must be constants, got {t2!r}")
+                vals.append(parse_term(t2))
+                pos += 1
+            if pos >= len(toks):
+                raise ValueError("unterminated VALUES block")
+            if not vals:
+                raise ValueError("empty VALUES block")
+            pos += 1
+            spec["values"].append((var, vals))
         elif low.startswith("filter("):
             # no space between FILTER and '(' — one word token
             spec["filters"].append(t[len("filter"):][1:-1].strip())
@@ -559,6 +588,15 @@ def run_sparql(triples, text: str):
             filters=spec["filters"] or None,
             not_exists=spec["not_exists"] or None,
             paths=spec["path_patterns"] or None)
+    for var, vals in spec["values"]:
+        from pyspark.sql import functions as F
+
+        if var not in result.columns:
+            raise ValueError(
+                f"VALUES var ?{var} is not bound by the WHERE group")
+        # an IN predicate — Catalyst pushes it below the joins into
+        # the pattern scans
+        result = result.filter(F.col(var).isin(vals))
     if spec["aggs"]:
         from pyspark.sql import functions as F
 

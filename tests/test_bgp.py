@@ -921,3 +921,30 @@ def test_bgp_path_patterns(spark):
     with pytest.raises(ValueError, match="outside this subset"):
         run_sparql(t, "SELECT ?x WHERE { ?x <type> ?t . "
                       "OPTIONAL { ?x <p>+ ?y } }")
+
+
+def test_sparql_values_clause(spark):
+    """VALUES restricts a bound var to listed constants (IN filter,
+    pushed below the joins); new-binding/multi-var forms rejected."""
+    from cbor_ld_spark.operators.sparql import run_sparql
+
+    t = _triples(spark, _DATA)
+    q = ('SELECT ?c ?i WHERE { ?c <issuer> ?i . '
+         'VALUES ?i { <org1> } }')
+    assert {tuple(r) for r in run_sparql(t, q).collect()} == {
+        ("c1", "org1"), ("c3", "org1")}
+    # composes with aggregation
+    q2 = ('SELECT ?i (COUNT(DISTINCT ?c) AS ?n) WHERE '
+          '{ ?c <issuer> ?i . VALUES ?i { <org1> <org2> } } '
+          'GROUP BY ?i ORDER BY ?i')
+    assert [tuple(r) for r in run_sparql(t, q2).collect()] == [
+        ("org1", 2), ("org2", 1)]
+    for bad, msg in [
+            ('SELECT ?c WHERE { ?c <issuer> ?i . VALUES ?z { <a> } }',
+             "not bound"),
+            ('SELECT ?c WHERE { ?c <issuer> ?i . VALUES ?i { } }',
+             "empty VALUES"),
+            ('SELECT ?c WHERE { ?c <issuer> ?i . VALUES ?i { ?x } }',
+             "must be constants")]:
+        with pytest.raises(ValueError, match=msg):
+            run_sparql(t, bad)
