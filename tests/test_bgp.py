@@ -948,3 +948,23 @@ def test_sparql_values_clause(spark):
              "must be constants")]:
         with pytest.raises(ValueError, match=msg):
             run_sparql(t, bad)
+
+
+def test_sparql_values_pushed_to_scan(spark, tmp_path):
+    """The VALUES IN-predicate must reach the parquet scan
+    (PushedFilters), not sit above the joins."""
+    from cbor_ld_spark.operators.sparql import run_sparql
+
+    t = _triples(spark, _DATA)
+    tdir = str(tmp_path / "triples_v")
+    t.write.parquet(tdir)
+    pq = spark.read.parquet(tdir)
+    out = run_sparql(
+        pq, 'SELECT ?c ?p WHERE { ?c <subject> ?p . '
+            '?c <issuer> ?i . VALUES ?i { <org1> <org9> } }')
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [l for l in plan.splitlines() if "FileScan" in l]
+    # the VALUES IN-predicate lands in a scan's DataFilters (a
+    # single-value VALUES folds to an equality; multi-value stays In)
+    assert any("org1" in l and "org9" in l for l in scan_lines), plan
+    assert {tuple(r) for r in out.collect()} == {("c1", "p1")}
