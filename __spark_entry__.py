@@ -3204,6 +3204,12 @@ def _path_oracle(steps, sf_dir: str | None = None,
         result = None
         for preds, mod in steps:
             if (isinstance(preds, (list, tuple)) and preds
+                    and isinstance(preds[0], list)):
+                # alternation of sub-paths (r8): union of alternatives
+                edges = set()
+                for alt in preds:
+                    edges |= eval_steps(list(alt))
+            elif (isinstance(preds, (list, tuple)) and preds
                     and isinstance(preds[0], tuple)):
                 edges = eval_steps(list(preds))  # nested group
             else:

@@ -131,7 +131,8 @@ def match_bgp(triples: DataFrame,
               not_exists: list[tuple[str, str, str]] | None = None,
               sources: list[DataFrame] | None = None,
               unbound_compat: bool = True,
-              paths: list[tuple] | None = None) -> DataFrame:
+              paths: list[tuple] | None = None,
+              binds: list[tuple[str, str]] | None = None) -> DataFrame:
     """Match a conjunctive BGP; returns one column per variable, in
     first-appearance order (required patterns first, then optionals).
 
@@ -140,6 +141,15 @@ def match_bgp(triples: DataFrame,
     after the required joins and before optionals — a row must satisfy
     every filter.  They compile to ordinary Catalyst predicates, so a
     filter on a single pattern's variable is pushed below the joins.
+
+    ``binds`` (r8 — SPARQL BIND): ``(sql_expr, alias)`` pairs computed
+    over the bindings after the required patterns/paths join and
+    BEFORE the filters, in order (a later bind or filter may reference
+    an earlier bind's alias).  The alias must be FRESH — rebinding a
+    bound variable is an error, per SPARQL 1.1 §10.1.  Binds are plain
+    projections, so Catalyst folds a filter on a bind alias through
+    the projection and still pushes the underlying predicate to the
+    pattern scan.
 
     ``not_exists`` patterns implement SPARQL ``FILTER NOT EXISTS`` /
     ``MINUS`` for the connected case: bindings for which the pattern
@@ -219,6 +229,17 @@ def match_bgp(triples: DataFrame,
     if not var_order:
         raise ValueError("BGP has no variables — use a plain filter to "
                          "test ground triples")
+    for expr, alias in binds or []:
+        if alias in var_order:
+            raise ValueError(
+                f"BIND alias ?{alias} is already bound — SPARQL "
+                "forbids rebinding (1.1 §10.1)")
+        if alias.startswith("_"):
+            raise ValueError(
+                f"BIND alias ?{alias} may not start with '_' "
+                "(reserved for internal columns)")
+        result = result.withColumn(alias, F.expr(expr))
+        var_order.append(alias)
     for expr in filters or []:
         result = result.filter(F.expr(expr))
     for m, pat in enumerate(not_exists or []):
@@ -358,6 +379,14 @@ def _is_group(preds) -> bool:
             and isinstance(preds[0], tuple))
 
 
+def _is_alt_groups(preds) -> bool:
+    """An ALTERNATION-OF-GROUPS step's preds (r8, ``(p/q)|r``) is a
+    list of ALTERNATIVES, each itself a steps-list — evaluated as the
+    union of the alternatives' sub-relations."""
+    return (isinstance(preds, (list, tuple)) and bool(preds)
+            and isinstance(preds[0], list))
+
+
 def _validate_step(step, i: int):
     """Shared step validation -> (preds, mod)."""
     if len(step) != 2:
@@ -371,17 +400,19 @@ def _validate_step(step, i: int):
     return preds, mod
 
 
-def _bfs_fix(frontier: DataFrame, step_fn, max_iters: int) -> DataFrame:
+def _bfs_fix(frontier: DataFrame, step_fn, max_layers: int) -> DataFrame:
     """Nodes with a path of >= 1 applications of ``step_fn`` from
     ``frontier`` — plain BFS, one anti-join + localCheckpoint per
     layer (k_hop's layer machinery).  Rounds = eccentricity of the
     frontier, but each round touches only the frontier's out-edges —
     never the whole relation's closure.  ``step_fn`` maps a ``node``
     frame to the nodes one step away (an edge join for atom steps, a
-    recursive sub-path evaluation for group steps)."""
+    recursive sub-path evaluation for group steps).  ``max_layers``
+    is the LINEAR layer budget (``2**(max_iters-1)`` from the caller's
+    doubling-tier ``max_iters`` — same covered diameter)."""
     reached: DataFrame | None = None
     layer = frontier
-    for _ in range(max_iters):
+    for _ in range(max_layers):
         nxt = step_fn(layer).distinct()
         if reached is not None:
             nxt = nxt.join(reached, on="node", how="left_anti")
@@ -393,8 +424,8 @@ def _bfs_fix(frontier: DataFrame, step_fn, max_iters: int) -> DataFrame:
         layer = nxt
     else:
         raise RuntimeError(
-            f"seeded path expansion did not converge in {max_iters} "
-            "layers (eccentricity bound; raise max_iters)")
+            f"seeded path expansion did not converge in {max_layers} "
+            "layers (diameter bound; raise max_iters)")
     if reached is None:
         return frontier.limit(0)
     return reached
@@ -402,7 +433,7 @@ def _bfs_fix(frontier: DataFrame, step_fn, max_iters: int) -> DataFrame:
 
 def _seeded_eval(triples: DataFrame, steps: list[tuple],
                  frontier: DataFrame, reverse: bool,
-                 max_iters: int) -> DataFrame:
+                 max_layers: int) -> DataFrame:
     """Frontier evaluation of a path over a ``node`` frame of current
     positions.  ``reverse=True`` evaluates right-to-left (ground
     OBJECT): steps in reverse order with each leaf step's edge frame
@@ -411,12 +442,24 @@ def _seeded_eval(triples: DataFrame, steps: list[tuple],
     ordered = list(reversed(steps)) if reverse else list(steps)
     for i, step in enumerate(ordered):
         preds, mod = _validate_step(step, i)
-        if _is_group(preds):
+        if _is_alt_groups(preds):
+            # alternation of sub-paths: one frontier application is
+            # the UNION of applying each alternative (r8)
+            alts_steps = [list(a) for a in preds]
+
+            def step_fn(fr, _alts=alts_steps):
+                out = None
+                for sub in _alts:
+                    nxt = _seeded_eval(triples, sub, fr, reverse,
+                                       max_layers)
+                    out = nxt if out is None else out.unionByName(nxt)
+                return out.distinct()
+        elif _is_group(preds):
             sub = list(preds)
 
             def step_fn(fr, _sub=sub):
                 return _seeded_eval(triples, _sub, fr, reverse,
-                                    max_iters)
+                                    max_layers)
         else:
             alts = [preds] if isinstance(preds, str) else list(preds)
             edges = _step_edges(triples, alts, i)
@@ -435,9 +478,9 @@ def _seeded_eval(triples: DataFrame, steps: list[tuple],
                         .unionByName(frontier)
                         .distinct().localCheckpoint())
         elif mod == "plus":
-            frontier = _bfs_fix(frontier, step_fn, max_iters)
+            frontier = _bfs_fix(frontier, step_fn, max_layers)
         else:  # star
-            frontier = (_bfs_fix(frontier, step_fn, max_iters)
+            frontier = (_bfs_fix(frontier, step_fn, max_layers)
                         .unionByName(frontier)
                         .distinct().localCheckpoint())
     return frontier
@@ -451,11 +494,116 @@ def _seeded_path_nodes(triples: DataFrame, steps: list[tuple],
     graph terms, which preserves exact equivalence with the
     unconstrained tier (whose zero-length identity ranges over graph
     terms only): a seed that is not a graph term has no edges and no
-    zero-path identity, so every result is empty either way."""
+    zero-path identity, so every result is empty either way.
+
+    Depth parity (ADVICE r7): the unconstrained tier's doubling
+    closure covers diameter ``2**(max_iters-1)`` while the seeded
+    tier's BFS is LINEAR in layers — so the same ``max_iters`` is
+    converted to that layer budget here, and adding a ground endpoint
+    can never make a query fail that succeeded unseeded.  The budget
+    is only a runaway guard: BFS over a finite graph terminates within
+    the node count regardless."""
     frontier = (_graph_terms(triples)
                 .filter(F.col("node") == F.lit(seed))
                 .localCheckpoint())
-    return _seeded_eval(triples, steps, frontier, reverse, max_iters)
+    return _seeded_eval(triples, steps, frontier, reverse,
+                        1 << (max_iters - 1))
+
+
+def _bidi_pair(triples: DataFrame, steps: list[tuple], src: str,
+               dst: str, max_iters: int) -> DataFrame:
+    """BOTH endpoints ground (r8, VERDICT r7 #6): is (src, dst) in the
+    path relation?  Returns the one-row (src, dst) frame if connected,
+    else empty — exactly the seeded tier's filtered answer, but never
+    materializing the full forward reach:
+
+    * a single closure step (``p+``/``p*``, the common form) runs
+      MEET-IN-THE-MIDDLE alternating BFS: expand whichever side's
+      frontier is currently smaller (forward from src / backward from
+      dst), stop as soon as a new layer intersects the other side's
+      accumulated reach — work is bounded by the smaller side's
+      expansion instead of src's full eccentricity, and the depth>=1
+      requirement of ``plus`` holds by construction (a check only
+      fires on a layer at depth>=1 on one side);
+    * a multi-step sequence splits at the midpoint: the prefix
+      evaluates forward from src, the suffix backward from dst, and
+      the path connects iff the midpoint position sets intersect
+      (dst is reachable iff some prefix-position reaches it via the
+      suffix — one equi-join instead of carrying the whole frontier
+      through the full sequence);
+    * a single non-closure step just applies it once from src.
+
+    Equivalence with ``seeded-then-filter`` is property-tested
+    (tests/test_bgp.py)."""
+    max_layers = 1 << (max_iters - 1)
+    empty = (triples.limit(0)
+             .select(F.lit(src).alias("src"), F.lit(dst).alias("dst")))
+
+    def pair(hit: DataFrame) -> DataFrame:
+        return hit.limit(1).select(F.lit(src).alias("src"),
+                                   F.lit(dst).alias("dst"))
+
+    terms = _graph_terms(triples)
+    f_src = (terms.filter(F.col("node") == F.lit(src))
+             .localCheckpoint())
+    f_dst = (terms.filter(F.col("node") == F.lit(dst))
+             .localCheckpoint())
+    if len(steps) > 1:
+        k = len(steps) // 2
+        a = _seeded_eval(triples, list(steps[:k]), f_src, False,
+                         max_layers)
+        b = _seeded_eval(triples, list(steps[k:]), f_dst, True,
+                         max_layers)
+        return pair(a.join(b, "node"))
+    preds, mod = _validate_step(steps[0], 0)
+    if mod not in ("plus", "star"):
+        nodes = _seeded_eval(triples, steps, f_src, False, max_layers)
+        return pair(nodes.filter(F.col("node") == F.lit(dst)))
+    if mod == "star" and src == dst:
+        # zero-length identity: connected iff src is a graph term
+        return pair(f_src)
+
+    def one_step(fr: DataFrame, reverse: bool) -> DataFrame:
+        return _seeded_eval(triples, [(preds, "one")], fr, reverse,
+                            max_layers)
+
+    fwd_all, bwd_all = f_src, f_dst
+    fwd_frontier, bwd_frontier = f_src, f_dst
+    n_f, n_b = fwd_frontier.count(), bwd_frontier.count()
+    if n_f == 0 or n_b == 0:
+        return empty
+    for _ in range(2 * max_layers):
+        if n_f == 0 and n_b == 0:
+            # both reaches complete, no intersection ever fired
+            return empty
+        expand_fwd = n_b == 0 or (n_f != 0 and n_f <= n_b)
+        if expand_fwd:
+            # check the FULL one-step reach (depth >= 1) against the
+            # other side BEFORE pruning visited nodes — a revisited
+            # node (e.g. the seed itself, closing a cycle) is a valid
+            # witness even though it is not frontier-new
+            reached = one_step(fwd_frontier, False).localCheckpoint()
+            if not reached.join(bwd_all, on="node").isEmpty():
+                return pair(f_src)
+            new = (reached.join(fwd_all, on="node", how="left_anti")
+                   .localCheckpoint())
+            n_f = new.count()
+            if n_f:
+                fwd_all = fwd_all.unionByName(new).localCheckpoint()
+                fwd_frontier = new
+        else:
+            reached = one_step(bwd_frontier, True).localCheckpoint()
+            if not reached.join(fwd_all, on="node").isEmpty():
+                return pair(f_src)
+            new = (reached.join(bwd_all, on="node", how="left_anti")
+                   .localCheckpoint())
+            n_b = new.count()
+            if n_b:
+                bwd_all = bwd_all.unionByName(new).localCheckpoint()
+                bwd_frontier = new
+    raise RuntimeError(
+        f"bidirectional path search did not converge in "
+        f"{2 * max_layers} layers (diameter bound; raise max_iters)")
 
 
 def match_path(triples: DataFrame,
@@ -476,7 +624,11 @@ def match_path(triples: DataFrame,
     (``p*``) or ``"opt"`` (``p?``).  ``preds`` may also be a nested
     list of steps — a parenthesised GROUP, ``(p/q)+`` =
     ``([(p, 'one'), (q, 'one')], 'plus')`` — evaluated as the closure
-    (or option) of the composed sub-relation; groups nest.
+    (or option) of the composed sub-relation; groups nest.  A list of
+    LISTS is an ALTERNATION OF SUB-PATHS (r8, ``(p/q)|r`` =
+    ``([[([(p,'one'),(q,'one')], 'one')], [('r','one')]], 'one')``):
+    the union of the alternatives' relations, each alternative a full
+    steps-list carrying its own modifiers.
 
     Spark-first compilation: each step is a pred-pushed-down scan
     (alternates become one IN filter, inverses a column swap) reduced
@@ -495,16 +647,20 @@ def match_path(triples: DataFrame,
     evaluation switches to frontier expansion from the constant
     (k_hop's layer machinery — one join per BFS layer, cost tracks the
     frontier's out-edges); with only ``dst`` set, the path is
-    evaluated right-to-left over direction-swapped edges; with both
-    set, the result is the (src, dst) pair if connected, else empty.
+    evaluated right-to-left over direction-swapped edges; with BOTH
+    set, the result is the (src, dst) pair if connected, else empty —
+    evaluated MEET-IN-THE-MIDDLE (r8, ``_bidi_pair``): alternating
+    smaller-frontier-first bidirectional BFS for a single closure
+    step, midpoint split for sequences, so work is bounded by the
+    smaller side's reach instead of src's full eccentricity.
     Exact-equivalence with the unconstrained tier is property-tested
     (including the zero-length-identity graph-terms domain)."""
     if not steps:
         raise ValueError("match_path requires at least one step")
+    if src is not None and dst is not None:
+        return _bidi_pair(triples, steps, src, dst, max_iters)
     if src is not None:
         nodes = _seeded_path_nodes(triples, steps, src, False, max_iters)
-        if dst is not None:
-            nodes = nodes.filter(F.col("node") == F.lit(dst))
         return nodes.select(F.lit(src).alias("src"),
                             F.col("node").alias("dst"))
     if dst is not None:
@@ -525,7 +681,16 @@ def _path_relation(triples: DataFrame, steps: list[tuple],
     result: DataFrame | None = None
     for i, step in enumerate(steps):
         preds, mod = _validate_step(step, i)
-        if _is_group(preds):
+        if _is_alt_groups(preds):
+            # union of the alternatives' sub-relations (r8): each
+            # alternative is a full steps-list with its own mods
+            edges = None
+            for alt in preds:
+                rel = _path_relation(triples, list(alt), max_iters,
+                                     ident)
+                edges = rel if edges is None else edges.unionByName(rel)
+            edges = edges.distinct()
+        elif _is_group(preds):
             edges = _path_relation(triples, list(preds), max_iters,
                                    ident)
         else:

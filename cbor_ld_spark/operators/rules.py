@@ -34,21 +34,18 @@ from .bgp import match_bgp
 TRIPLE_COLS = ("subj", "pred", "obj")
 
 
-def construct(triples: DataFrame,
-              where: list[tuple[str, str, str]],
-              template: list[tuple[str, str, str]],
-              optional: list[tuple[str, str, str]] | None = None,
-              sources: list[DataFrame] | None = None) -> DataFrame:
-    """One CONSTRUCT application: (subj, pred, obj) rows instantiated
-    from the template for every (distinct) BGP binding.  Template
-    variables must be bound by the where clause; rows where any
-    template variable is NULL (possible via OPTIONAL) are dropped, per
-    CONSTRUCT semantics."""
+def instantiate_template(binds: DataFrame,
+                         template: list[tuple[str, str, str]]
+                         ) -> DataFrame:
+    """Instantiate a CONSTRUCT ``template`` once per row of a bindings
+    frame (one column per variable): ``?var`` terms read the column,
+    everything else is a constant; rows where any template variable is
+    NULL (possible via OPTIONAL) are dropped, per CONSTRUCT semantics.
+    Shared by the programmatic ``construct`` and the SPARQL-text
+    CONSTRUCT form (operators/sparql.py, r8)."""
     if not template:
         raise ValueError("construct requires at least one template "
                          "pattern")
-    binds = match_bgp(triples, where, optional=optional, distinct=True,
-                      sources=sources)
 
     def term_col(term: str, alias: str):
         if term.startswith("?"):
@@ -73,6 +70,24 @@ def construct(triples: DataFrame,
     for f in frames[1:]:
         out = out.unionByName(f)
     return out.distinct()
+
+
+def construct(triples: DataFrame,
+              where: list[tuple[str, str, str]],
+              template: list[tuple[str, str, str]],
+              optional: list[tuple[str, str, str]] | None = None,
+              sources: list[DataFrame] | None = None) -> DataFrame:
+    """One CONSTRUCT application: (subj, pred, obj) rows instantiated
+    from the template for every (distinct) BGP binding.  Template
+    variables must be bound by the where clause; rows where any
+    template variable is NULL (possible via OPTIONAL) are dropped, per
+    CONSTRUCT semantics."""
+    if not template:
+        raise ValueError("construct requires at least one template "
+                         "pattern")
+    binds = match_bgp(triples, where, optional=optional, distinct=True,
+                      sources=sources)
+    return instantiate_template(binds, template)
 
 
 def forward_chain(triples: DataFrame,

@@ -12,12 +12,17 @@ Grammar (subset, stated precisely):
   — ``<>`` and quotes are stripped; everything matches string-level
   against the triples table, same semantics as match_bgp.
 * path     := unit ('/' unit)*        (SEQUENCE)
-* unit     := (alts | '(' path ')') mod?
+* unit     := operand ('|' operand)*  (ALTERNATION; r8: operands may
+  be parenthesised groups — ``(p/q)|r`` — each keeping its OWN
+  trailing modifier, evaluated as the union of the alternatives'
+  sub-relations)
+* operand  := (atom | '(' path ')') mod?
   — a parenthesised GROUP contains a whole sub-path and may nest;
-  ``mod`` is one trailing '+', '*' or '?' and applies to the WHOLE
-  unit.  Alternation BETWEEN groups (``(p/q)|r``) is outside this
-  subset and rejected loudly.
-* alts     := atom ('|' atom)*        (ALTERNATION within a unit)
+  ``mod`` is one trailing '+', '*' or '?'.  In an ALL-ATOM
+  alternation the legacy r7 reading holds: only the LAST atom may
+  carry a modifier and it applies to the WHOLE alternation
+  (``q|r+`` == ``(q|r)+``, a documented divergence from SPARQL —
+  parenthesise, ``q|(r)+``, for the per-alternative reading).
 * atom     := '^'? '!'? ('<'iri'>' | bare-token)
   — '^' inverts the atom, '!' on every atom of a step makes it a
   negated property set (match_path enforces the no-mixing rule).
@@ -46,6 +51,10 @@ def parse_term(tok: str) -> str:
             raise ValueError("bare '?' variable")
         return tok
     if tok.startswith("<") and tok.endswith(">"):
+        return tok[1:-1]
+    if len(tok) >= 2 and tok[0] == '"' and tok[-1] == '"':
+        # tokens straight from _sparql_tokens keep their quotes
+        # (shlex-sourced CLI terms arrive pre-stripped)
         return tok[1:-1]
     return tok
 
@@ -105,42 +114,73 @@ def _tokenize_path(expr: str) -> list:
 
 
 def _parse_unit(toks: list, pos: int) -> tuple[tuple, int]:
-    """One unit: an atom alternation or a parenthesised group, with
-    an optional trailing modifier."""
+    """One unit: an alternation of OPERANDS — atoms or parenthesised
+    groups — each with an optional trailing modifier.
+
+    Interpretation (documented, r8 extends the r7 subset):
+
+    * all operands are bare atoms — legacy form: a modifier may follow
+      only the LAST atom and applies to the WHOLE alternation
+      (``q|r+`` == ``(q|r)+`` — a documented divergence from SPARQL's
+      per-element binding; wrap an atom in parens, ``q|(r)+``, for the
+      per-alternative reading).  A modifier on a NON-last atom is
+      rejected with that hint.
+    * any operand is a group — SPARQL form (``(p/q)|r``,
+      ``(p/q)+|(r)*``): each operand keeps its OWN modifier and the
+      unit is an alternation of sub-path ALTERNATIVES; a modifier for
+      the whole alternation needs wrapping parens (``((p/q)|r)+``)."""
     if pos >= len(toks) or toks[pos] in ("/", "|"):
         raise ValueError("empty step in path")
-    if toks[pos] == "(":
-        sub, pos = _parse_seq(toks, pos + 1)
-        if pos >= len(toks) or toks[pos] != ")":
-            raise ValueError("unbalanced '(' in path")
-        pos += 1
-        mod = "one"
-        if pos < len(toks) and toks[pos] in _MODS:
-            mod, pos = _MODS[toks[pos]], pos + 1
-        if pos < len(toks) and toks[pos] == "|":
-            raise ValueError("alternation of parenthesised groups is "
-                             "outside this subset")
-        return (sub, mod), pos
-    alts = []
+    # operands: ('atom', value, mod|None) / ('group', steps, mod|None)
+    operands: list[tuple] = []
     while True:
+        if pos >= len(toks):
+            raise ValueError("dangling '|' in path")
         t = toks[pos]
-        if not (isinstance(t, tuple) and t[0] == "atom"):
-            if t == "(":
-                raise ValueError("alternation of parenthesised groups "
-                                 "is outside this subset")
+        if t == "(":
+            sub, pos = _parse_seq(toks, pos + 1)
+            if pos >= len(toks) or toks[pos] != ")":
+                raise ValueError("unbalanced '(' in path")
+            pos += 1
+            mod = None
+            if pos < len(toks) and toks[pos] in _MODS:
+                mod, pos = _MODS[toks[pos]], pos + 1
+            operands.append(("group", sub, mod))
+        elif isinstance(t, tuple) and t[0] == "atom":
+            pos += 1
+            mod = None
+            if pos < len(toks) and toks[pos] in _MODS:
+                mod, pos = _MODS[toks[pos]], pos + 1
+            operands.append(("atom", t[1], mod))
+        else:
             raise ValueError(f"unexpected {t!r} in path")
-        alts.append(t[1])
-        pos += 1
         if pos < len(toks) and toks[pos] == "|":
             pos += 1
-            if pos >= len(toks):
-                raise ValueError("dangling '|' in path")
             continue
         break
-    mod = "one"
-    if pos < len(toks) and toks[pos] in _MODS:
-        mod, pos = _MODS[toks[pos]], pos + 1
-    return ((alts if len(alts) > 1 else alts[0]), mod), pos
+    if all(kind == "atom" for kind, _v, _m in operands):
+        # legacy atom alternation: mod allowed on the last atom only,
+        # applying to the whole alternation
+        for kind, _v, mod in operands[:-1]:
+            if mod is not None:
+                raise ValueError(
+                    "a modifier on a non-last atom of an alternation "
+                    "is ambiguous in this subset — parenthesise the "
+                    "atom for a per-alternative modifier: (q)+|r")
+        alts = [v for _k, v, _m in operands]
+        mod = operands[-1][2] or "one"
+        return ((alts if len(alts) > 1 else alts[0]), mod), pos
+    if len(operands) == 1:
+        # a single parenthesised group: legacy nested-group step
+        _kind, sub, mod = operands[0]
+        return (sub, mod or "one"), pos
+    # alternation with >=1 group operand: SPARQL per-alternative mods;
+    # each alternative normalizes to a one-step steps-list whose step
+    # is the operand (a nested group's steps-list, or an atom) with
+    # its own modifier — evaluated as the UNION of the alternatives'
+    # sub-relations (match_path `_is_alt_groups`)
+    alternatives = [[(val, mod or "one")] for _k, val, mod in operands]
+    return (alternatives, "one"), pos
 
 
 def _parse_seq(toks: list, pos: int) -> tuple[list[tuple], int]:
@@ -171,12 +211,18 @@ def parse_path(expr: str) -> list[tuple]:
     return steps
 
 
-# --- SPARQL SELECT text syntax (r7) ----------------------------------------
+# --- SPARQL query text syntax (r7; ASK/CONSTRUCT/BIND/VALUES r8) -----------
 #
-# query    := 'SELECT' ('DISTINCT'? item+ | '*') 'WHERE' group
+# query    := select-q | ask-q | construct-q
+# select-q := 'SELECT' (('DISTINCT'|'REDUCED')? item+ | '*')
+#             'WHERE' group
 #             ('GROUP' 'BY' '?'var+)? ('HAVING' '(' expr ')')*
 #             ('ORDER' 'BY' ('?'var | 'DESC(?'var')' | 'ASC(?'var')')+)?
 #             ('LIMIT' int)?
+# ask-q    := 'ASK' 'WHERE'? group              (one boolean `ask` row)
+# construct-q := 'CONSTRUCT' '{' pattern+ '}' 'WHERE' group
+#             (template instantiated per binding; NULL-containing
+#              instantiations dropped, per CONSTRUCT semantics)
 # item     := '?'var | '(' agg-expr 'AS' '?'name ')'
 #             (agg-expr: a Spark SQL aggregate over ?vars, e.g.
 #              COUNT(DISTINCT ?c); plain select vars must be GROUP BY
@@ -186,26 +232,42 @@ def parse_path(expr: str) -> list[tuple]:
 #           | 'OPTIONAL' group                  (patterns only inside)
 #           | 'FILTER' '(' sql-expr ')'         (SQL boolean expr over vars)
 #           | 'FILTER' 'NOT' 'EXISTS' group     (patterns only inside)
-#           | 'VALUES' '?'var '{' term+ '}'     (restricts an already-
-#                                                bound var to the listed
-#                                                terms — an IN filter;
-#                                                SPARQL's new-binding /
-#                                                multi-var forms are
-#                                                outside this subset)
+#           | 'BIND' '(' sql-expr 'AS' '?'v ')' (computed column over
+#                                                the bindings; ?v must
+#                                                be FRESH; later FILTERs
+#                                                and BINDs may use it)
+#           | 'VALUES' values-block
 #           | group ('UNION' group)+            (must be the ONLY member;
 #                                                each group patterns-only)
+# values-block := '?'var '{' (term|'UNDEF')+ '}'
+#           | '(' '?'var+ ')' '{' row+ '}'      (row := '('
+#                                                (term|'UNDEF')+ ')')
+#             — SPARQL 1.1 inline data (§10.2): vars already bound by
+#             the group are JOIN keys (UNDEF compatible with any
+#             value); fresh vars introduce new bindings (UNDEF ->
+#             unbound/NULL).  The single-var all-bound no-UNDEF case
+#             compiles to an IN predicate pushed to the pattern scans;
+#             every other case joins a broadcast inline-data frame.
 # A pattern whose predicate uses path syntax (/ | ^ ! + * ? or
 # parens) is a PROPERTY PATH: alone it routes to match_path; mixed
 # with other top-level members it joins into the BGP like a pattern
 # (match_bgp `paths=`) — either way a ground subject/object runs the
 # SEEDED tier.  Paths inside OPTIONAL/NOT EXISTS/UNION groups are
 # outside this subset (rejected loudly).  Set semantics throughout
-# (match_bgp's distinct), keywords case-insensitive, FILTER bodies are
-# Spark SQL expressions over the bound variable names (documented
-# subset — not SPARQL's function library).
+# (match_bgp's distinct) — bag semantics is not implemented, so
+# DISTINCT and REDUCED are accepted no-ops and a plain SELECT also
+# dedupes (documented divergence).  Keywords case-insensitive; FILTER
+# and BIND bodies are Spark SQL expressions over the bound variable
+# names (documented subset — not SPARQL's function library).  BINDs
+# apply after the required patterns/paths join (in member order, each
+# seeing earlier BINDs) and before FILTERs — a BIND over an
+# OPTIONAL-introduced variable is outside this subset; VALUES joins
+# apply after the whole group (SPARQL's trailing/query-level VALUES
+# position).
 
 _KEYWORDS = {"select", "where", "optional", "filter", "union",
-             "distinct", "not", "exists"}
+             "distinct", "reduced", "not", "exists", "values", "bind",
+             "ask", "construct"}
 _PATH_CHARS = set("/|^!+*?()")
 
 
@@ -240,8 +302,18 @@ def _sparql_tokens(text: str) -> list[str]:
                         f"unterminated '<' in query at {j}")
                 j = k + 1
             elif text[j] == "(":
+                # quoted strings inside the parens are opaque — a
+                # paren INSIDE a literal (FILTER(?name = "a(b")) must
+                # not count toward the depth (ADVICE r7)
                 depth, k = 1, j + 1
                 while k < n and depth:
+                    if text[k] == '"':
+                        q = text.find('"', k + 1)
+                        if q < 0:
+                            raise ValueError(
+                                f"unterminated '\"' in query at {k}")
+                        k = q + 1
+                        continue
                     if text[k] == "(":
                         depth += 1
                     elif text[k] == ")":
@@ -298,7 +370,10 @@ def _parse_plain_group(toks: list[str], pos: int) -> tuple[list, int]:
     pos = _expect(toks, pos, "{")
     pats = []
     while pos < len(toks) and toks[pos] != "}":
-        if toks[pos].lower() in _KEYWORDS or toks[pos] == "{":
+        # FILTER(...)/BIND(...) arrive as ONE word token ('(' is an
+        # opaque segment) — check the prefix before '(' too
+        if toks[pos].lower().split("(", 1)[0] in _KEYWORDS \
+                or toks[pos] == "{":
             raise ValueError(
                 f"only triple patterns are allowed inside this group "
                 f"(got {toks[pos]!r}) — nested OPTIONAL/FILTER/UNION "
@@ -330,11 +405,82 @@ def _devar(expr: str) -> str:
     return _re.sub(r"\?(\w+)", r"\1", expr)
 
 
+def _parse_values_term(tok: str):
+    """One VALUES datum: bare ``UNDEF`` -> None (an unbound slot); a
+    QUOTED ``\"UNDEF\"`` is the literal string, not the keyword
+    (``parse_term`` strips the quotes)."""
+    if tok.upper() == "UNDEF":
+        return None
+    return parse_term(tok)
+
+
+def _parse_values_block(toks: list[str], pos: int):
+    """SPARQL 1.1 inline data (§10.2) after the VALUES keyword:
+    ``?v { datum ... }`` or ``(?v1 ?v2 ...) { (d1 d2 ...) ... }``.
+    Returns ``(vars, rows, pos)`` — rows are tuples aligned with vars,
+    UNDEF as None."""
+    if pos >= len(toks):
+        raise ValueError("VALUES needs '?var' or '(?v1 ?v2 ...)' "
+                         "then '{ data }'")
+    t = toks[pos]
+    rows: list[tuple] = []
+    if t.startswith("?") and len(t) > 1:
+        vars_ = [t[1:]]
+        pos = _expect(toks, pos + 1, "{")
+        while pos < len(toks) and toks[pos] != "}":
+            t2 = toks[pos]
+            if t2.lower() in _KEYWORDS or t2.startswith("?") \
+                    or t2 in ("{", "."):
+                raise ValueError(
+                    f"VALUES terms must be constants, got {t2!r}")
+            rows.append((_parse_values_term(t2),))
+            pos += 1
+    elif t.startswith("(") and t.endswith(")"):
+        vars_ = []
+        for nm in t[1:-1].split():
+            if not nm.startswith("?") or len(nm) < 2:
+                raise ValueError(
+                    f"VALUES var list needs ?names, got {nm!r}")
+            if nm[1:] in vars_:
+                raise ValueError(f"duplicate VALUES var {nm}")
+            vars_.append(nm[1:])
+        if not vars_:
+            raise ValueError("empty VALUES var list")
+        pos = _expect(toks, pos + 1, "{")
+        while pos < len(toks) and toks[pos] != "}":
+            rt = toks[pos]
+            if not (rt.startswith("(") and rt.endswith(")")):
+                raise ValueError(
+                    f"VALUES rows must be '(d1 d2 ...)', got {rt!r}")
+            # the row's interior re-tokenizes with the same opaque
+            # <>/\"\" segment rules as the query text
+            terms = _sparql_tokens(rt[1:-1])
+            if len(terms) != len(vars_):
+                raise ValueError(
+                    f"VALUES row {rt!r} has {len(terms)} terms for "
+                    f"{len(vars_)} vars")
+            rows.append(tuple(_parse_values_term(x) for x in terms))
+            pos += 1
+    else:
+        raise ValueError("VALUES needs '?var' or '(?v1 ?v2 ...)' "
+                         "then '{ data }'")
+    if pos >= len(toks):
+        raise ValueError("unterminated VALUES block")
+    if not rows:
+        raise ValueError("empty VALUES block")
+    return vars_, rows, pos + 1
+
+
 def parse_sparql(text: str) -> dict:
-    """Parse a SPARQL SELECT (subset above) into an execution spec:
-    ``{"select", "aggs", "patterns", "optional", "filters",
-    "not_exists", "union", "path", "group_by", "having", "order_by",
-    "limit"}`` — consumed by ``run_sparql``.
+    """Parse a SPARQL query (subset above) into an execution spec:
+    ``{"form", "select", "aggs", "template", "patterns", "optional",
+    "filters", "not_exists", "binds", "values", "union", "path",
+    "group_by", "having", "order_by", "limit"}`` — consumed by
+    ``run_sparql``.
+
+    Forms (r8): ``form`` is ``"select"``, ``"ask"`` (boolean
+    existence) or ``"construct"`` (``template`` holds the triple
+    patterns to instantiate per binding).
 
     Aggregation (r7): SELECT items may be ``(AGG_EXPR AS ?name)``
     (COUNT/SUM/MIN/MAX/AVG etc. — the body is a Spark SQL aggregate
@@ -342,40 +488,64 @@ def parse_sparql(text: str) -> dict:
     trailing ``GROUP BY ?v ...``, ``HAVING(expr)``, ``ORDER BY
     ?v | DESC(?v) ...`` and ``LIMIT n`` after the WHERE group."""
     toks = _sparql_tokens(text)
-    pos = _expect(toks, 0, "select")
-    if pos < len(toks) and toks[pos].lower() == "distinct":
-        pos += 1  # set semantics are the default throughout
+    if not toks:
+        raise ValueError("empty query")
+    form = toks[0].lower()
     select: list[str] = []
     aggs: list[tuple[str, str]] = []  # (sql_expr, alias)
-    if pos < len(toks) and toks[pos] == "*":
-        pos += 1
+    template: list[tuple[str, str, str]] | None = None
+    if form == "select":
+        pos = 1
+        if pos < len(toks) and toks[pos].lower() in ("distinct",
+                                                     "reduced"):
+            # accepted no-ops: the engine is set-semantics throughout
+            # (a plain SELECT also dedupes — documented divergence
+            # from SPARQL bag semantics), and REDUCED merely PERMITS
+            # deduplication
+            pos += 1
+        if pos < len(toks) and toks[pos] == "*":
+            pos += 1
+        else:
+            while pos < len(toks):
+                t = toks[pos]
+                if t.startswith("?"):
+                    select.append(t[1:])
+                    pos += 1
+                elif t.startswith("("):
+                    body = t[1:-1].strip()
+                    m = _re.match(r"(.+)\s+AS\s+\?(\w+)$", body,
+                                  _re.IGNORECASE | _re.DOTALL)
+                    if not m:
+                        raise ValueError(
+                            f"SELECT expression needs "
+                            f"'(expr AS ?name)': {t!r}")
+                    aggs.append((_devar(m.group(1).strip()),
+                                 m.group(2)))
+                    select.append(m.group(2))
+                    pos += 1
+                else:
+                    break
+            if not select:
+                raise ValueError("SELECT needs '*' or at least one "
+                                 "?var")
+        pos = _expect(toks, pos, "where")
+    elif form == "ask":
+        # SPARQL 1.1: the WHERE keyword is optional before the group
+        pos = 2 if (len(toks) > 1
+                    and toks[1].lower() == "where") else 1
+    elif form == "construct":
+        template, pos = _parse_plain_group(toks, 1)
+        pos = _expect(toks, pos, "where")
     else:
-        while pos < len(toks):
-            t = toks[pos]
-            if t.startswith("?"):
-                select.append(t[1:])
-                pos += 1
-            elif t.startswith("("):
-                body = t[1:-1].strip()
-                m = _re.match(r"(.+)\s+AS\s+\?(\w+)$", body,
-                              _re.IGNORECASE | _re.DOTALL)
-                if not m:
-                    raise ValueError(
-                        f"SELECT expression needs '(expr AS ?name)': "
-                        f"{t!r}")
-                aggs.append((_devar(m.group(1).strip()), m.group(2)))
-                select.append(m.group(2))
-                pos += 1
-            else:
-                break
-        if not select:
-            raise ValueError("SELECT needs '*' or at least one ?var")
-    pos = _expect(toks, pos, "where")
+        raise ValueError(
+            f"query must start with SELECT, ASK or CONSTRUCT "
+            f"(got {toks[0]!r})")
     pos = _expect(toks, pos, "{")
-    spec = {"select": select or None, "aggs": aggs, "patterns": [],
+    spec = {"form": form, "select": select or None, "aggs": aggs,
+            "template": template, "patterns": [],
             "optional": [], "filters": [], "not_exists": [],
             "union": None, "path": None, "path_patterns": [],
-            "values": [], "group_by": [],
+            "binds": [], "values": [], "group_by": [],
             "having": [], "order_by": [], "limit": None}
     while pos < len(toks) and toks[pos] != "}":
         t = toks[pos]
@@ -384,28 +554,27 @@ def parse_sparql(text: str) -> dict:
             pats, pos = _parse_plain_group(toks, pos + 1)
             spec["optional"].extend(pats)
         elif low == "values":
-            pos += 1
-            if pos >= len(toks) or not toks[pos].startswith("?") \
-                    or len(toks[pos]) < 2:
-                raise ValueError("VALUES needs one ?var then "
-                                 "'{ term ... }'")
-            var = toks[pos][1:]
-            pos = _expect(toks, pos + 1, "{")
-            vals = []
-            while pos < len(toks) and toks[pos] != "}":
-                t2 = toks[pos]
-                if t2.lower() in _KEYWORDS or t2.startswith("?") \
-                        or t2 in ("{", "."):
-                    raise ValueError(
-                        f"VALUES terms must be constants, got {t2!r}")
-                vals.append(parse_term(t2))
+            vars_, rows, pos = _parse_values_block(toks, pos + 1)
+            spec["values"].append((vars_, rows))
+        elif low == "bind" or low.startswith("bind("):
+            # BIND(expr AS ?v) — '(' is an opaque tokenizer segment,
+            # so the whole clause may be one word token (like FILTER)
+            if low == "bind":
                 pos += 1
-            if pos >= len(toks):
-                raise ValueError("unterminated VALUES block")
-            if not vals:
-                raise ValueError("empty VALUES block")
-            pos += 1
-            spec["values"].append((var, vals))
+                if pos >= len(toks) or not toks[pos].startswith("("):
+                    raise ValueError("BIND needs '(expr AS ?var)'")
+                body = toks[pos][1:-1].strip()
+                pos += 1
+            else:
+                body = t[len("bind"):][1:-1].strip()
+                pos += 1
+            m = _re.match(r"(.+)\s+AS\s+\?(\w+)$", body,
+                          _re.IGNORECASE | _re.DOTALL)
+            if not m:
+                raise ValueError(
+                    f"BIND needs '(expr AS ?var)': got ({body})")
+            spec["binds"].append((_devar(m.group(1).strip()),
+                                  m.group(2)))
         elif low.startswith("filter("):
             # no space between FILTER and '(' — one word token
             spec["filters"].append(t[len("filter"):][1:-1].strip())
@@ -457,6 +626,10 @@ def parse_sparql(text: str) -> dict:
     if pos >= len(toks):
         raise ValueError("unterminated WHERE group")
     pos += 1  # past '}'
+    if form != "select" and pos < len(toks):
+        raise ValueError(
+            f"solution modifiers after an {form.upper()} group are "
+            f"outside this subset: {toks[pos:]}")
     # trailing solution modifiers: GROUP BY / HAVING / ORDER BY / LIMIT
     while pos < len(toks):
         low = toks[pos].lower()
@@ -556,10 +729,59 @@ def parse_sparql(text: str) -> dict:
     return spec
 
 
+def _apply_values(result, vars_: list[str], rows: list[tuple]):
+    """Join one VALUES block into the bindings (SPARQL 1.1 §10.2).
+
+    Vars already bound by the group are join keys; fresh vars extend
+    the bindings.  An inline UNDEF is compatible with any group value
+    (bound key) / stays unbound-NULL (fresh var).  Subset note,
+    documented: a group-side NULL (an OPTIONAL-introduced var) is
+    treated as NON-matching — strict equality, consistent with the
+    single-var IN fast path — not SPARQL's unbound-compatibility.
+
+    Plan shape: the all-bound single-var no-UNDEF case is an IN
+    predicate Catalyst pushes into the pattern scans (plan-tested);
+    everything else joins a BROADCAST inline-data frame (bounded by
+    the query text size) — no shuffle either way."""
+    from pyspark.sql import functions as F
+
+    rows = sorted(set(rows),
+                  key=lambda r: tuple((x is None, x or "") for x in r))
+    bound = [v for v in vars_ if v in result.columns]
+    fresh = [v for v in vars_ if v not in result.columns]
+    if not fresh and len(vars_) == 1 \
+            and not any(r[0] is None for r in rows):
+        # IN predicate — pushed below the joins into the pattern scans
+        return result.filter(
+            F.col(vars_[0]).isin([r[0] for r in rows]))
+    spark = result.sparkSession
+    ren = {v: f"__val_{v}" for v in vars_}
+    schema = ", ".join(f"{ren[v]} string" for v in vars_)
+    inline = F.broadcast(spark.createDataFrame(rows, schema))
+    if bound:
+        cond = None
+        for v in bound:
+            rc = F.col(ren[v])
+            e = rc.isNull() | (rc == result[v])
+            cond = e if cond is None else cond & e
+        joined = result.join(inline, cond, "inner")
+    else:
+        joined = result.crossJoin(inline)
+    return joined.select(
+        *[F.col(c) for c in result.columns],
+        *[F.col(ren[v]).alias(v) for v in fresh])
+
+
 def run_sparql(triples, text: str):
-    """Execute a SPARQL SELECT (subset) against a triples DataFrame:
+    """Execute a SPARQL query (subset) against a triples DataFrame:
     parse_sparql -> match_bgp / match_union / match_path (seeded when
-    a path endpoint is ground) -> project the selected variables."""
+    a path endpoint is ground) -> BIND/VALUES -> the form's result
+    shape: SELECT projects the variables, ASK returns one boolean
+    ``ask`` row (count-over-limit(1), no driver action), CONSTRUCT
+    instantiates the template per binding
+    (operators/rules.instantiate_template)."""
+    from pyspark.sql import functions as F
+
     from .bgp import match_bgp, match_path, match_union
 
     spec = parse_sparql(text)
@@ -587,16 +809,30 @@ def run_sparql(triples, text: str):
             optional=spec["optional"] or None,
             filters=spec["filters"] or None,
             not_exists=spec["not_exists"] or None,
-            paths=spec["path_patterns"] or None)
-    for var, vals in spec["values"]:
-        from pyspark.sql import functions as F
+            paths=spec["path_patterns"] or None,
+            binds=spec["binds"] or None)
+    if spec["binds"] and (spec["path"] is not None
+                          or spec["union"] is not None):
+        # non-BGP routes: binds are plain projections over the result
+        # (these routes have no FILTERs that could reference them)
+        for expr, alias in spec["binds"]:
+            if alias in result.columns:
+                raise ValueError(
+                    f"BIND alias ?{alias} is already bound — SPARQL "
+                    "forbids rebinding (1.1 §10.1)")
+            result = result.withColumn(alias, F.expr(expr))
+    for vars_, rows in spec["values"]:
+        result = _apply_values(result, vars_, rows)
+    if spec["form"] == "ask":
+        # one boolean row whether or not anything matched: count over
+        # limit(1) — the empty-group aggregate still yields a row
+        return (result.limit(1)
+                .agg(F.count(F.lit(1)).alias("n"))
+                .select((F.col("n") > 0).alias("ask")))
+    if spec["form"] == "construct":
+        from .rules import instantiate_template
 
-        if var not in result.columns:
-            raise ValueError(
-                f"VALUES var ?{var} is not bound by the WHERE group")
-        # an IN predicate — Catalyst pushes it below the joins into
-        # the pattern scans
-        result = result.filter(F.col(var).isin(vals))
+        return instantiate_template(result, spec["template"])
     if spec["aggs"]:
         from pyspark.sql import functions as F
 

@@ -245,29 +245,48 @@ def _analytics_stage(spark: SparkSession, out_dir: str, run_id: str,
     fp_path = os.path.join(out_dir, "analytics", "edges_fingerprint")
     prior = None
     try:
-        rows = (spark.read.parquet(fp_path)
+        # mergeSchema: a dir written by the pre-r8 schema (no
+        # tables_run_id) may be appended to by this one — keep the new
+        # column visible regardless of which footer Spark samples
+        rows = (spark.read.option("mergeSchema", "true").parquet(fp_path)
                 .orderBy(F.desc("committed_at")).limit(1).collect())
         prior = rows[0] if rows else None
     except Exception:
         prior = None
 
-    def _tables_readable() -> bool:
+    # Crash safety (ADVICE r7): the fingerprint row alone cannot prove
+    # the tables on disk belong to the fingerprinted edge set — a run
+    # that overwrote some tables and died before the fingerprint append
+    # leaves the latest row pointing at the PREVIOUS edge set.  So each
+    # table carries the run_id that wrote it (a constant column,
+    # written atomically with the table's own parquet commit) and the
+    # fingerprint row records that writer as ``tables_run_id``; reuse
+    # requires all three tables to answer with exactly that id.
+    def _table_run_ids() -> list:
+        ids = []
         try:
             for t in ("pagerank", "coreness", "communities"):
-                spark.read.parquet(
-                    os.path.join(out_dir, "analytics", t)).schema
-            return True
+                r = (spark.read.parquet(
+                        os.path.join(out_dir, "analytics", t))
+                     .select("run_id").limit(1).collect())
+                ids.append(r[0]["run_id"] if r else None)
+            return ids
         except Exception:
-            return False
+            return [None]
 
+    prior_tables_run = (prior.asDict().get("tables_run_id")
+                        if prior is not None else None)
     reused = (prior is not None
+              and prior_tables_run is not None
               and prior["n_edges"] == fp["n_edges"]
               and prior["edge_xor"] == fp["edge_xor"]
-              and _tables_readable())
+              and all(i == prior_tables_run for i in _table_run_ids()))
+    tables_run_id = prior_tables_run if reused else run_id
     if not reused:
         pr = pagerank(ent, redistribute_dangling=True).localCheckpoint()
-        pr.write.mode("overwrite").parquet(
-            os.path.join(out_dir, "analytics", "pagerank"))
+        (pr.withColumn("run_id", F.lit(run_id))
+           .write.mode("overwrite").parquet(
+               os.path.join(out_dir, "analytics", "pagerank")))
         # k_core_decomposition's undirected projection drops nodes
         # whose only edges are self-loops; re-key on the full node set
         # (coreness 0 — no proper edges) so all three tables share one
@@ -277,15 +296,18 @@ def _analytics_stage(spark: SparkSession, out_dir: str, run_id: str,
               .select("node",
                       F.coalesce("coreness", F.lit(0)).cast("int")
                       .alias("coreness")))
-        kc.write.mode("overwrite").parquet(
-            os.path.join(out_dir, "analytics", "coreness"))
+        (kc.withColumn("run_id", F.lit(run_id))
+           .write.mode("overwrite").parquet(
+               os.path.join(out_dir, "analytics", "coreness")))
         (label_propagation(ent)
+         .withColumn("run_id", F.lit(run_id))
          .write.mode("overwrite")
          .parquet(os.path.join(out_dir, "analytics", "communities")))
     (spark.createDataFrame(
         [(int(fp["n_edges"]), int(fp["edge_xor"]))],
         "n_edges long, edge_xor long")
      .withColumn("run_id", F.lit(run_id))
+     .withColumn("tables_run_id", F.lit(tables_run_id))
      .withColumn("reused", F.lit(bool(reused)))
      .withColumn("committed_at", F.current_timestamp())
      .write.mode("append").parquet(fp_path))

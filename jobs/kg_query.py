@@ -124,6 +124,13 @@ def main(argv=None):
 
             result = run_sparql(triples, args.sparql)
         elif args.path:
+            # --src/--dst are GROUND endpoints: a '?var' here would
+            # seed the literal string '?x' and silently match nothing
+            # (ADVICE r7) — reject loudly instead
+            for flag, val in (("--src", args.src), ("--dst", args.dst)):
+                if val is not None and parse_term(val).startswith("?"):
+                    ap.error(f"{flag} must be a ground term, not a "
+                             f"variable: {val!r}")
             result = match_path(
                 triples, parse_path(args.path),
                 src=parse_term(args.src) if args.src else None,

@@ -393,9 +393,11 @@ def test_sparql_parsers():
     assert parse_path("(<urn:p>/(<urn:q>|<urn:r>)*)+") == [
         ([("urn:p", "one"),
           ([(["urn:q", "urn:r"], "one")], "star")], "plus")]
+    # r8: alternation of parenthesised groups is IN the subset now
+    assert parse_path("(<urn:p>)|<urn:q>") == [
+        ([[([("urn:p", "one")], "one")], [("urn:q", "one")]], "one")]
     for bad, msg in [("(<urn:p>", "unbalanced"),
                      ("<urn:p>)", "trailing"),
-                     ("(<urn:p>)|<urn:q>", "outside this subset"),
                      ("<urn:p>|", "dangling"),
                      ("", "empty path")]:
         with pytest.raises(ValueError, match=msg):
@@ -925,7 +927,7 @@ def test_bgp_path_patterns(spark):
 
 def test_sparql_values_clause(spark):
     """VALUES restricts a bound var to listed constants (IN filter,
-    pushed below the joins); new-binding/multi-var forms rejected."""
+    pushed below the joins); malformed blocks rejected."""
     from cbor_ld_spark.operators.sparql import run_sparql
 
     t = _triples(spark, _DATA)
@@ -940,14 +942,49 @@ def test_sparql_values_clause(spark):
     assert [tuple(r) for r in run_sparql(t, q2).collect()] == [
         ("org1", 2), ("org2", 1)]
     for bad, msg in [
-            ('SELECT ?c WHERE { ?c <issuer> ?i . VALUES ?z { <a> } }',
-             "not bound"),
             ('SELECT ?c WHERE { ?c <issuer> ?i . VALUES ?i { } }',
              "empty VALUES"),
             ('SELECT ?c WHERE { ?c <issuer> ?i . VALUES ?i { ?x } }',
-             "must be constants")]:
+             "must be constants"),
+            ('SELECT ?c WHERE { ?c <issuer> ?i . '
+             'VALUES (?a ?a) { (<x> <y>) } }', "duplicate VALUES var"),
+            ('SELECT ?c WHERE { ?c <issuer> ?i . '
+             'VALUES (?a ?b) { (<x>) } }', "1 terms for 2 vars")]:
         with pytest.raises(ValueError, match=msg):
             run_sparql(t, bad)
+
+
+def test_sparql_values_inline_data(spark):
+    """SPARQL 1.1 §10.2 inline data (r8): VALUES introduces bindings —
+    fresh vars extend the rows (broadcast join), UNDEF is an unbound
+    slot (NULL for a fresh var, wildcard for a bound join key), and a
+    fresh-only block is a cartesian extension."""
+    from cbor_ld_spark.operators.sparql import run_sparql
+
+    t = _triples(spark, _DATA)
+    # bound join key + fresh var, UNDEF on both sides of the pattern
+    q = ('SELECT ?c ?i ?grp WHERE { ?c <issuer> ?i . '
+         'VALUES (?i ?grp) { (<org1> "A") (UNDEF "B") } }')
+    got = {(r["c"], r["i"], r["grp"])
+           for r in run_sparql(t, q).collect()}
+    # (UNDEF "B") matches EVERY issuer binding; (<org1> "A") only org1
+    assert got == {("c1", "org1", "A"), ("c3", "org1", "A"),
+                   ("c1", "org1", "B"), ("c3", "org1", "B"),
+                   ("c2", "org2", "B")}
+    # UNDEF in a fresh var -> unbound (NULL)
+    q2 = ('SELECT ?c ?grp WHERE { ?c <issuer> ?i . '
+          'VALUES (?i ?grp) { (<org2> UNDEF) } }')
+    assert [tuple(r) for r in run_sparql(t, q2).collect()] == [
+        ("c2", None)]
+    # fresh-only single var: cartesian extension
+    q3 = ('SELECT ?c ?tag WHERE { ?c <subject> ?p . '
+          'VALUES ?tag { "x" "y" } }')
+    assert {tuple(r) for r in run_sparql(t, q3).collect()} == {
+        ("c1", "x"), ("c1", "y"), ("c2", "x"), ("c2", "y")}
+    # a QUOTED "UNDEF" is the literal string, not the keyword
+    q4 = ('SELECT ?c ?tag WHERE { ?c <subject> ?p . '
+          'VALUES ?tag { "UNDEF" } }')
+    assert {r["tag"] for r in run_sparql(t, q4).collect()} == {"UNDEF"}
 
 
 def test_sparql_values_pushed_to_scan(spark, tmp_path):
@@ -968,3 +1005,328 @@ def test_sparql_values_pushed_to_scan(spark, tmp_path):
     # single-value VALUES folds to an equality; multi-value stays In)
     assert any("org1" in l and "org9" in l for l in scan_lines), plan
     assert {tuple(r) for r in out.collect()} == {("c1", "p1")}
+
+
+# --- r8: BIND / inline VALUES / ASK / CONSTRUCT / path alternation ----------
+
+
+def test_sparql_bind(spark):
+    """BIND(expr AS ?v) computes a derived column over the bindings
+    (SPARQL 1.1 §10.1): later FILTERs and BINDs see it, rebinding a
+    bound variable is an error, and plain groups reject it."""
+    from cbor_ld_spark.operators.bgp import match_bgp
+    from cbor_ld_spark.operators.sparql import run_sparql
+
+    t = _triples(spark, _DATA)
+    q = ('SELECT ?c ?u WHERE { ?c <issuer> ?i . '
+         'BIND(upper(?i) AS ?u) FILTER(u = "ORG1") }')
+    assert {tuple(r) for r in run_sparql(t, q).collect()} == {
+        ("c1", "ORG1"), ("c3", "ORG1")}
+    # chained binds: the second references the first
+    q2 = ('SELECT ?c ?n2 WHERE { ?c <subject> ?p . ?p <age> ?a . '
+          'BIND(cast(?a as int) AS ?n) BIND(?n * 2 AS ?n2) '
+          'FILTER(n2 > 100) }')
+    assert [tuple(r) for r in run_sparql(t, q2).collect()] == [
+        ("c2", 130)]
+    # programmatic surface: same result via match_bgp(binds=)
+    api = match_bgp(t, [("?c", "issuer", "?i")],
+                    binds=[("upper(i)", "u")],
+                    filters=["u = 'ORG1'"])
+    assert {tuple(r) for r in api.collect()} == {
+        ("c1", "org1", "ORG1"), ("c3", "org1", "ORG1")}
+    for bad, msg in [
+            ('SELECT ?c WHERE { ?c <issuer> ?i . '
+             'BIND(upper(?i) AS ?i) }', "forbids rebinding"),
+            ('SELECT ?c WHERE { ?c <issuer> ?i . BIND(?i) }',
+             "BIND needs"),
+            ('SELECT ?c WHERE { ?c <issuer> ?i . '
+             'OPTIONAL { BIND(1 AS ?x) } }', "only triple patterns")]:
+        with pytest.raises(ValueError, match=msg):
+            run_sparql(t, bad)
+
+
+def test_sparql_bind_filter_pushdown(spark, tmp_path):
+    """A FILTER over a BIND alias must still reach the pattern's
+    parquet scan: the bind is a plain projection, so Catalyst folds
+    the alias and pushes the underlying predicate below the join
+    (VERDICT r7 #1 plan test)."""
+    from cbor_ld_spark.operators.sparql import run_sparql
+
+    t = _triples(spark, _DATA)
+    tdir = str(tmp_path / "triples_b")
+    t.write.parquet(tdir)
+    pq = spark.read.parquet(tdir)
+    out = run_sparql(
+        pq, 'SELECT ?c ?p ?u WHERE { ?c <issuer> ?i . '
+            '?c <subject> ?p . BIND(upper(?i) AS ?u) '
+            'FILTER(u = "ORG1") }')
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [l for l in plan.splitlines() if "FileScan" in l]
+    # the derived predicate lands in the issuer scan's DataFilters
+    assert any("upper(obj" in l and "ORG1" in l
+               for l in scan_lines), plan
+    assert {tuple(r) for r in out.collect()} == {("c1", "p1", "ORG1")}
+
+
+def test_sparql_ask(spark):
+    """ASK returns exactly one boolean row, whether or not anything
+    matched (count over limit(1) — no driver action in the operator);
+    the WHERE keyword is optional per SPARQL 1.1."""
+    from cbor_ld_spark.operators.sparql import run_sparql
+
+    t = _triples(spark, _DATA)
+    yes = run_sparql(t, 'ASK WHERE { ?c <issuer> <org1> }')
+    assert [tuple(r) for r in yes.collect()] == [(True,)]
+    assert yes.columns == ["ask"]
+    no = run_sparql(t, 'ASK { ?c <issuer> <org99> }')
+    assert [tuple(r) for r in no.collect()] == [(False,)]
+    # composes with FILTER and paths
+    f = run_sparql(t, 'ASK { ?p <age> ?a . FILTER(cast(a as int) > 60) }')
+    assert [r["ask"] for r in f.collect()] == [True]
+    with pytest.raises(ValueError, match="outside this subset"):
+        run_sparql(t, 'ASK { ?c <issuer> ?i } LIMIT 5')
+
+
+def test_sparql_construct(spark):
+    """CONSTRUCT instantiates the template per binding — same
+    machinery as the rule engine (operators/rules.py
+    instantiate_template), so the text and programmatic tiers agree;
+    quoted template literals are unwrapped; unbound template vars are
+    loud."""
+    from cbor_ld_spark.operators.rules import construct
+    from cbor_ld_spark.operators.sparql import run_sparql
+
+    t = _triples(spark, _DATA)
+    q = ('CONSTRUCT { ?i <urn:issued> ?c . ?i <urn:kind> "org" } '
+         'WHERE { ?c <issuer> ?i }')
+    got = {tuple(r) for r in run_sparql(t, q).collect()}
+    api = {tuple(r) for r in construct(
+        t, [("?c", "issuer", "?i")],
+        [("?i", "urn:issued", "?c"), ("?i", "urn:kind", "org")])
+        .collect()}
+    assert got == api
+    assert ("org1", "urn:kind", "org") in got
+    assert ("org1", "urn:issued", "c1") in got
+    with pytest.raises(ValueError, match="not bound"):
+        run_sparql(t, 'CONSTRUCT { ?z <urn:p> ?c } '
+                      'WHERE { ?c <issuer> ?i }')
+
+
+def test_sparql_select_modifiers_and_form_errors():
+    """DISTINCT and REDUCED parse (accepted no-ops — the engine is
+    set-semantics throughout, documented divergence); unknown query
+    forms are loud."""
+    from cbor_ld_spark.operators.sparql import parse_sparql
+
+    for kw in ("DISTINCT", "REDUCED"):
+        s = parse_sparql(
+            f'SELECT {kw} ?c WHERE {{ ?c <urn:p> ?i }}')
+        assert s["form"] == "select" and s["select"] == ["c"]
+    a = parse_sparql('ASK { ?c <urn:p> ?i }')
+    assert a["form"] == "ask" and a["select"] is None
+    c = parse_sparql('CONSTRUCT { ?c <urn:q> ?i } '
+                     'WHERE { ?c <urn:p> ?i }')
+    assert c["form"] == "construct"
+    assert c["template"] == [("?c", "urn:q", "?i")]
+    with pytest.raises(ValueError, match="SELECT, ASK or CONSTRUCT"):
+        parse_sparql('DESCRIBE ?x WHERE { ?x <urn:p> ?y }')
+
+
+def test_sparql_values_inside_plain_group_rejected():
+    """A VALUES block inside OPTIONAL / NOT EXISTS / UNION must be
+    rejected loudly, not consumed as triple-pattern terms (ADVICE
+    r7)."""
+    from cbor_ld_spark.operators.sparql import parse_sparql
+
+    with pytest.raises(ValueError, match="only triple patterns"):
+        parse_sparql('SELECT ?x WHERE { ?x <urn:p> ?y . '
+                     'OPTIONAL { VALUES ?y { <urn:a> } } }')
+
+
+def test_sparql_tokens_quoted_paren():
+    """Quoted strings inside parens are opaque to the balanced-paren
+    scan: a '(' inside a literal must not miscount depth (ADVICE
+    r7)."""
+    from cbor_ld_spark.operators.sparql import _sparql_tokens
+
+    toks = _sparql_tokens('FILTER(?name = "a(b")')
+    assert toks == ['FILTER(?name = "a(b")']
+    with pytest.raises(ValueError, match="unbalanced"):
+        _sparql_tokens('FILTER(?name = x(')
+
+
+def test_path_alternation_of_groups(spark):
+    """(p/q)|r — alternation whose operands are parenthesised groups
+    (VERDICT r7 #2): union of the alternatives' sub-relations, each
+    alternative keeping its OWN modifier; seeded tiers agree; the
+    all-atom legacy reading is unchanged and a non-last atom modifier
+    stays a loud error."""
+    from cbor_ld_spark.operators.bgp import match_path
+    from cbor_ld_spark.operators.sparql import parse_path
+
+    rows = [("a", "p", "b"), ("b", "q", "c"), ("a", "r", "d"),
+            ("d", "r", "e"), ("c", "p", "f")]
+    t = _triples(spark, rows)
+
+    # (p/q)|r : {a-(p/q)->c} ∪ {a->d, d->e}
+    steps = parse_path("(<p>/<q>)|<r>")
+    got = {tuple(r) for r in match_path(t, steps).collect()}
+    assert got == {("a", "c"), ("a", "d"), ("d", "e")}
+
+    # per-alternative modifiers: (p/q)|(r)+ closes ONLY the r side
+    steps2 = parse_path("(<p>/<q>)|(<r>)+")
+    got2 = {tuple(r) for r in match_path(t, steps2).collect()}
+    assert got2 == {("a", "c"), ("a", "d"), ("d", "e"), ("a", "e")}
+
+    # seeded tiers == unconstrained filtered (both directions)
+    for s in ("a", "d", "ghost"):
+        got_s = {tuple(r)
+                 for r in match_path(t, steps2, src=s).collect()}
+        assert got_s == {p for p in got2 if p[0] == s}, s
+        got_d = {tuple(r)
+                 for r in match_path(t, steps2, dst=s).collect()}
+        assert got_d == {p for p in got2 if p[1] == s}, s
+
+    # composes in sequence and under an outer closure
+    seq = parse_path("((<p>/<q>)|<r>)/<p>")
+    got3 = {tuple(r) for r in match_path(t, seq).collect()}
+    assert got3 == {("a", "f")}
+
+    # legacy all-atom alternation reading unchanged: q|r+ == (q|r)+
+    legacy = parse_path("<q>|<r>+")
+    assert legacy == [(["q", "r"], "plus")]
+    with pytest.raises(ValueError, match="parenthesise"):
+        parse_path("<q>+|<r>")
+
+
+def test_path_alternation_python_replay(spark):
+    """Random alternation-of-groups paths vs a pure-Python replay of
+    the SPARQL semantics (union of alternatives, per-alternative
+    closures)."""
+    import random
+
+    from cbor_ld_spark.operators.bgp import match_path
+
+    rng = random.Random(20260818)
+    preds = ["p", "q"]
+
+    def closure(pairs):
+        out = set(pairs)
+        while True:
+            new = {(a, d) for a, b in out for c, d in out
+                   if b == c} - out
+            if not new:
+                return out
+            out |= new
+
+    for case in range(4):
+        nodes = [f"n{i}" for i in range(6)]
+        triples = sorted({
+            (rng.choice(nodes), rng.choice(preds), rng.choice(nodes))
+            for _ in range(10)})
+        t = _triples(spark, triples)
+        terms = {x for s, _p, o in triples for x in (s, o)}
+
+        def eval_steps(steps):
+            result = None
+            for pr, mod in steps:
+                if isinstance(pr, list) and pr and \
+                        isinstance(pr[0], list):
+                    edges = set()
+                    for alt in pr:
+                        edges |= eval_steps(alt)
+                elif isinstance(pr, list) and pr and \
+                        isinstance(pr[0], tuple):
+                    edges = eval_steps(pr)
+                else:
+                    alts = [pr] if isinstance(pr, str) else pr
+                    edges = {(s, o) for s, pp, o in triples
+                             if pp in alts}
+                if mod == "plus":
+                    edges = closure(edges)
+                elif mod in ("star", "opt"):
+                    if mod == "star":
+                        edges = closure(edges)
+                    edges |= {(x, x) for x in terms}
+                result = (edges if result is None else
+                          {(a, d) for a, b in result
+                           for c, d in edges if b == c})
+            return result
+
+        def rand_alt():
+            # one alternative: a steps-list of 1-2 atom steps
+            return [(rng.choice(preds),
+                     rng.choice(["one", "plus", "opt"]))
+                    for _ in range(rng.randint(1, 2))]
+
+        steps = [([rand_alt() for _ in range(2)],
+                  rng.choice(["one", "plus"]))
+                 for _ in range(rng.randint(1, 2))]
+        got = {tuple(r) for r in match_path(t, steps).collect()}
+        assert got == eval_steps(steps), (case, steps)
+        seed = rng.choice(sorted(terms))
+        got_s = {tuple(r)
+                 for r in match_path(t, steps, src=seed).collect()}
+        assert got_s == {p for p in eval_steps(steps)
+                         if p[0] == seed}, (case, steps, seed)
+
+
+def test_seeded_path_depth_parity(spark):
+    """ADVICE r7: the seeded tier's linear BFS budget scales to the
+    doubling tier's covered diameter (2^(max_iters-1)) — adding a
+    ground endpoint to a long-chain query must not make it fail."""
+    from cbor_ld_spark.operators.bgp import match_path
+
+    n = 30  # > the old 20-layer seeded budget
+    chain = [(f"c{i:02d}", "p", f"c{i+1:02d}") for i in range(n)]
+    t = _triples(spark, chain)
+    out = match_path(t, [("p", "plus")], src="c00")
+    assert out.count() == n
+    # both-ground across the whole chain (bidirectional tier)
+    pair = match_path(t, [("p", "plus")], src="c00", dst=f"c{n:02d}")
+    assert [tuple(r) for r in pair.collect()] == [("c00", f"c{n:02d}")]
+
+
+def test_bidi_both_ground_semantics(spark):
+    """Meet-in-the-middle both-ground evaluation (VERDICT r7 #6):
+    plus needs depth>=1 (no zero-length hit), star's zero-length
+    identity only holds for graph terms, sequences split at the
+    midpoint."""
+    from cbor_ld_spark.operators.bgp import match_path
+
+    rows = [("a", "p", "b"), ("b", "p", "c"), ("c", "p", "d"),
+            ("d", "r", "e"), ("u", "p", "u")]
+    t = _triples(spark, rows)
+
+    def hit(steps, s, d):
+        return match_path(t, steps, src=s, dst=d).count() == 1
+
+    assert hit([("p", "plus")], "a", "d")
+    assert not hit([("p", "plus")], "d", "a")
+    assert not hit([("p", "plus")], "a", "a")      # no cycle at a
+    assert hit([("p", "plus")], "u", "u")          # self-loop cycle
+    assert hit([("p", "star")], "a", "a")          # zero-length
+    assert not hit([("p", "star")], "zz", "zz")    # not a graph term
+    assert hit([("p", "plus"), ("r", "one")], "a", "e")
+    assert not hit([("p", "plus"), ("r", "one")], "a", "d")
+    assert hit([("p", "opt")], "a", "a")
+    assert not hit([("p", "one")], "a", "c")
+
+
+def test_kg_query_rejects_variable_endpoints(spark, tmp_path):
+    """--src/--dst must be ground terms: a '?var' would silently seed
+    the literal string and return nothing (ADVICE r7)."""
+    import importlib.util
+    import os
+
+    t = _triples(spark, _DATA)
+    tdir = str(tmp_path / "triples_g")
+    t.write.parquet(tdir)
+    spec = importlib.util.spec_from_file_location(
+        "kg_query3", os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "jobs", "kg_query.py"))
+    kg_query = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(kg_query)
+    with pytest.raises(SystemExit):
+        kg_query.main(["--triples", tdir, "--path", "<issuer>",
+                       "--src", "?x"])

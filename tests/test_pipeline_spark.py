@@ -263,8 +263,11 @@ def test_build_kg_analytics_incremental_reuse(spark):
     from cbor_ld_spark.sources import synthesize_corpus
 
     def table(out, name):
+        # drop the run_id provenance column (r8 crash-safety stamp) —
+        # the value-identity contract is over the analytics columns
         return {tuple(r) for r in spark.read.parquet(
-            os.path.join(out, "analytics", name)).collect()}
+            os.path.join(out, "analytics", name))
+            .drop("run_id").collect()}
 
     out = tempfile.mkdtemp(prefix="kgtest_inc_")
     out2 = tempfile.mkdtemp(prefix="kgtest_inc_scratch_")
@@ -299,3 +302,55 @@ def test_build_kg_analytics_incremental_reuse(spark):
     finally:
         shutil.rmtree(out, ignore_errors=True)
         shutil.rmtree(out2, ignore_errors=True)
+
+
+def test_build_kg_analytics_reuse_crash_safe(spark):
+    """Crash safety of the analytics reuse gate (ADVICE r7): a run
+    that overwrote product tables but DIED before appending its
+    fingerprint must not poison a later fingerprint-matching run into
+    reusing the mixed tables — each table is stamped with its writer's
+    run_id and reuse requires all three to match the fingerprint's
+    tables_run_id."""
+    from pyspark.sql import functions as F
+
+    from cbor_ld_spark.plans import build_kg
+    from cbor_ld_spark.sources import synthesize_corpus
+
+    out = tempfile.mkdtemp(prefix="kgtest_crash_")
+    try:
+        s1 = build_kg(spark, synthesize_corpus(spark, 120), out,
+                      run_id="r1", n_buckets=4, analytics=True)
+        assert s1["analytics_reused"] is False
+
+        # simulate a crashed run: it recomputed pagerank for a
+        # DIFFERENT edge set (content garbage here — the point is the
+        # table no longer belongs to the fingerprinted set) and died
+        # before fingerprint append
+        pr_path = os.path.join(out, "analytics", "pagerank")
+        zombie = (spark.read.parquet(pr_path)
+                  .limit(3)
+                  .withColumn("run_id", F.lit("crashed-run"))
+                  .localCheckpoint())
+        zombie.write.mode("overwrite").parquet(pr_path)
+
+        # same corpus again: fingerprint matches the latest committed
+        # row, but pagerank's run_id != tables_run_id -> recompute
+        s2 = build_kg(spark, synthesize_corpus(spark, 120), out,
+                      run_id="r2", n_buckets=4, analytics=True)
+        assert s2["analytics_reused"] is False
+        ids = {r["run_id"] for r in spark.read.parquet(pr_path)
+               .select("run_id").distinct().collect()}
+        assert ids == {"r2"}
+
+        # and a clean repeat after the repair DOES reuse, carrying the
+        # writer's id forward in the fingerprint row
+        s3 = build_kg(spark, synthesize_corpus(spark, 120), out,
+                      run_id="r3", n_buckets=4, analytics=True)
+        assert s3["analytics_reused"] is True
+        fp = (spark.read.option("mergeSchema", "true").parquet(
+                  os.path.join(out, "analytics", "edges_fingerprint"))
+              .orderBy(F.desc("committed_at")).limit(1).collect()[0])
+        assert fp["tables_run_id"] == "r2"
+        assert fp["run_id"] == "r3"
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
