@@ -706,6 +706,131 @@ def _kg_sparql_select(spark, sf_dir):
     return out.orderBy("cred", "issuer", "issued")
 
 
+_SPARQL_BIND_TEXT = f"""
+SELECT ?issuer ?year (COUNT(DISTINCT ?cred) AS ?n_creds)
+WHERE {{
+  ?cred <{_IRI_ISSUER}> ?issuer .
+  ?cred <{_IRI_ISSUED}> ?issued .
+  BIND(substring(?issued, 1, 4) AS ?year)
+}}
+GROUP BY ?issuer ?year
+ORDER BY ?issuer ?year"""
+
+
+def _kg_sparql_bind(spark, sf_dir):
+    """SPARQL BIND in the text surface (r8, VERDICT r7 #1): the
+    issuance YEAR is a derived column (substring over the binding)
+    feeding GROUP BY — compiled to a plain projection between the
+    pattern joins and the aggregation (operators/bgp.py match_bgp
+    ``binds=``), so Catalyst folds it: a FILTER over a BIND alias
+    still reaches the pattern scan (plan-tested,
+    tests/test_bgp.py::test_sparql_bind_filter_pushdown).  Oracle: the
+    (cred, issuer, issued) bindings replayed in Python; the BIND and
+    the aggregation stated in actual SQL (DuckDB substring + GROUP
+    BY)."""
+    from cbor_ld_spark.operators.sparql import run_sparql
+    from cbor_ld_spark.plans import shared_triples
+
+    return run_sparql(shared_triples(spark, sf_dir),
+                      _SPARQL_BIND_TEXT)
+
+
+_SPARQL_VALUES_TEXT = f"""
+SELECT ?cred ?issuer ?tier WHERE {{
+  ?cred <{_IRI_ISSUER}> ?issuer .
+  VALUES (?issuer ?tier) {{
+    (<{_TRUAGE_ISSUER}> "truage") (UNDEF "any")
+  }}
+}}
+ORDER BY ?cred ?tier"""
+
+
+def _kg_sparql_values(spark, sf_dir):
+    """Binding-introducing VALUES (r8, VERDICT r7 #1 — SPARQL 1.1
+    §10.2 inline data): ?issuer is a JOIN key, ?tier a FRESH variable,
+    and the UNDEF row is compatible with every issuer — so every
+    credential lands in tier "any" and TruAge-issued ones additionally
+    in "truage".  Compiles to a broadcast inline-data join
+    (operators/sparql.py ``_apply_values``), no shuffle.  Oracle: the
+    (cred, issuer) bindings replayed in Python, the inline data as an
+    actual SQL ``VALUES`` table joined with the same NULL-compatible
+    condition."""
+    from cbor_ld_spark.operators.sparql import run_sparql
+    from cbor_ld_spark.plans import shared_triples
+
+    return run_sparql(shared_triples(spark, sf_dir),
+                      _SPARQL_VALUES_TEXT)
+
+
+_SPARQL_CONSTRUCT_R1 = f"""
+CONSTRUCT {{ ?i <urn:ex:vouchesFor> ?p }}
+WHERE {{ ?cred <{_IRI_ISSUER}> ?i . ?cred <{_IRI_SUBJECT}> ?p }}"""
+_SPARQL_CONSTRUCT_R2 = f"""
+CONSTRUCT {{ ?i <urn:ex:vouchesForAdult> ?p }}
+WHERE {{ ?i <urn:ex:vouchesFor> ?p . ?p <{_IRI_OVERAGE}> ?age }}"""
+
+
+def _kg_sparql_construct(spark, sf_dir):
+    """CONSTRUCT in the text surface (r8, VERDICT r7 #5): the
+    _INFER_RULES fixpoint written as two CONSTRUCT query strings, the
+    second evaluated over base ∪ round-1 derivations — exactly the
+    two rounds the rule engine takes on this corpus.  Shares
+    kg_infer_vouches' oracle, so text-CONSTRUCT / rule-engine tier
+    equivalence is a hard driver signal (the kg_sparql_select
+    pattern).  Template instantiation is the SAME code path
+    (operators/rules.instantiate_template)."""
+    from cbor_ld_spark.operators.sparql import run_sparql
+    from cbor_ld_spark.plans import shared_triples
+
+    t = shared_triples(spark, sf_dir)
+    base = t.select("subj", "pred", "obj").distinct()
+    d1 = run_sparql(t, _SPARQL_CONSTRUCT_R1)
+    t2 = base.unionByName(d1)
+    d2 = run_sparql(t2, _SPARQL_CONSTRUCT_R2)
+    out = (d1.unionByName(d2).distinct()
+           .join(base, ["subj", "pred", "obj"], "left_anti"))
+    return out.orderBy("subj", "pred", "obj")
+
+
+_IRI_OVERAGE_TYPE = "https://w3id.org/age#OverAgeTokenCredential"
+_SPARQL_ASK_TEXT = (f"ASK {{ <{_IRI_OVERAGE_TYPE}> "
+                    f"^<{_IRI_RDF_TYPE}>/<{_IRI_ISSUER}> "
+                    f"<{_TRUAGE_ISSUER}> }}")
+
+
+def _kg_sparql_ask(spark, sf_dir):
+    """ASK in the text surface (r8, VERDICT r7 #5) over a BOTH-GROUND
+    property path — "is any OverAgeTokenCredential-typed document
+    issued by the TruAge issuer?" — which exercises the
+    meet-in-the-middle tier (r8, operators/bgp.py ``_bidi_pair``): the
+    2-step sequence splits at the midpoint, creds typed OverAge
+    (inverse rdf:type step, forward from the type constant) are
+    intersected with creds issued by the did:key (backward from the
+    issuer constant).  Exactly one boolean row either way.  Oracle:
+    the same intersection replayed in Python, emitted as a SQL boolean
+    literal."""
+    from cbor_ld_spark.operators.sparql import run_sparql
+    from cbor_ld_spark.plans import shared_triples
+
+    return run_sparql(shared_triples(spark, sf_dir), _SPARQL_ASK_TEXT)
+
+
+def _kg_path_alt_groups(spark, sf_dir):
+    """Alternation of parenthesised path GROUPS (r8, VERDICT r7 #2):
+    ``(vc/issuer)|issuer`` evaluates as the UNION of the alternatives'
+    sub-relations — and is provably the ``vc?/issuer`` relation
+    ((A ∪ id)/B = A/B ∪ B), so it SHARES kg_path_issuers' oracle:
+    alternation-tier vs optional-tier equivalence lands as a hard
+    driver signal."""
+    from cbor_ld_spark.operators.bgp import match_path
+    from cbor_ld_spark.operators.sparql import parse_path
+    from cbor_ld_spark.plans import shared_triples
+
+    steps = parse_path(f"(<{_IRI_VC}>/<{_IRI_ISSUER}>)|<{_IRI_ISSUER}>")
+    out = match_path(shared_triples(spark, sf_dir), steps)
+    return out.orderBy("src", "dst")
+
+
 _PATH_ISSUER_STEPS = [(_IRI_VC, "opt"), (_IRI_ISSUER, "one")]
 
 
@@ -1632,25 +1757,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ~10 stable tail queries whose last driver row is >=3 rounds old swap
     # back into the window in place of now-proven recent additions, so every
     # registry query re-earns a driver row at least every ~4 rounds.
-    # Window exits this round (all driver-green r6, operator code untouched
-    # in r7, still value-verified by the committed three-SF self-run):
-    # dedup_apply, text_oov_rate, kg_obj_datatypes, kg_ppr, kg_hits,
-    # kg_reachability, kg_communities, kg_anf, kg_neighbor_overlap_lsh,
-    # kg_nquads_export, kg_infer_vouches, dedup_minhash_jaccard,
-    # sample_stratified, text_winnow_fingerprints, emb_near_dup_blocked,
-    # dedup_embedding_lsh, ann_ivf_topk, ann_lsh_topk.  Window entries:
-    # the 6 NEW r7 queries (kg_path_truage_issuer — seeded property-path
-    # tier; kg_bgp_optional_unbound — SPARQL unbound-compatibility
-    # OPTIONAL; kg_sparql_select — SPARQL text surface, shares
-    # kg_bgp_filter's oracle; kg_sparql_group — text GROUP BY/HAVING/
-    # ORDER BY, shares kg_bgp_group's oracle; kg_sparql_path_type —
-    # property path INSIDE a BGP, seeded ground endpoint;
-    # kg_anf_diameter — effective diameter to saturation) + 12 rotations
-    # whose last driver row was r4 (rel_* x8, events_by_type,
-    # events_sessions, kg_hex_roundtrip, emb_near_dup).
-    # Queries whose operators WERE touched in r7 (bgp.py
-    # paths/parser/optional-compat, graph.py k-core) all stay in-window:
-    # kg_bgp_*, kg_path_*, kg_infer_semi_naive, kg_kcore.
+    # Window exits this round — r8 (all driver-green r7, operator code
+    # untouched in r8, still value-verified by the committed three-SF
+    # self-run): rel_* x8, events_by_type, events_sessions,
+    # kg_hex_roundtrip, emb_near_dup, dedup_minhash_pairs,
+    # ann_cosine_topk, kg_pagerank_dangling, kg_pagerank_weighted,
+    # kg_pred_cooccurrence (17).  Window entries: the 5 NEW r8 queries
+    # (kg_sparql_bind — BIND derived column; kg_sparql_values —
+    # binding-introducing inline data, FROM (VALUES) oracle;
+    # kg_sparql_construct — text CONSTRUCT, shares kg_infer_vouches'
+    # oracle; kg_sparql_ask — ASK over a both-ground path, the
+    # meet-in-the-middle tier; kg_path_alt_groups — alternation of
+    # path groups, shares kg_path_issuers' oracle) + 12 rotations
+    # whose last driver row was r5 (dedup_apply, text_oov_rate,
+    # kg_obj_datatypes, kg_ppr, kg_hits, kg_reachability,
+    # kg_communities, kg_neighbor_overlap_lsh, kg_anf,
+    # kg_nquads_export, kg_infer_vouches, dedup_minhash_jaccard) —
+    # VERDICT r7 #3.  Queries whose operators WERE touched in r8
+    # (bgp.py paths/bidi/binds, sparql.py, rules.py, pipeline.py) all
+    # stay in-window: kg_bgp_*, kg_sparql_*, kg_path_*,
+    # kg_infer_semi_naive, kg_infer_vouches, kg_canonical_dedup.
     return {
         "kg_corpus_shape": _kg_corpus_shape,
         "kg_doc_results": _kg_doc_results,
@@ -1667,9 +1793,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_neighbor_overlap": _kg_neighbor_overlap,
         "dedup_clusters": _dedup_clusters,
         "kg_canonical_dedup": _kg_canonical_dedup,
-        "kg_pagerank_dangling": _kg_pagerank_dangling,
-        "kg_pagerank_weighted": _kg_pagerank_weighted,
-        "kg_pred_cooccurrence": _kg_pred_cooccurrence,
         "stream_sessions_parity": _stream_sessions_parity,
         "stream_windowed_parity": _stream_windowed_parity,
         "stream_dedup_parity": _stream_dedup_parity,
@@ -1688,6 +1811,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_path_closure": _kg_path_closure,
         "kg_path_issuers": _kg_path_issuers,
         "kg_bgp_group": _kg_bgp_group,
+        "kg_sparql_bind": _kg_sparql_bind,
+        "kg_sparql_values": _kg_sparql_values,
+        "kg_sparql_construct": _kg_sparql_construct,
+        "kg_sparql_ask": _kg_sparql_ask,
+        "kg_path_alt_groups": _kg_path_alt_groups,
+        "kg_infer_vouches": _kg_infer_vouches,
+        "dedup_apply": _dedup_apply,
+        "text_oov_rate": _text_oov_rate,
+        "kg_obj_datatypes": _kg_obj_datatypes,
+        "kg_ppr": _kg_ppr,
+        "kg_hits": _kg_hits,
+        "kg_reachability": _kg_reachability,
+        "kg_communities": _kg_communities,
+        "kg_neighbor_overlap_lsh": _kg_neighbor_overlap_lsh,
+        "kg_anf": _kg_anf,
+        "kg_nquads_export": _kg_nquads_export,
+        "dedup_minhash_jaccard": _dedup_minhash_jaccard,
+        # --- past the driver's 50-query window (slot 50 ends at
+        # dedup_minhash_jaccard; re-count whenever an entry is added —
+        # tests/test_registry_modes.py pins this marker executably) ---
+        "ann_lsh_topk": _ann_lsh_topk,
+        "ann_ivf_topk": _ann_ivf_topk,
+        "emb_near_dup_blocked": _emb_near_dup_blocked,
+        "dedup_embedding_lsh": _dedup_embedding_lsh,
+        "text_winnow_fingerprints": _text_winnow_fingerprints,
+        "sample_stratified": _sample_stratified,
+        "shard_pack": _shard_pack,
+        # every query below is driver-green from earlier rounds with
+        # operator code unchanged since, and stays value-verified by the
+        # committed three-SF self-run each round:
         "rel_pricing_summary": _rel_pricing_summary,
         "rel_top_customers": _rel_top_customers,
         "rel_orders_with_returns": _rel_orders_with_returns,
@@ -1702,31 +1855,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup": _emb_near_dup,
         "dedup_minhash_pairs": _dedup_minhash_pairs,
         "ann_cosine_topk": _ann_cosine_topk,
-        # --- past the driver's 50-query window (slot 50 ends at
-        # ann_cosine_topk; re-count whenever an entry is added —
-        # tests/test_registry_modes.py pins this marker executably) ---
-        "ann_lsh_topk": _ann_lsh_topk,
-        "ann_ivf_topk": _ann_ivf_topk,
-        "emb_near_dup_blocked": _emb_near_dup_blocked,
-        "dedup_embedding_lsh": _dedup_embedding_lsh,
-        "text_winnow_fingerprints": _text_winnow_fingerprints,
-        "sample_stratified": _sample_stratified,
-        "shard_pack": _shard_pack,
-        # every query below is driver-green from earlier rounds with
-        # operator code unchanged since, and stays value-verified by the
-        # committed three-SF self-run each round:
-        "dedup_apply": _dedup_apply,
-        "text_oov_rate": _text_oov_rate,
-        "kg_obj_datatypes": _kg_obj_datatypes,
-        "kg_ppr": _kg_ppr,
-        "kg_hits": _kg_hits,
-        "kg_reachability": _kg_reachability,
-        "kg_communities": _kg_communities,
-        "kg_neighbor_overlap_lsh": _kg_neighbor_overlap_lsh,
-        "kg_anf": _kg_anf,
-        "kg_nquads_export": _kg_nquads_export,
-        "kg_infer_vouches": _kg_infer_vouches,
-        "dedup_minhash_jaccard": _dedup_minhash_jaccard,
+        "kg_pagerank_dangling": _kg_pagerank_dangling,
+        "kg_pagerank_weighted": _kg_pagerank_weighted,
+        "kg_pred_cooccurrence": _kg_pred_cooccurrence,
         "text_tfidf_top_terms": _text_tfidf_top_terms,
         "text_repetition_signals": _text_repetition_signals,
         "text_compression_signal": _text_compression_signal,
@@ -3178,6 +3309,59 @@ def _bgp_group_oracle(sf_dir: str | None = None) -> str:
         "issuer")
 
 
+def _sparql_bind_oracle(sf_dir: str | None = None) -> str:
+    """kg_sparql_bind: BGP bindings replayed in Python, the BIND
+    derivation and the aggregation stated in actual SQL — DuckDB
+    evaluates substring + COUNT(DISTINCT) over the binding rows."""
+    triples = _realized_triples(sf_dir or _oracle_sf_dir())
+    binds = [{}]
+    for pat in _BGP_FILTER_REQUIRED:  # issuer + issuanceDate patterns
+        binds = [m for b in binds for spo in triples
+                 if (m := _bgp_match_one(b, pat, spo)) is not None]
+    rows = sorted({(b["cred"], b["issuer"], b["issued"])
+                   for b in binds})
+    inner = _values_oracle(
+        rows, [("cred", "VARCHAR"), ("issuer", "VARCHAR"),
+               ("issued", "VARCHAR")], "cred")
+    return f"""
+    WITH b AS ({inner})
+    SELECT issuer, substring(issued, 1, 4) AS year,
+           COUNT(DISTINCT cred)::BIGINT AS n_creds
+    FROM b GROUP BY issuer, year ORDER BY issuer, year
+    """
+
+
+def _sparql_values_oracle(sf_dir: str | None = None) -> str:
+    """kg_sparql_values: the (cred, issuer) bindings replayed in
+    Python; the inline data is an actual SQL VALUES table joined with
+    the same NULL-is-compatible condition the Spark side uses."""
+    triples = _realized_triples(sf_dir or _oracle_sf_dir())
+    rows = sorted({(s, o) for s, p, o in triples
+                   if p == _IRI_ISSUER})
+    inner = _values_oracle(
+        rows, [("cred", "VARCHAR"), ("issuer", "VARCHAR")], "cred")
+    return f"""
+    WITH b AS ({inner}),
+         v(vi, tier) AS (VALUES ('{_TRUAGE_ISSUER}', 'truage'),
+                                (NULL, 'any'))
+    SELECT b.cred, b.issuer, v.tier
+    FROM b JOIN v ON v.vi IS NULL OR v.vi = b.issuer
+    ORDER BY cred, tier
+    """
+
+
+def _sparql_ask_oracle(sf_dir: str | None = None) -> str:
+    """kg_sparql_ask: the both-ground path's existence replayed in
+    Python (creds typed OverAgeTokenCredential ∩ creds issued by the
+    TruAge did:key), emitted as a SQL boolean literal."""
+    triples = _realized_triples(sf_dir or _oracle_sf_dir())
+    typed = {s for s, p, o in triples
+             if p == _IRI_RDF_TYPE and o == _IRI_OVERAGE_TYPE}
+    ask = any(s in typed and o == _TRUAGE_ISSUER
+              for s, p, o in triples if p == _IRI_ISSUER)
+    return f"SELECT {'TRUE' if ask else 'FALSE'} AS ask"
+
+
 def _path_oracle(steps, sf_dir: str | None = None,
                  src: str | None = None,
                  dst: str | None = None) -> str:
@@ -4109,6 +4293,15 @@ def oracle_sql() -> dict[str, str]:
         # query string): same semantics, same oracle
         "kg_sparql_group": _bgp_group_oracle(),
         "kg_sparql_path_type": _sparql_path_type_oracle(),
+        "kg_sparql_bind": _sparql_bind_oracle(),
+        "kg_sparql_values": _sparql_values_oracle(),
+        # text-CONSTRUCT twin of the rule engine: same fixpoint, same
+        # oracle (tier equivalence as a hard driver signal)
+        "kg_sparql_construct": _infer_oracle(),
+        "kg_sparql_ask": _sparql_ask_oracle(),
+        # (vc/issuer)|issuer == vc?/issuer: the alternation tier shares
+        # the optional-step path oracle
+        "kg_path_alt_groups": _path_oracle(_PATH_ISSUER_STEPS),
         "dedup_clusters": _dedup_clusters_oracle(),
         "dedup_apply": _dedup_apply_oracle(),
         "text_oov_rate": _OOV_SQL.format(norm=_NORM_SQL),
