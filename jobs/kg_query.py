@@ -25,10 +25,13 @@ writing Python:
         --union '?c <...#holder> ?i' \
         --group-by i --agg 'count(distinct c) AS n' --having 'n > 1'
 
-    # or a whole SPARQL SELECT string (subset in operators/sparql.py)
+    # or a whole SPARQL string — SELECT, ASK or CONSTRUCT, with BIND
+    # and VALUES inline data (subset in operators/sparql.py)
     spark-submit jobs/kg_query.py --triples /data/kg/triples \
         --sparql 'SELECT ?c ?i WHERE { ?c <...#issuer> ?i .
                   FILTER NOT EXISTS { ?c <...#type> <...#Revoked> } }'
+    spark-submit jobs/kg_query.py --triples /data/kg/triples \
+        --sparql 'ASK { <...#cred1> <...#issuer>/<...#memberOf>* ?o }'
 
 Without --out, prints up to --limit rows as TSV to stdout (small
 results only — the point of --out is that answers stay distributed).
@@ -69,9 +72,10 @@ def main(argv=None):
                          "';' (repeatable; mutually exclusive with "
                          "--pattern/--path)")
     ap.add_argument("--sparql", default=None,
-                    help="a whole SPARQL SELECT query string (subset: "
-                         "patterns, OPTIONAL, FILTER(sql)/NOT EXISTS, "
-                         "UNION, property paths; see "
+                    help="a whole SPARQL query string — SELECT, ASK "
+                         "or CONSTRUCT (subset: patterns, OPTIONAL, "
+                         "FILTER(sql)/NOT EXISTS, BIND, VALUES "
+                         "inline data, UNION, property paths; see "
                          "operators/sparql.py)")
     ap.add_argument("--group-by", default=None,
                     help="comma-separated binding variables to GROUP "

@@ -839,6 +839,22 @@ def test_kg_query_cli_sparql(spark, tmp_path):
     assert lines[0] == "p\ta"
     assert {l.rstrip("\t") for l in lines[1:]} == {"p1\t21", "p2\t65"}
 
+    # r8: ASK and CONSTRUCT forms from the shell
+    for q, expect in [
+            ("ASK { ?c <issuer> <org1> }", ["ask", "True"]),
+            ("ASK { ?c <issuer> <org9> }", ["ask", "False"]),
+            ("CONSTRUCT { ?i <urn:of> ?c } WHERE "
+             "{ ?c <issuer> ?i . FILTER(i = 'org2') }",
+             ["subj\tpred\tobj", "org2\turn:of\tc2"])]:
+        buf = io.StringIO()
+        _sys.stdout = buf
+        try:
+            rc = kg_query.main(["--triples", tdir, "--sparql", q])
+        finally:
+            _sys.stdout = old
+        assert rc == 0
+        assert buf.getvalue().strip().splitlines() == expect, q
+
 
 def test_sparql_text_aggregation(spark):
     """GROUP BY / HAVING / ORDER BY / LIMIT parsed from the query
