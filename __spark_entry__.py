@@ -815,6 +815,34 @@ def _kg_sparql_ask(spark, sf_dir):
     return run_sparql(shared_triples(spark, sf_dir), _SPARQL_ASK_TEXT)
 
 
+_SPARQL_MINUS_TEXT = f"""
+SELECT ?cred ?issuer WHERE {{
+  ?cred <{_IRI_ISSUER}> ?issuer .
+  MINUS {{ ?cred <{_IRI_RDF_TYPE}> <{_IRI_OVERAGE_TYPE}> }}
+}}
+ORDER BY ?cred ?issuer OFFSET 5 LIMIT 50"""
+
+
+def _kg_sparql_minus(spark, sf_dir):
+    """MINUS + the OFFSET/LIMIT slice in the text surface (r8):
+    issued credentials that are NOT typed OverAgeTokenCredential.
+    The MINUS group shares ?cred with the outer pattern — the
+    CONNECTED case, where SPARQL 1.1 §8.3 MINUS and FILTER NOT EXISTS
+    coincide — so it compiles to the same single left_anti join
+    (operators/sparql.py routes it into match_bgp ``not_exists=``); a
+    disconnected MINUS is rejected loudly rather than silently
+    dropping everything.  ORDER BY over the unique (cred, issuer)
+    pairs makes the OFFSET 5 / LIMIT 50 slice deterministic; SPARQL
+    slice order (offset before limit) regardless of written order.
+    Oracle: both binding sets replayed in Python, the anti-join and
+    the slice stated in actual SQL (NOT EXISTS + LIMIT/OFFSET)."""
+    from cbor_ld_spark.operators.sparql import run_sparql
+    from cbor_ld_spark.plans import shared_triples
+
+    return run_sparql(shared_triples(spark, sf_dir),
+                      _SPARQL_MINUS_TEXT)
+
+
 def _kg_path_alt_groups(spark, sf_dir):
     """Alternation of parenthesised path GROUPS (r8, VERDICT r7 #2):
     ``(vc/issuer)|issuer`` evaluates as the UNION of the alternatives'
@@ -1762,7 +1790,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # self-run): rel_* x8, events_by_type, events_sessions,
     # kg_hex_roundtrip, emb_near_dup, dedup_minhash_pairs,
     # ann_cosine_topk, kg_pagerank_dangling, kg_pagerank_weighted,
-    # kg_pred_cooccurrence (17).  Window entries: the 5 NEW r8 queries
+    # kg_pred_cooccurrence, ann_pq_topk (18).  Window entries: the 6
+    # NEW r8 queries (kg_sparql_minus — MINUS + OFFSET/LIMIT slice,
+    # NOT EXISTS + slice oracle) plus
     # (kg_sparql_bind — BIND derived column; kg_sparql_values —
     # binding-introducing inline data, FROM (VALUES) oracle;
     # kg_sparql_construct — text CONSTRUCT, shares kg_infer_vouches'
@@ -1782,7 +1812,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_doc_results": _kg_doc_results,
         "kg_triples_by_pred": _kg_triples_by_pred,
         "kg_roundtrip_violations": _kg_roundtrip_violations,
-        "ann_pq_topk": _ann_pq_topk,
         "kg_compression_stats": _kg_compression_stats,
         "text_length_quantiles": _text_length_quantiles,
         "dedup_incremental": _dedup_incremental,
@@ -1816,6 +1845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_construct": _kg_sparql_construct,
         "kg_sparql_ask": _kg_sparql_ask,
         "kg_path_alt_groups": _kg_path_alt_groups,
+        "kg_sparql_minus": _kg_sparql_minus,
         "kg_infer_vouches": _kg_infer_vouches,
         "dedup_apply": _dedup_apply,
         "text_oov_rate": _text_oov_rate,
@@ -1832,6 +1862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup_minhash_jaccard; re-count whenever an entry is added —
         # tests/test_registry_modes.py pins this marker executably) ---
         "ann_lsh_topk": _ann_lsh_topk,
+        "ann_pq_topk": _ann_pq_topk,
         "ann_ivf_topk": _ann_ivf_topk,
         "emb_near_dup_blocked": _emb_near_dup_blocked,
         "dedup_embedding_lsh": _dedup_embedding_lsh,
@@ -3362,6 +3393,28 @@ def _sparql_ask_oracle(sf_dir: str | None = None) -> str:
     return f"SELECT {'TRUE' if ask else 'FALSE'} AS ask"
 
 
+def _sparql_minus_oracle(sf_dir: str | None = None) -> str:
+    """kg_sparql_minus: the (cred, issuer) bindings and the
+    OverAge-typed cred set replayed in Python; the MINUS anti-join and
+    the ORDER BY/OFFSET/LIMIT slice stated in actual SQL, so DuckDB
+    evaluates the same relational plan shape (NOT EXISTS over the
+    shared variable) the Spark side compiles to (left_anti)."""
+    triples = _realized_triples(sf_dir or _oracle_sf_dir())
+    typed = sorted({(s,) for s, p, o in triples
+                    if p == _IRI_RDF_TYPE and o == _IRI_OVERAGE_TYPE})
+    rows = sorted({(s, o) for s, p, o in triples
+                   if p == _IRI_ISSUER})
+    b = _values_oracle(rows, [("cred", "VARCHAR"),
+                              ("issuer", "VARCHAR")], "cred")
+    t = _values_oracle(typed, [("cred", "VARCHAR")], "cred")
+    return f"""
+    WITH b AS ({b}), t AS ({t})
+    SELECT b.cred, b.issuer FROM b
+    WHERE NOT EXISTS (SELECT 1 FROM t WHERE t.cred = b.cred)
+    ORDER BY b.cred, b.issuer LIMIT 50 OFFSET 5
+    """
+
+
 def _path_oracle(steps, sf_dir: str | None = None,
                  src: str | None = None,
                  dst: str | None = None) -> str:
@@ -4302,6 +4355,7 @@ def oracle_sql() -> dict[str, str]:
         # (vc/issuer)|issuer == vc?/issuer: the alternation tier shares
         # the optional-step path oracle
         "kg_path_alt_groups": _path_oracle(_PATH_ISSUER_STEPS),
+        "kg_sparql_minus": _sparql_minus_oracle(),
         "dedup_clusters": _dedup_clusters_oracle(),
         "dedup_apply": _dedup_apply_oracle(),
         "text_oov_rate": _OOV_SQL.format(norm=_NORM_SQL),

@@ -218,7 +218,9 @@ def parse_path(expr: str) -> list[tuple]:
 #             'WHERE' group
 #             ('GROUP' 'BY' '?'var+)? ('HAVING' '(' expr ')')*
 #             ('ORDER' 'BY' ('?'var | 'DESC(?'var')' | 'ASC(?'var')')+)?
-#             ('LIMIT' int)?
+#             ('LIMIT' int)? ('OFFSET' int)?    (either order; OFFSET
+#                                                applies before LIMIT,
+#                                                per SPARQL slice)
 # ask-q    := 'ASK' 'WHERE'? group              (one boolean `ask` row)
 # construct-q := 'CONSTRUCT' '{' pattern+ '}' 'WHERE' group
 #             (template instantiated per binding; NULL-containing
@@ -232,6 +234,15 @@ def parse_path(expr: str) -> list[tuple]:
 #           | 'OPTIONAL' group                  (patterns only inside)
 #           | 'FILTER' '(' sql-expr ')'         (SQL boolean expr over vars)
 #           | 'FILTER' 'NOT' 'EXISTS' group     (patterns only inside)
+#           | 'MINUS' group                     (r8: the CONNECTED case,
+#                                                where SPARQL MINUS and
+#                                                FILTER NOT EXISTS
+#                                                coincide — same
+#                                                left_anti; a MINUS
+#                                                group sharing no
+#                                                variable is rejected
+#                                                loudly, never silently
+#                                                wrong)
 #           | 'BIND' '(' sql-expr 'AS' '?'v ')' (computed column over
 #                                                the bindings; ?v must
 #                                                be FRESH; later FILTERs
@@ -267,7 +278,7 @@ def parse_path(expr: str) -> list[tuple]:
 
 _KEYWORDS = {"select", "where", "optional", "filter", "union",
              "distinct", "reduced", "not", "exists", "values", "bind",
-             "ask", "construct"}
+             "ask", "construct", "minus", "offset"}
 _PATH_CHARS = set("/|^!+*?()")
 
 
@@ -546,13 +557,19 @@ def parse_sparql(text: str) -> dict:
             "optional": [], "filters": [], "not_exists": [],
             "union": None, "path": None, "path_patterns": [],
             "binds": [], "values": [], "group_by": [],
-            "having": [], "order_by": [], "limit": None}
+            "having": [], "order_by": [], "limit": None,
+            "offset": None}
     while pos < len(toks) and toks[pos] != "}":
         t = toks[pos]
         low = t.lower()
         if low == "optional":
             pats, pos = _parse_plain_group(toks, pos + 1)
             spec["optional"].extend(pats)
+        elif low == "minus":
+            # the connected case, where MINUS == FILTER NOT EXISTS
+            # (match_bgp rejects a disconnected group loudly)
+            pats, pos = _parse_plain_group(toks, pos + 1)
+            spec["not_exists"].extend(pats)
         elif low == "values":
             vars_, rows, pos = _parse_values_block(toks, pos + 1)
             spec["values"].append((vars_, rows))
@@ -676,6 +693,12 @@ def parse_sparql(text: str) -> dict:
             if pos >= len(toks) or not toks[pos].isdigit():
                 raise ValueError("LIMIT needs an integer")
             spec["limit"] = int(toks[pos])
+            pos += 1
+        elif low == "offset":
+            pos += 1
+            if pos >= len(toks) or not toks[pos].isdigit():
+                raise ValueError("OFFSET needs an integer")
+            spec["offset"] = int(toks[pos])
             pos += 1
         else:
             raise ValueError(
@@ -866,6 +889,10 @@ def run_sparql(triples, text: str):
         result = result.orderBy(*[
             F.col(v).desc() if d == "desc" else F.col(v).asc()
             for v, d in spec["order_by"]])
+    if spec["offset"] is not None:
+        # SPARQL slice: OFFSET before LIMIT, regardless of the order
+        # the modifiers were written in
+        result = result.offset(spec["offset"])
     if spec["limit"] is not None:
         result = result.limit(spec["limit"])
     return result

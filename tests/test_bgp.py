@@ -1346,3 +1346,35 @@ def test_kg_query_rejects_variable_endpoints(spark, tmp_path):
     with pytest.raises(SystemExit):
         kg_query.main(["--triples", tdir, "--path", "<issuer>",
                        "--src", "?x"])
+
+
+def test_sparql_minus_and_offset(spark):
+    """MINUS (r8): the connected case, identical to FILTER NOT EXISTS
+    (one left_anti); OFFSET composes with ORDER BY/LIMIT as the SPARQL
+    slice (offset before limit, regardless of written order)."""
+    from cbor_ld_spark.operators.sparql import run_sparql
+
+    t = _triples(spark, _DATA)
+    q = ('SELECT ?c ?i WHERE { ?c <issuer> ?i . '
+         'MINUS { ?c <subject> ?s } }')
+    ne = ('SELECT ?c ?i WHERE { ?c <issuer> ?i . '
+          'FILTER NOT EXISTS { ?c <subject> ?s } }')
+    got = {tuple(r) for r in run_sparql(t, q).collect()}
+    assert got == {tuple(r) for r in run_sparql(t, ne).collect()}
+    assert got == {("c3", "org1")}
+    # disconnected MINUS: loud, never silently wrong
+    with pytest.raises(ValueError, match="disconnected"):
+        run_sparql(t, 'SELECT ?c WHERE { ?c <issuer> ?i . '
+                      'MINUS { ?x <age> ?y } }').collect()
+
+    rows = [r["c"] for r in run_sparql(
+        t, 'SELECT ?c WHERE { ?c <issuer> ?i } '
+           'ORDER BY ?c LIMIT 2 OFFSET 1').collect()]
+    assert rows == ["c2", "c3"]
+    # OFFSET may precede LIMIT in the text — same slice
+    rows2 = [r["c"] for r in run_sparql(
+        t, 'SELECT ?c WHERE { ?c <issuer> ?i } '
+           'ORDER BY ?c OFFSET 1 LIMIT 2').collect()]
+    assert rows2 == rows
+    with pytest.raises(ValueError, match="OFFSET needs an integer"):
+        run_sparql(t, 'SELECT ?c WHERE { ?c <issuer> ?i } OFFSET x')
