@@ -843,6 +843,61 @@ def _kg_sparql_minus(spark, sf_dir):
                       _SPARQL_MINUS_TEXT)
 
 
+_SPARQL_SUBQ_TEXT = f"""
+SELECT ?i ?n WHERE {{
+  {{ SELECT ?i (COUNT(?c) AS ?n) WHERE {{ ?c <{_IRI_ISSUER}> ?i }}
+     GROUP BY ?i }}
+  {{ SELECT (AVG(?m) AS ?avg) WHERE {{
+       {{ SELECT ?i2 (COUNT(?c2) AS ?m)
+          WHERE {{ ?c2 <{_IRI_ISSUER}> ?i2 }} GROUP BY ?i2 }} }} }}
+  FILTER(n > avg)
+}}
+ORDER BY DESC(?n) ?i"""
+
+
+def _kg_sparql_subquery(spark, sf_dir):
+    """SPARQL 1.1 §12 subqueries in the text surface (r8): issuers
+    whose credential count beats the all-issuer AVERAGE — a grouped
+    subquery (the per-issuer counts) as the base relation, a SCALAR
+    subquery (the average, itself over a nested grouped subquery)
+    broadcast-cross-joined (one row — BroadcastNestedLoop,
+    plan-tested), and an outer FILTER over both subqueries' projected
+    vars applied post-join.  Also exercises ORDER BY DESC(?var) + a
+    secondary ascending key.  Oracle: the (cred, issuer) bindings
+    replayed in Python; the grouping, the average and the comparison
+    stated in actual SQL."""
+    from cbor_ld_spark.operators.sparql import run_sparql
+    from cbor_ld_spark.plans import shared_triples
+
+    return run_sparql(shared_triples(spark, sf_dir),
+                      _SPARQL_SUBQ_TEXT)
+
+
+_SPARQL_EXISTS_TEXT = f"""
+SELECT ?cred ?issuer WHERE {{
+  ?cred <{_IRI_ISSUER}> ?issuer .
+  FILTER EXISTS {{ ?cred <{_IRI_RDF_TYPE}> <{_IRI_OVERAGE_TYPE}> }}
+}}
+ORDER BY ?cred ?issuer"""
+
+
+def _kg_sparql_exists(spark, sf_dir):
+    """FILTER EXISTS in the text surface (r8): issued credentials
+    that ARE typed OverAgeTokenCredential — the exact COMPLEMENT of
+    kg_sparql_minus over the same two binding sets, compiled to one
+    left_semi join (match_bgp ``exists=``, the positive twin of the
+    anti-join; plan-tested in tests/test_bgp.py).  Together the two
+    queries partition the issuer bindings, so a driver-green pair is
+    a semi/anti consistency signal, not just two row sets.  Oracle:
+    same replay as kg_sparql_minus with EXISTS instead of NOT
+    EXISTS."""
+    from cbor_ld_spark.operators.sparql import run_sparql
+    from cbor_ld_spark.plans import shared_triples
+
+    return run_sparql(shared_triples(spark, sf_dir),
+                      _SPARQL_EXISTS_TEXT)
+
+
 def _kg_path_alt_groups(spark, sf_dir):
     """Alternation of parenthesised path GROUPS (r8, VERDICT r7 #2):
     ``(vc/issuer)|issuer`` evaluates as the UNION of the alternatives'
@@ -1790,9 +1845,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # self-run): rel_* x8, events_by_type, events_sessions,
     # kg_hex_roundtrip, emb_near_dup, dedup_minhash_pairs,
     # ann_cosine_topk, kg_pagerank_dangling, kg_pagerank_weighted,
-    # kg_pred_cooccurrence, ann_pq_topk (18).  Window entries: the 6
-    # NEW r8 queries (kg_sparql_minus — MINUS + OFFSET/LIMIT slice,
-    # NOT EXISTS + slice oracle) plus
+    # kg_pred_cooccurrence, ann_pq_topk, kg_degree_distribution,
+    # kg_triangles (20).  Window entries: the 8 NEW r8 queries
+    # (kg_sparql_minus — MINUS + OFFSET/LIMIT slice, NOT EXISTS +
+    # slice oracle; kg_sparql_subquery — SPARQL 1.1 §12 grouped +
+    # scalar + nested subqueries, post-join FILTER, ORDER BY DESC;
+    # kg_sparql_exists — FILTER EXISTS left_semi, the complement of
+    # kg_sparql_minus) plus
     # (kg_sparql_bind — BIND derived column; kg_sparql_values —
     # binding-introducing inline data, FROM (VALUES) oracle;
     # kg_sparql_construct — text CONSTRUCT, shares kg_infer_vouches'
@@ -1815,10 +1874,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_compression_stats": _kg_compression_stats,
         "text_length_quantiles": _text_length_quantiles,
         "dedup_incremental": _dedup_incremental,
-        "kg_degree_distribution": _kg_degree_distribution,
         "kg_pagerank": _kg_pagerank,
         "kg_khop": _kg_khop,
-        "kg_triangles": _kg_triangles,
         "kg_neighbor_overlap": _kg_neighbor_overlap,
         "dedup_clusters": _dedup_clusters,
         "kg_canonical_dedup": _kg_canonical_dedup,
@@ -1846,6 +1903,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_ask": _kg_sparql_ask,
         "kg_path_alt_groups": _kg_path_alt_groups,
         "kg_sparql_minus": _kg_sparql_minus,
+        "kg_sparql_subquery": _kg_sparql_subquery,
+        "kg_sparql_exists": _kg_sparql_exists,
         "kg_infer_vouches": _kg_infer_vouches,
         "dedup_apply": _dedup_apply,
         "text_oov_rate": _text_oov_rate,
@@ -1863,6 +1922,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tests/test_registry_modes.py pins this marker executably) ---
         "ann_lsh_topk": _ann_lsh_topk,
         "ann_pq_topk": _ann_pq_topk,
+        "kg_degree_distribution": _kg_degree_distribution,
+        "kg_triangles": _kg_triangles,
         "ann_ivf_topk": _ann_ivf_topk,
         "emb_near_dup_blocked": _emb_near_dup_blocked,
         "dedup_embedding_lsh": _dedup_embedding_lsh,
@@ -3415,6 +3476,45 @@ def _sparql_minus_oracle(sf_dir: str | None = None) -> str:
     """
 
 
+def _sparql_subquery_oracle(sf_dir: str | None = None) -> str:
+    """kg_sparql_subquery: the (cred, issuer) bindings replayed in
+    Python; the per-issuer grouping, the scalar average and the
+    post-join comparison stated in actual SQL — DuckDB evaluates the
+    same subquery composition (grouped CTE + scalar cross join)."""
+    triples = _realized_triples(sf_dir or _oracle_sf_dir())
+    rows = sorted({(s, o) for s, p, o in triples
+                   if p == _IRI_ISSUER})
+    b = _values_oracle(rows, [("cred", "VARCHAR"),
+                              ("issuer", "VARCHAR")], "cred")
+    return f"""
+    WITH b AS ({b}),
+         counts AS (SELECT issuer AS i, COUNT(*)::BIGINT AS n
+                    FROM b GROUP BY issuer),
+         a AS (SELECT AVG(n) AS avg FROM counts)
+    SELECT i, n FROM counts, a WHERE n > avg
+    ORDER BY n DESC, i
+    """
+
+
+def _sparql_exists_oracle(sf_dir: str | None = None) -> str:
+    """kg_sparql_exists: same replay as kg_sparql_minus, EXISTS
+    instead of NOT EXISTS (the left_semi complement)."""
+    triples = _realized_triples(sf_dir or _oracle_sf_dir())
+    typed = sorted({(s,) for s, p, o in triples
+                    if p == _IRI_RDF_TYPE and o == _IRI_OVERAGE_TYPE})
+    rows = sorted({(s, o) for s, p, o in triples
+                   if p == _IRI_ISSUER})
+    b = _values_oracle(rows, [("cred", "VARCHAR"),
+                              ("issuer", "VARCHAR")], "cred")
+    t = _values_oracle(typed, [("cred", "VARCHAR")], "cred")
+    return f"""
+    WITH b AS ({b}), t AS ({t})
+    SELECT b.cred, b.issuer FROM b
+    WHERE EXISTS (SELECT 1 FROM t WHERE t.cred = b.cred)
+    ORDER BY b.cred, b.issuer
+    """
+
+
 def _path_oracle(steps, sf_dir: str | None = None,
                  src: str | None = None,
                  dst: str | None = None) -> str:
@@ -4356,6 +4456,8 @@ def oracle_sql() -> dict[str, str]:
         # the optional-step path oracle
         "kg_path_alt_groups": _path_oracle(_PATH_ISSUER_STEPS),
         "kg_sparql_minus": _sparql_minus_oracle(),
+        "kg_sparql_subquery": _sparql_subquery_oracle(),
+        "kg_sparql_exists": _sparql_exists_oracle(),
         "dedup_clusters": _dedup_clusters_oracle(),
         "dedup_apply": _dedup_apply_oracle(),
         "text_oov_rate": _OOV_SQL.format(norm=_NORM_SQL),

@@ -132,7 +132,8 @@ def match_bgp(triples: DataFrame,
               sources: list[DataFrame] | None = None,
               unbound_compat: bool = True,
               paths: list[tuple] | None = None,
-              binds: list[tuple[str, str]] | None = None) -> DataFrame:
+              binds: list[tuple[str, str]] | None = None,
+              exists: list[tuple[str, str, str]] | None = None) -> DataFrame:
     """Match a conjunctive BGP; returns one column per variable, in
     first-appearance order (required patterns first, then optionals).
 
@@ -150,6 +151,14 @@ def match_bgp(triples: DataFrame,
     projections, so Catalyst folds a filter on a bind alias through
     the projection and still pushes the underlying predicate to the
     pattern scan.
+
+    ``exists`` patterns (r8 — SPARQL ``FILTER EXISTS``) KEEP only the
+    bindings for which the pattern matches: a ``left_semi`` join on
+    the shared variables, the positive twin of ``not_exists`` with the
+    identical connectedness rule (a disconnected EXISTS is rejected
+    loudly).  Fresh variables inside are existential and introduce no
+    columns.  Semi-join, so the bindings' multiplicity never inflates
+    and the probe side streams — same scale shape as the anti join.
 
     ``not_exists`` patterns implement SPARQL ``FILTER NOT EXISTS`` /
     ``MINUS`` for the connected case: bindings for which the pattern
@@ -242,17 +251,21 @@ def match_bgp(triples: DataFrame,
         var_order.append(alias)
     for expr in filters or []:
         result = result.filter(F.expr(expr))
-    for m, pat in enumerate(not_exists or []):
-        neg_vars: list[str] = []
-        neg = _pattern_frame(triples, pat, -(m + 1), neg_vars)
-        shared = [c for c in neg.columns
-                  if c in result.columns and not c.startswith("_")]
-        if not shared:
-            raise ValueError(
-                f"not_exists pattern {m} shares no variable with the "
-                "required patterns (disconnected NOT EXISTS)")
-        result = result.join(neg.select(*shared).distinct(),
-                             on=shared, how="left_anti")
+    for how, label, pats in (("left_semi", "exists", exists or []),
+                             ("left_anti", "not_exists",
+                              not_exists or [])):
+        for m, pat in enumerate(pats):
+            guard_vars: list[str] = []
+            guard = _pattern_frame(triples, pat, -(m + 1), guard_vars)
+            shared = [c for c in guard.columns
+                      if c in result.columns and not c.startswith("_")]
+            if not shared:
+                raise ValueError(
+                    f"{label} pattern {m} shares no variable with the "
+                    f"required patterns (disconnected "
+                    f"{label.upper().replace('_', ' ')})")
+            result = result.join(guard.select(*shared).distinct(),
+                                 on=shared, how=how)
     maybe_unbound: set[str] = set()
     for j, pat in enumerate(optional or []):
         frame = _pattern_frame(triples, pat, len(patterns) + j, var_order)

@@ -217,7 +217,11 @@ def parse_path(expr: str) -> list[tuple]:
 # select-q := 'SELECT' (('DISTINCT'|'REDUCED')? item+ | '*')
 #             'WHERE' group
 #             ('GROUP' 'BY' '?'var+)? ('HAVING' '(' expr ')')*
-#             ('ORDER' 'BY' ('?'var | 'DESC(?'var')' | 'ASC(?'var')')+)?
+#             ('ORDER' 'BY' sort-key+)?
+#             sort-key := '?'var | ('DESC'|'ASC') '(' expr ')' | '(' expr ')'
+#             (r8: expr may be any Spark SQL expression over the
+#              PROJECTED variables — a documented divergence from
+#              SPARQL, which sorts pre-projection)
 #             ('LIMIT' int)? ('OFFSET' int)?    (either order; OFFSET
 #                                                applies before LIMIT,
 #                                                per SPARQL slice)
@@ -234,6 +238,21 @@ def parse_path(expr: str) -> list[tuple]:
 #           | 'OPTIONAL' group                  (patterns only inside)
 #           | 'FILTER' '(' sql-expr ')'         (SQL boolean expr over vars)
 #           | 'FILTER' 'NOT' 'EXISTS' group     (patterns only inside)
+#           | 'FILTER' 'EXISTS' group           (r8: the positive twin —
+#                                                keep bindings the group
+#                                                matches; one left_semi;
+#                                                same connectedness rule)
+#           | '{' select-q '}'                  (r8 SUB-SELECT, SPARQL 1.1
+#                                                §12: evaluated bottom-up,
+#                                                projected vars join the
+#                                                outer bindings on the
+#                                                shared variables; a
+#                                                subquery sharing NO var
+#                                                must be a SCALAR
+#                                                aggregate — one row,
+#                                                broadcast cross join —
+#                                                anything else is
+#                                                rejected loudly)
 #           | 'MINUS' group                     (r8: the CONNECTED case,
 #                                                where SPARQL MINUS and
 #                                                FILTER NOT EXISTS
@@ -555,6 +574,7 @@ def parse_sparql(text: str) -> dict:
     spec = {"form": form, "select": select or None, "aggs": aggs,
             "template": template, "patterns": [],
             "optional": [], "filters": [], "not_exists": [],
+            "exists": [], "subqueries": [],
             "union": None, "path": None, "path_patterns": [],
             "binds": [], "values": [], "group_by": [],
             "having": [], "order_by": [], "limit": None,
@@ -602,14 +622,43 @@ def parse_sparql(text: str) -> dict:
                 pos = _expect(toks, pos + 1, "exists")
                 pats, pos = _parse_plain_group(toks, pos)
                 spec["not_exists"].extend(pats)
+            elif pos < len(toks) and toks[pos].lower() == "exists":
+                pats, pos = _parse_plain_group(toks, pos + 1)
+                spec["exists"].extend(pats)
             elif pos < len(toks) and toks[pos].startswith("("):
                 spec["filters"].append(toks[pos][1:-1].strip())
                 pos += 1
             else:
                 raise ValueError("FILTER needs '(expr)' or NOT EXISTS")
+        elif t == "{" and pos + 1 < len(toks) \
+                and toks[pos + 1].lower() in ("select", "ask",
+                                              "construct"):
+            if toks[pos + 1].lower() != "select":
+                raise ValueError("subqueries must be SELECT queries "
+                                 "(SPARQL 1.1 §12)")
+            # SUB-SELECT (SPARQL 1.1 §12): the braced tokens are a
+            # complete SELECT query (incl. its own trailing GROUP
+            # BY/HAVING/ORDER BY/LIMIT inside the braces) — re-parse
+            # recursively.  Tokens round-trip through ' '.join because
+            # <>/(...)/"..." segments are opaque single tokens.
+            depth, j = 1, pos + 1
+            while j < len(toks) and depth:
+                if toks[j] == "{":
+                    depth += 1
+                elif toks[j] == "}":
+                    depth -= 1
+                j += 1
+            if depth:
+                raise ValueError("unterminated '{' subquery")
+            sub = parse_sparql(" ".join(toks[pos + 1:j - 1]))
+            if sub["form"] != "select":
+                raise ValueError("subqueries must be SELECT queries")
+            spec["subqueries"].append(sub)
+            pos = j
         elif t == "{":
             if spec["patterns"] or spec["optional"] or \
-                    spec["filters"] or spec["not_exists"]:
+                    spec["filters"] or spec["not_exists"] or \
+                    spec["exists"] or spec["subqueries"]:
                 raise ValueError(
                     "a UNION block must be the only member of the "
                     "WHERE group in this subset")
@@ -671,23 +720,36 @@ def parse_sparql(text: str) -> dict:
         elif low == "order":
             pos = _expect(toks, pos + 1, "by")
             got = False
+
+            def _sort_key(body: str, d: str):
+                # a plain ?var stays a column reference; anything else
+                # is a Spark SQL expression over the PROJECTED vars
+                # (r8 — documented divergence: SPARQL sorts
+                # pre-projection)
+                body = body.strip()
+                if _re.fullmatch(r"\?\w+", body):
+                    return (body[1:], d, "var")
+                return (_devar(body), d, "expr")
+
             while pos < len(toks):
                 t = toks[pos]
                 tl = t.lower()
                 if t.startswith("?"):
-                    spec["order_by"].append((t[1:], "asc"))
+                    spec["order_by"].append((t[1:], "asc", "var"))
                 elif tl.startswith("desc(") and t.endswith(")"):
-                    v = t[5:-1].strip()
-                    spec["order_by"].append((v.lstrip("?"), "desc"))
+                    spec["order_by"].append(_sort_key(t[5:-1], "desc"))
                 elif tl.startswith("asc(") and t.endswith(")"):
-                    v = t[4:-1].strip()
-                    spec["order_by"].append((v.lstrip("?"), "asc"))
+                    spec["order_by"].append(_sort_key(t[4:-1], "asc"))
+                elif t.startswith("(") and t.endswith(")"):
+                    spec["order_by"].append(
+                        _sort_key(t[1:-1], "asc"))
                 else:
                     break
                 got = True
                 pos += 1
             if not got:
-                raise ValueError("ORDER BY needs ?var / DESC(?var)")
+                raise ValueError("ORDER BY needs ?var / DESC(?var) / "
+                                 "ASC(?var) / (expr)")
         elif low == "limit":
             pos += 1
             if pos >= len(toks) or not toks[pos].isdigit():
@@ -730,6 +792,7 @@ def parse_sparql(text: str) -> dict:
         plain = [p for p in spec["patterns"] if p[0] != "__path__"]
         lone = (len(spec["patterns"]) == 1 and not spec["optional"]
                 and not spec["filters"] and not spec["not_exists"]
+                and not spec["exists"] and not spec["subqueries"]
                 and not spec["union"])
         if lone:
             _tag, raw_pred, subj, obj = paths[0]
@@ -747,8 +810,14 @@ def parse_sparql(text: str) -> dict:
                 (parse_path(raw), subj, obj)
                 for _tag, raw, subj, obj in paths]
     if spec["union"] is None and spec["path"] is None \
-            and not spec["patterns"] and not spec["path_patterns"]:
+            and not spec["patterns"] and not spec["path_patterns"] \
+            and not spec["subqueries"]:
         raise ValueError("WHERE group has no patterns")
+    if spec["subqueries"] and (spec["union"] is not None
+                               or spec["path"] is not None):
+        raise ValueError("subqueries compose with the BGP route only "
+                         "(not UNION / lone-path queries) in this "
+                         "subset")
     return spec
 
 
@@ -798,16 +867,71 @@ def _apply_values(result, vars_: list[str], rows: list[tuple]):
 def run_sparql(triples, text: str):
     """Execute a SPARQL query (subset) against a triples DataFrame:
     parse_sparql -> match_bgp / match_union / match_path (seeded when
-    a path endpoint is ground) -> BIND/VALUES -> the form's result
-    shape: SELECT projects the variables, ASK returns one boolean
-    ``ask`` row (count-over-limit(1), no driver action), CONSTRUCT
-    instantiates the template per binding
-    (operators/rules.instantiate_template)."""
+    a path endpoint is ground) -> subquery joins -> BIND/VALUES -> the
+    form's result shape: SELECT projects the variables, ASK returns
+    one boolean ``ask`` row (count-over-limit(1), no driver action),
+    CONSTRUCT instantiates the template per binding
+    (operators/rules.instantiate_template).
+
+    Subqueries (r8, SPARQL 1.1 §12): each ``{ SELECT ... }`` member
+    evaluates bottom-up via this same function, then joins the outer
+    bindings on the shared projected variables (scalar aggregates
+    broadcast-cross-join); outer FILTERs that reference
+    subquery-projected variables apply after that join, everything
+    else keeps its match_bgp placement (and pushdown).  FILTER EXISTS
+    is match_bgp ``exists=`` (one left_semi per group)."""
     from pyspark.sql import functions as F
 
     from .bgp import match_bgp, match_path, match_union
 
     spec = parse_sparql(text)
+    return _run_spec(triples, spec)
+
+
+def _run_spec(triples, spec: dict):
+    """Execute a parsed spec (recursive entry point for subqueries)."""
+    from pyspark.sql import functions as F
+
+    from .bgp import match_bgp, match_path, match_union
+
+    # SUB-SELECTs evaluate bottom-up (SPARQL 1.1 §12) — each becomes a
+    # frame whose projected vars join the outer bindings
+    sub_frames = [_run_spec(triples, s) for s in spec["subqueries"]]
+    sub_vars: set[str] = set()
+    for f in sub_frames:
+        sub_vars.update(f.columns)
+    if spec["subqueries"]:
+        # vars the OUTER group itself binds — filters over sub-only
+        # vars must run after the subquery join, not inside match_bgp
+        outer_vars: set[str] = set()
+        for p in spec["patterns"]:
+            outer_vars.update(t[1:] for t in p
+                              if isinstance(t, str) and
+                              t.startswith("?"))
+        for _steps, s, o in spec["path_patterns"]:
+            outer_vars.update(t[1:] for t in (s, o)
+                              if t.startswith("?"))
+        outer_vars.update(a for _e, a in spec["binds"])
+        only_sub = sub_vars - outer_vars
+
+        def _refs_sub(body: str) -> bool:
+            return any(_re.search(rf"\b{_re.escape(v)}\b", body)
+                       for v in only_sub)
+
+        if spec["patterns"] or spec["path_patterns"]:
+            # BGP route: binds run INSIDE match_bgp, before the
+            # subquery join, so a sub-var reference cannot resolve
+            for expr, alias in spec["binds"]:
+                if _refs_sub(expr):
+                    raise ValueError(
+                        f"BIND ({expr} AS ?{alias}) references a "
+                        "subquery-projected variable — outside this "
+                        "subset (bind it inside the subquery)")
+        inner_filters = [f for f in spec["filters"]
+                         if not _refs_sub(f)]
+        deferred = [f for f in spec["filters"] if _refs_sub(f)]
+    else:
+        inner_filters, deferred = spec["filters"], []
     if spec["path"] is not None:
         p = spec["path"]
         s_var = p["subj"][1:] if p["subj"].startswith("?") else None
@@ -826,14 +950,24 @@ def run_sparql(triples, text: str):
         result = out.select(*cols).distinct()
     elif spec["union"] is not None:
         result = match_union(triples, spec["union"])
-    else:
+    elif spec["patterns"] or spec["path_patterns"]:
         result = match_bgp(
             triples, spec["patterns"],
             optional=spec["optional"] or None,
-            filters=spec["filters"] or None,
+            filters=inner_filters or None,
             not_exists=spec["not_exists"] or None,
+            exists=spec["exists"] or None,
             paths=spec["path_patterns"] or None,
             binds=spec["binds"] or None)
+    else:
+        # subquery-only WHERE group: the first subquery's frame is the
+        # base relation (guards/optionals need patterns, so only
+        # binds/filters can accompany it — all applied post-join)
+        if spec["optional"] or spec["not_exists"] or spec["exists"]:
+            raise ValueError(
+                "OPTIONAL / EXISTS guards need at least one triple "
+                "pattern alongside the subquery")
+        result = None
     if spec["binds"] and (spec["path"] is not None
                           or spec["union"] is not None):
         # non-BGP routes: binds are plain projections over the result
@@ -844,6 +978,43 @@ def run_sparql(triples, text: str):
                     f"BIND alias ?{alias} is already bound — SPARQL "
                     "forbids rebinding (1.1 §10.1)")
             result = result.withColumn(alias, F.expr(expr))
+    for i, sub in enumerate(sub_frames):
+        if result is None:
+            result = sub
+            continue
+        shared = [c for c in sub.columns if c in result.columns]
+        if shared:
+            result = result.join(sub, on=shared)
+        elif spec["subqueries"][i]["aggs"] \
+                and not spec["subqueries"][i]["group_by"]:
+            # a scalar subquery is exactly one row — broadcast the
+            # cross join (e.g. compare each group to a global average)
+            result = result.crossJoin(F.broadcast(sub))
+        else:
+            raise ValueError(
+                f"subquery {i} shares no variable with the outer "
+                "group and is not a scalar aggregate — the cross "
+                "product is rejected (project a shared ?var or "
+                "aggregate to one row)")
+    if result is None:
+        raise ValueError("WHERE group produced no relation")
+    bgp_route = bool(spec["patterns"] or spec["path_patterns"])
+    if not bgp_route and spec["path"] is None \
+            and spec["union"] is None:
+        # subquery-only WHERE: binds then ALL filters apply post-join
+        # (match_bgp never ran, so nothing was applied inside it)
+        for expr, alias in spec["binds"]:
+            if alias in result.columns:
+                raise ValueError(
+                    f"BIND alias ?{alias} is already bound — SPARQL "
+                    "forbids rebinding (1.1 §10.1)")
+            result = result.withColumn(alias, F.expr(expr))
+        for f in spec["filters"]:
+            result = result.filter(F.expr(f))
+    elif deferred:
+        # filters over subquery-projected vars run after the join
+        for f in deferred:
+            result = result.filter(F.expr(f))
     for vars_, rows in spec["values"]:
         result = _apply_values(result, vars_, rows)
     if spec["form"] == "ask":
@@ -882,13 +1053,15 @@ def run_sparql(triples, text: str):
     if spec["order_by"]:
         from pyspark.sql import functions as F
 
-        missing = [v for v, _d in spec["order_by"]
-                   if v not in result.columns]
+        missing = [v for v, _d, kind in spec["order_by"]
+                   if kind == "var" and v not in result.columns]
         if missing:
             raise ValueError(f"ORDER BY vars not in result: {missing}")
-        result = result.orderBy(*[
-            F.col(v).desc() if d == "desc" else F.col(v).asc()
-            for v, d in spec["order_by"]])
+        keys = []
+        for payload, d, kind in spec["order_by"]:
+            c = F.col(payload) if kind == "var" else F.expr(payload)
+            keys.append(c.desc() if d == "desc" else c.asc())
+        result = result.orderBy(*keys)
     if spec["offset"] is not None:
         # SPARQL slice: OFFSET before LIMIT, regardless of the order
         # the modifiers were written in

@@ -74,8 +74,10 @@ def main(argv=None):
     ap.add_argument("--sparql", default=None,
                     help="a whole SPARQL query string — SELECT, ASK "
                          "or CONSTRUCT (subset: patterns, OPTIONAL, "
-                         "FILTER(sql)/NOT EXISTS, BIND, VALUES "
-                         "inline data, UNION, property paths; see "
+                         "FILTER(sql)/EXISTS/NOT EXISTS, MINUS, "
+                         "BIND, VALUES inline data, UNION, "
+                         "{ SELECT } subqueries, property paths, "
+                         "ORDER BY expr, LIMIT/OFFSET; see "
                          "operators/sparql.py)")
     ap.add_argument("--group-by", default=None,
                     help="comma-separated binding variables to GROUP "

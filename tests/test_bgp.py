@@ -1378,3 +1378,123 @@ def test_sparql_minus_and_offset(spark):
     assert rows2 == rows
     with pytest.raises(ValueError, match="OFFSET needs an integer"):
         run_sparql(t, 'SELECT ?c WHERE { ?c <issuer> ?i } OFFSET x')
+
+
+def test_match_bgp_exists(spark):
+    """exists= (r8): left_semi twin of not_exists — keep bindings the
+    guard pattern matches; disconnected guard rejected loudly."""
+    from cbor_ld_spark.operators.bgp import match_bgp
+
+    t = _triples(spark, _DATA)
+    out = match_bgp(t, [("?c", "issuer", "?i")],
+                    exists=[("?c", "subject", "?s")])
+    assert {tuple(r) for r in out.collect()} == {
+        ("c1", "org1"), ("c2", "org2")}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    with pytest.raises(ValueError, match="disconnected"):
+        match_bgp(t, [("?c", "issuer", "?i")],
+                  exists=[("?x", "age", "?y")]).collect()
+
+
+def test_sparql_filter_exists(spark):
+    """FILTER EXISTS (r8): complement of FILTER NOT EXISTS over the
+    same group — the two partition the issuer bindings."""
+    from cbor_ld_spark.operators.sparql import run_sparql
+
+    t = _triples(spark, _DATA)
+    base = 'SELECT ?c ?i WHERE { ?c <issuer> ?i %s }'
+    pos = {tuple(r) for r in run_sparql(
+        t, base % '. FILTER EXISTS { ?c <subject> ?s }').collect()}
+    neg = {tuple(r) for r in run_sparql(
+        t, base % '. FILTER NOT EXISTS { ?c <subject> ?s }').collect()}
+    alls = {tuple(r) for r in run_sparql(t, base % '').collect()}
+    assert pos == {("c1", "org1"), ("c2", "org2")}
+    assert pos | neg == alls and not (pos & neg)
+
+
+def test_sparql_subquery(spark):
+    """SPARQL 1.1 §12 subqueries (r8): grouped sub joins on shared
+    vars; scalar sub broadcast-cross-joins; outer FILTERs over
+    sub-projected vars run post-join; misuse is loud."""
+    from cbor_ld_spark.operators.sparql import run_sparql
+
+    t = _triples(spark, _DATA)
+    # grouped subquery joined on ?i, outer filter over the sub var
+    q = '''SELECT ?c ?i ?n WHERE {
+      ?c <issuer> ?i .
+      { SELECT ?i (COUNT(?c2) AS ?n) WHERE { ?c2 <issuer> ?i }
+        GROUP BY ?i }
+      FILTER(n > 1)
+    }'''
+    assert {tuple(r) for r in run_sparql(t, q).collect()} == {
+        ("c1", "org1", 2), ("c3", "org1", 2)}
+    # scalar subquery: one row, broadcast cross join
+    q2 = '''SELECT ?i ?total WHERE { ?c <issuer> ?i .
+      { SELECT (COUNT(?c2) AS ?total) WHERE { ?c2 <issuer> ?i2 } } }'''
+    out2 = run_sparql(t, q2)
+    assert {tuple(r) for r in out2.collect()} == {
+        ("org1", 3), ("org2", 3)}
+    plan = out2._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" in plan
+    # subquery-only WHERE group (binds + filters post-join)
+    q3 = '''SELECT ?i ?big WHERE {
+      { SELECT ?i (COUNT(?c) AS ?n) WHERE { ?c <issuer> ?i }
+        GROUP BY ?i }
+      BIND(n * 10 AS ?big)
+      FILTER(big >= 20)
+    }'''
+    assert {tuple(r) for r in run_sparql(t, q3).collect()} == {
+        ("org1", 20)}
+    # non-scalar disconnected subquery: loud
+    with pytest.raises(ValueError, match="shares no variable"):
+        run_sparql(t, '''SELECT ?c WHERE { ?c <issuer> ?i .
+          { SELECT ?p (COUNT(?x) AS ?m) WHERE { ?x <subject> ?p }
+            GROUP BY ?p } }''').collect()
+    # BIND over a sub-projected var on the BGP route: loud
+    with pytest.raises(ValueError, match="subquery-projected"):
+        run_sparql(t, '''SELECT ?c WHERE { ?c <issuer> ?i .
+          { SELECT ?i (COUNT(?c2) AS ?n) WHERE { ?c2 <issuer> ?i }
+            GROUP BY ?i }
+          BIND(n + 1 AS ?m) }''').collect()
+    # subqueries must be SELECT
+    with pytest.raises(ValueError, match="SELECT"):
+        run_sparql(t, '''SELECT ?c WHERE { ?c <issuer> ?i .
+          { ASK { ?c <subject> ?s } } }''')
+
+
+def test_sparql_nested_subquery(spark):
+    """A subquery inside a subquery: issuers whose credential count
+    beats the all-issuer average (grouped sub + scalar sub over a
+    nested grouped sub)."""
+    from cbor_ld_spark.operators.sparql import run_sparql
+
+    q = '''SELECT ?i ?n WHERE {
+      { SELECT ?i (COUNT(?c) AS ?n) WHERE { ?c <issuer> ?i }
+        GROUP BY ?i }
+      { SELECT (AVG(?m) AS ?avg) WHERE {
+          { SELECT ?i2 (COUNT(?c2) AS ?m) WHERE { ?c2 <issuer> ?i2 }
+            GROUP BY ?i2 } } }
+      FILTER(n > avg)
+    }'''
+    out = run_sparql(_triples(spark, _DATA), q)
+    assert {tuple(r) for r in out.collect()} == {("org1", 2)}
+
+
+def test_sparql_order_by_expr(spark):
+    """ORDER BY expressions (r8): DESC(expr)/ASC(expr)/(expr) over the
+    projected vars; plain-var path and its missing-var error intact."""
+    from cbor_ld_spark.operators.sparql import run_sparql
+
+    t = _triples(spark, _DATA)
+    rows = [tuple(r) for r in run_sparql(
+        t, 'SELECT ?c ?i WHERE { ?c <issuer> ?i } '
+           'ORDER BY DESC(concat(?i, ?c)) LIMIT 2').collect()]
+    assert rows == [("c2", "org2"), ("c3", "org1")]
+    rows2 = [r["c"] for r in run_sparql(
+        t, 'SELECT ?c WHERE { ?c <issuer> ?i } '
+           'ORDER BY (length(?c) * -1) ?c').collect()]
+    assert rows2 == ["c1", "c2", "c3"]
+    with pytest.raises(ValueError, match="ORDER BY vars"):
+        run_sparql(t, 'SELECT ?c WHERE { ?c <issuer> ?i } '
+                      'ORDER BY ?zzz').collect()
