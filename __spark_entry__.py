@@ -898,6 +898,32 @@ def _kg_sparql_exists(spark, sf_dir):
                       _SPARQL_EXISTS_TEXT)
 
 
+_SPARQL_UNION_JOIN_TEXT = f"""
+SELECT ?cred ?who WHERE {{
+  ?cred <{_IRI_RDF_TYPE}> <{_IRI_OVERAGE_TYPE}> .
+  {{ ?cred <{_IRI_ISSUER}> ?who }} UNION
+  {{ ?cred <{_IRI_SUBJECT}> ?who }}
+}}
+ORDER BY ?cred ?who"""
+
+
+def _kg_sparql_union_join(spark, sf_dir):
+    """UNION composing with other WHERE members (r8): each typed
+    OverAgeTokenCredential paired with its issuer OR its credential
+    subject — the canonical ``?s a T . {{A}} UNION {{B}}`` shape the
+    previous only-member restriction rejected.  The union frame (two
+    pred-pushed scans + unionByName) joins the typed bindings on the
+    shared ?cred; every branch binds the join var (checked statically
+    — a branch that does not would hit SPARQL's unbound-compatibility
+    corner, rejected loudly).  Oracle: the three binding sets replayed
+    in Python; the UNION and the join stated in actual SQL."""
+    from cbor_ld_spark.operators.sparql import run_sparql
+    from cbor_ld_spark.plans import shared_triples
+
+    return run_sparql(shared_triples(spark, sf_dir),
+                      _SPARQL_UNION_JOIN_TEXT)
+
+
 def _kg_path_alt_groups(spark, sf_dir):
     """Alternation of parenthesised path GROUPS (r8, VERDICT r7 #2):
     ``(vc/issuer)|issuer`` evaluates as the UNION of the alternatives'
@@ -1846,12 +1872,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # kg_hex_roundtrip, emb_near_dup, dedup_minhash_pairs,
     # ann_cosine_topk, kg_pagerank_dangling, kg_pagerank_weighted,
     # kg_pred_cooccurrence, ann_pq_topk, kg_degree_distribution,
-    # kg_triangles (20).  Window entries: the 8 NEW r8 queries
+    # kg_triangles, kg_neighbor_overlap (21).  Window entries: the 9
+    # NEW r8 queries
     # (kg_sparql_minus — MINUS + OFFSET/LIMIT slice, NOT EXISTS +
     # slice oracle; kg_sparql_subquery — SPARQL 1.1 §12 grouped +
     # scalar + nested subqueries, post-join FILTER, ORDER BY DESC;
     # kg_sparql_exists — FILTER EXISTS left_semi, the complement of
-    # kg_sparql_minus) plus
+    # kg_sparql_minus; kg_sparql_union_join — UNION composing with
+    # other WHERE members, union-then-join oracle) plus
     # (kg_sparql_bind — BIND derived column; kg_sparql_values —
     # binding-introducing inline data, FROM (VALUES) oracle;
     # kg_sparql_construct — text CONSTRUCT, shares kg_infer_vouches'
@@ -1876,7 +1904,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": _dedup_incremental,
         "kg_pagerank": _kg_pagerank,
         "kg_khop": _kg_khop,
-        "kg_neighbor_overlap": _kg_neighbor_overlap,
         "dedup_clusters": _dedup_clusters,
         "kg_canonical_dedup": _kg_canonical_dedup,
         "stream_sessions_parity": _stream_sessions_parity,
@@ -1905,6 +1932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_minus": _kg_sparql_minus,
         "kg_sparql_subquery": _kg_sparql_subquery,
         "kg_sparql_exists": _kg_sparql_exists,
+        "kg_sparql_union_join": _kg_sparql_union_join,
         "kg_infer_vouches": _kg_infer_vouches,
         "dedup_apply": _dedup_apply,
         "text_oov_rate": _text_oov_rate,
@@ -1922,6 +1950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tests/test_registry_modes.py pins this marker executably) ---
         "ann_lsh_topk": _ann_lsh_topk,
         "ann_pq_topk": _ann_pq_topk,
+        "kg_neighbor_overlap": _kg_neighbor_overlap,
         "kg_degree_distribution": _kg_degree_distribution,
         "kg_triangles": _kg_triangles,
         "ann_ivf_topk": _ann_ivf_topk,
@@ -3515,6 +3544,29 @@ def _sparql_exists_oracle(sf_dir: str | None = None) -> str:
     """
 
 
+def _sparql_union_join_oracle(sf_dir: str | None = None) -> str:
+    """kg_sparql_union_join: the typed / issuer / subject binding sets
+    replayed in Python; the UNION of the two branches and the join on
+    the shared ?cred stated in actual SQL (DuckDB evaluates the same
+    union-then-join composition)."""
+    triples = _realized_triples(sf_dir or _oracle_sf_dir())
+    typed = sorted({(s,) for s, p, o in triples
+                    if p == _IRI_RDF_TYPE and o == _IRI_OVERAGE_TYPE})
+    iss = {(s, o) for s, p, o in triples if p == _IRI_ISSUER}
+    subj = {(s, o) for s, p, o in triples if p == _IRI_SUBJECT}
+    t = _values_oracle(typed, [("cred", "VARCHAR")], "cred")
+    i = _values_oracle(sorted(iss), [("cred", "VARCHAR"),
+                                     ("who", "VARCHAR")], "cred")
+    s = _values_oracle(sorted(subj), [("cred", "VARCHAR"),
+                                      ("who", "VARCHAR")], "cred")
+    return f"""
+    WITH t AS ({t}), i AS ({i}), s AS ({s}),
+         u AS (SELECT * FROM i UNION SELECT * FROM s)
+    SELECT DISTINCT u.cred, u.who FROM u JOIN t USING (cred)
+    ORDER BY u.cred, u.who
+    """
+
+
 def _path_oracle(steps, sf_dir: str | None = None,
                  src: str | None = None,
                  dst: str | None = None) -> str:
@@ -4458,6 +4510,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_minus": _sparql_minus_oracle(),
         "kg_sparql_subquery": _sparql_subquery_oracle(),
         "kg_sparql_exists": _sparql_exists_oracle(),
+        "kg_sparql_union_join": _sparql_union_join_oracle(),
         "dedup_clusters": _dedup_clusters_oracle(),
         "dedup_apply": _dedup_apply_oracle(),
         "text_oov_rate": _OOV_SQL.format(norm=_NORM_SQL),

@@ -267,8 +267,16 @@ def parse_path(expr: str) -> list[tuple]:
 #                                                be FRESH; later FILTERs
 #                                                and BINDs may use it)
 #           | 'VALUES' values-block
-#           | group ('UNION' group)+            (must be the ONLY member;
-#                                                each group patterns-only)
+#           | group ('UNION' group)+            (r8: composes with the
+#                                                other members — the
+#                                                union frame joins the
+#                                                BGP bindings on the
+#                                                shared vars, every
+#                                                branch must bind them;
+#                                                alone it is the base
+#                                                relation; one UNION
+#                                                block per group; each
+#                                                branch patterns-only)
 # values-block := '?'var '{' (term|'UNDEF')+ '}'
 #           | '(' '?'var+ ')' '{' row+ '}'      (row := '('
 #                                                (term|'UNDEF')+ ')')
@@ -656,12 +664,10 @@ def parse_sparql(text: str) -> dict:
             spec["subqueries"].append(sub)
             pos = j
         elif t == "{":
-            if spec["patterns"] or spec["optional"] or \
-                    spec["filters"] or spec["not_exists"] or \
-                    spec["exists"] or spec["subqueries"]:
+            if spec["union"] is not None:
                 raise ValueError(
-                    "a UNION block must be the only member of the "
-                    "WHERE group in this subset")
+                    "only one UNION block per WHERE group in this "
+                    "subset")
             groups = []
             pats, pos = _parse_plain_group(toks, pos)
             groups.append(pats)
@@ -671,8 +677,6 @@ def parse_sparql(text: str) -> dict:
             if len(groups) < 2:
                 raise ValueError("braced group without UNION")
             spec["union"] = groups
-            if pos < len(toks) and toks[pos] != "}":
-                raise ValueError("no members may follow a UNION block")
         elif low in _KEYWORDS:
             raise ValueError(f"unexpected keyword {t!r} in group")
         else:
@@ -802,9 +806,6 @@ def parse_sparql(text: str) -> dict:
                 "subj": subj, "obj": obj,
             }
         else:
-            if spec["union"]:
-                raise ValueError("property paths inside UNION queries "
-                                 "are outside this subset")
             spec["patterns"] = plain
             spec["path_patterns"] = [
                 (parse_path(raw), subj, obj)
@@ -813,11 +814,6 @@ def parse_sparql(text: str) -> dict:
             and not spec["patterns"] and not spec["path_patterns"] \
             and not spec["subqueries"]:
         raise ValueError("WHERE group has no patterns")
-    if spec["subqueries"] and (spec["union"] is not None
-                               or spec["path"] is not None):
-        raise ValueError("subqueries compose with the BGP route only "
-                         "(not UNION / lone-path queries) in this "
-                         "subset")
     return spec
 
 
@@ -900,9 +896,17 @@ def _run_spec(triples, spec: dict):
     sub_vars: set[str] = set()
     for f in sub_frames:
         sub_vars.update(f.columns)
-    if spec["subqueries"]:
-        # vars the OUTER group itself binds — filters over sub-only
-        # vars must run after the subquery join, not inside match_bgp
+    union_var_sets: list[set[str]] = [
+        {t[1:] for pat in pats for t in pat
+         if isinstance(t, str) and t.startswith("?")}
+        for pats in (spec["union"] or [])]
+    union_vars: set[str] = set().union(*union_var_sets) \
+        if union_var_sets else set()
+    bgp_route = bool(spec["patterns"] or spec["path_patterns"])
+    if bgp_route and (spec["subqueries"] or spec["union"]):
+        # vars the OUTER group itself binds — filters over vars bound
+        # only by a subquery / the UNION block must run after that
+        # join, not inside match_bgp
         outer_vars: set[str] = set()
         for p in spec["patterns"]:
             outer_vars.update(t[1:] for t in p
@@ -912,24 +916,41 @@ def _run_spec(triples, spec: dict):
             outer_vars.update(t[1:] for t in (s, o)
                               if t.startswith("?"))
         outer_vars.update(a for _e, a in spec["binds"])
-        only_sub = sub_vars - outer_vars
+        only_late = (sub_vars | union_vars) - outer_vars
 
-        def _refs_sub(body: str) -> bool:
+        def _refs_late(body: str) -> bool:
             return any(_re.search(rf"\b{_re.escape(v)}\b", body)
-                       for v in only_sub)
+                       for v in only_late)
 
-        if spec["patterns"] or spec["path_patterns"]:
-            # BGP route: binds run INSIDE match_bgp, before the
-            # subquery join, so a sub-var reference cannot resolve
-            for expr, alias in spec["binds"]:
-                if _refs_sub(expr):
+        # binds run INSIDE match_bgp, before the subquery / UNION
+        # join, so a late-var reference cannot resolve
+        for expr, alias in spec["binds"]:
+            if _refs_late(expr):
+                raise ValueError(
+                    f"BIND ({expr} AS ?{alias}) references a "
+                    "variable bound only by a subquery / UNION "
+                    "block — outside this subset (bind it inside "
+                    "that block)")
+        # OPTIONAL / EXISTS guards also evaluate inside match_bgp:
+        # a late var there would silently turn into a fresh
+        # (existential / optional-introduced) variable instead of
+        # correlating with the later join — reject loudly
+        for label, group in (("OPTIONAL", spec["optional"]),
+                             ("FILTER EXISTS", spec["exists"]),
+                             ("FILTER NOT EXISTS / MINUS",
+                              spec["not_exists"])):
+            for pat in group:
+                hit = [t[1:] for t in pat
+                       if isinstance(t, str) and t.startswith("?")
+                       and t[1:] in only_late]
+                if hit:
                     raise ValueError(
-                        f"BIND ({expr} AS ?{alias}) references a "
-                        "subquery-projected variable — outside this "
-                        "subset (bind it inside the subquery)")
+                        f"{label} pattern references variable(s) "
+                        f"{hit} bound only by a subquery / UNION "
+                        "block — outside this subset")
         inner_filters = [f for f in spec["filters"]
-                         if not _refs_sub(f)]
-        deferred = [f for f in spec["filters"] if _refs_sub(f)]
+                         if not _refs_late(f)]
+        deferred = [f for f in spec["filters"] if _refs_late(f)]
     else:
         inner_filters, deferred = spec["filters"], []
     if spec["path"] is not None:
@@ -948,9 +969,7 @@ def _run_spec(triples, spec: dict):
         if not cols:  # both endpoints ground: EXISTS-style 1/0 rows
             cols = [out["src"].alias("src"), out["dst"].alias("dst")]
         result = out.select(*cols).distinct()
-    elif spec["union"] is not None:
-        result = match_union(triples, spec["union"])
-    elif spec["patterns"] or spec["path_patterns"]:
+    elif bgp_route:
         result = match_bgp(
             triples, spec["patterns"],
             optional=spec["optional"] or None,
@@ -959,6 +978,15 @@ def _run_spec(triples, spec: dict):
             exists=spec["exists"] or None,
             paths=spec["path_patterns"] or None,
             binds=spec["binds"] or None)
+    elif spec["union"] is not None:
+        # UNION as the base relation (no triple patterns alongside):
+        # guards/optionals need patterns, so only binds / filters /
+        # subqueries can accompany it — all applied post-join
+        if spec["optional"] or spec["not_exists"] or spec["exists"]:
+            raise ValueError(
+                "OPTIONAL / EXISTS guards need at least one triple "
+                "pattern alongside the UNION block")
+        result = match_union(triples, spec["union"])
     else:
         # subquery-only WHERE group: the first subquery's frame is the
         # base relation (guards/optionals need patterns, so only
@@ -968,10 +996,9 @@ def _run_spec(triples, spec: dict):
                 "OPTIONAL / EXISTS guards need at least one triple "
                 "pattern alongside the subquery")
         result = None
-    if spec["binds"] and (spec["path"] is not None
-                          or spec["union"] is not None):
-        # non-BGP routes: binds are plain projections over the result
-        # (these routes have no FILTERs that could reference them)
+    if spec["binds"] and spec["path"] is not None:
+        # lone-path route: binds are plain projections over the result
+        # (this route has no FILTERs that could reference them)
         for expr, alias in spec["binds"]:
             if alias in result.columns:
                 raise ValueError(
@@ -996,13 +1023,36 @@ def _run_spec(triples, spec: dict):
                 "group and is not a scalar aggregate — the cross "
                 "product is rejected (project a shared ?var or "
                 "aggregate to one row)")
+    if spec["union"] is not None and bgp_route:
+        # UNION block joined with the other group members (r8, SPARQL
+        # 1.1 §7 — `?s a T . {A} UNION {B}`): the union frame joins
+        # the BGP bindings on the shared variables.  Every branch must
+        # bind all shared vars (match_union NULL-pads a var a branch
+        # does not bind, and an equi-join would silently drop those
+        # rows instead of applying SPARQL unbound compatibility) —
+        # checked statically, rejected loudly.
+        uf = match_union(triples, spec["union"])
+        shared = [c for c in uf.columns if c in result.columns]
+        if not shared:
+            raise ValueError(
+                "the UNION block shares no variable with the other "
+                "group members — the cross product is rejected in "
+                "this subset")
+        for g, gv in enumerate(union_var_sets):
+            missing_v = [v for v in shared if v not in gv]
+            if missing_v:
+                raise ValueError(
+                    f"UNION branch {g} does not bind shared "
+                    f"variable(s) {missing_v} — every branch must "
+                    "bind the join variables in this subset (SPARQL "
+                    "unbound-compatibility corner)")
+        result = result.join(uf, on=shared)
     if result is None:
         raise ValueError("WHERE group produced no relation")
-    bgp_route = bool(spec["patterns"] or spec["path_patterns"])
-    if not bgp_route and spec["path"] is None \
-            and spec["union"] is None:
-        # subquery-only WHERE: binds then ALL filters apply post-join
-        # (match_bgp never ran, so nothing was applied inside it)
+    if not bgp_route and spec["path"] is None:
+        # UNION-base / subquery-only WHERE: binds then ALL filters
+        # apply post-join (match_bgp never ran, so nothing was
+        # applied inside it)
         for expr, alias in spec["binds"]:
             if alias in result.columns:
                 raise ValueError(

@@ -1452,7 +1452,7 @@ def test_sparql_subquery(spark):
           { SELECT ?p (COUNT(?x) AS ?m) WHERE { ?x <subject> ?p }
             GROUP BY ?p } }''').collect()
     # BIND over a sub-projected var on the BGP route: loud
-    with pytest.raises(ValueError, match="subquery-projected"):
+    with pytest.raises(ValueError, match="bound only by a subquery"):
         run_sparql(t, '''SELECT ?c WHERE { ?c <issuer> ?i .
           { SELECT ?i (COUNT(?c2) AS ?n) WHERE { ?c2 <issuer> ?i }
             GROUP BY ?i }
@@ -1498,3 +1498,65 @@ def test_sparql_order_by_expr(spark):
     with pytest.raises(ValueError, match="ORDER BY vars"):
         run_sparql(t, 'SELECT ?c WHERE { ?c <issuer> ?i } '
                       'ORDER BY ?zzz').collect()
+
+
+def test_sparql_union_join(spark):
+    """UNION composing with other WHERE members (r8): the union frame
+    joins the BGP bindings on the shared vars; filters over union-only
+    vars defer post-join; UNION-base groups take binds/filters; loud
+    rejections for the unbound-compat corners."""
+    from cbor_ld_spark.operators.sparql import run_sparql
+
+    t = _triples(spark, _DATA)
+    q = ('SELECT ?c ?w WHERE { ?c <issuer> "org1" . '
+         '{ ?c <subject> ?w } UNION { ?c <issuer> ?w } } '
+         'ORDER BY ?c ?w')
+    assert [tuple(r) for r in run_sparql(t, q).collect()] == [
+        ("c1", "org1"), ("c1", "p1"), ("c3", "org1")]
+    # filter over a union-only var runs after the join
+    q2 = ('SELECT ?c ?w WHERE { ?c <issuer> "org1" . '
+          '{ ?c <subject> ?w } UNION { ?c <issuer> ?w } '
+          'FILTER(w = "p1") }')
+    assert [tuple(r) for r in run_sparql(t, q2).collect()] == [
+        ("c1", "p1")]
+    # UNION as the base relation composes with BIND + FILTER
+    q3 = ('SELECT ?c ?lab WHERE { '
+          '{ ?c <subject> ?w } UNION { ?c <issuer> ?w } '
+          'BIND(concat(?c, "/", ?w) AS ?lab) FILTER(c = "c2") } '
+          'ORDER BY ?lab')
+    assert [r["lab"] for r in run_sparql(t, q3).collect()] == [
+        "c2/org2", "c2/p2"]
+    # UNION + subquery compose (join on the shared ?c)
+    q4 = ('SELECT ?c ?w ?n WHERE { ?c <issuer> "org1" . '
+          '{ ?c <subject> ?w } UNION { ?c <issuer> ?w } '
+          '{ SELECT ?c (COUNT(?p) AS ?n) WHERE { ?c ?p ?o } '
+          '  GROUP BY ?c } }')
+    assert sorted(tuple(r) for r in run_sparql(t, q4).collect()) == [
+        ("c1", "org1", 2), ("c1", "p1", 2), ("c3", "org1", 1)]
+    # loud: a branch not binding the shared join var
+    with pytest.raises(ValueError, match="does not bind shared"):
+        run_sparql(t, 'SELECT ?c WHERE { ?c <issuer> "org1" . '
+                      '{ ?c <subject> ?w } UNION { ?x <age> ?w } }')
+    # loud: disconnected union block
+    with pytest.raises(ValueError, match="shares no variable"):
+        run_sparql(t, 'SELECT ?c WHERE { ?c <issuer> "org1" . '
+                      '{ ?x <subject> ?w } UNION { ?x <issuer> ?w } }')
+    # loud: OPTIONAL / guard / BIND over union-only vars
+    with pytest.raises(ValueError, match="OPTIONAL pattern references"):
+        run_sparql(t, 'SELECT ?c WHERE { ?c <issuer> "org1" . '
+                      'OPTIONAL { ?w <age> ?a } '
+                      '{ ?c <subject> ?w } UNION { ?c <issuer> ?w } }')
+    with pytest.raises(ValueError, match="BIND.*bound only by"):
+        run_sparql(t, 'SELECT ?c WHERE { ?c <issuer> "org1" . '
+                      'BIND(upper(?w) AS ?u) '
+                      '{ ?c <subject> ?w } UNION { ?c <issuer> ?w } }')
+    # loud: only one UNION block per group
+    with pytest.raises(ValueError, match="only one UNION block"):
+        run_sparql(t, 'SELECT ?c WHERE { '
+                      '{ ?c <subject> ?w } UNION { ?c <issuer> ?w } '
+                      '{ ?c <age> ?a } UNION { ?c <loves> ?a } }')
+    # loud: UNION base with OPTIONAL needs a triple pattern
+    with pytest.raises(ValueError, match="at least one triple"):
+        run_sparql(t, 'SELECT ?c WHERE { '
+                      '{ ?c <subject> ?w } UNION { ?c <issuer> ?w } '
+                      'OPTIONAL { ?c <age> ?a } }')
