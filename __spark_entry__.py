@@ -924,6 +924,56 @@ def _kg_sparql_union_join(spark, sf_dir):
                       _SPARQL_UNION_JOIN_TEXT)
 
 
+_SPARQL_BUILTINS_TEXT = f"""
+SELECT ?cred ?issuer WHERE {{
+  ?cred <{_IRI_ISSUER}> ?issuer .
+  OPTIONAL {{ ?cred <{_IRI_ISSUED}> ?d }}
+  FILTER(STRSTARTS(?issuer, "did:key:")
+         && REGEX(?cred, "^urn:uuid:") && BOUND(?d))
+}}
+ORDER BY ?cred ?issuer"""
+
+
+def _kg_sparql_builtins(spark, sf_dir):
+    """SPARQL 1.1 §17 built-ins in FILTER (r8): did:key-issued
+    urn:uuid credentials that carry an issuanceDate — STRSTARTS /
+    REGEX / BOUND and && translated to Spark SQL (startswith / rlike /
+    isnotnull / AND, operators/sparql._devar), with the BOUND filter
+    over an OPTIONAL-introduced variable deferring past the left join
+    (SPARQL §18.5 group scoping) while the other conjuncts keep their
+    pushdown.  Oracle: the (cred, issuer) and issuance bindings
+    replayed in Python; starts_with / regexp_matches / EXISTS stated
+    in actual SQL."""
+    from cbor_ld_spark.operators.sparql import run_sparql
+    from cbor_ld_spark.plans import shared_triples
+
+    return run_sparql(shared_triples(spark, sf_dir),
+                      _SPARQL_BUILTINS_TEXT)
+
+
+_SPARQL_GROUP_CONCAT_TEXT = f"""
+SELECT ?issuer (GROUP_CONCAT(?cred; SEPARATOR="|") AS ?creds)
+       (SAMPLE(?cred) AS ?one) (COUNT(?cred) AS ?n)
+WHERE {{ ?cred <{_IRI_ISSUER}> ?issuer }}
+GROUP BY ?issuer ORDER BY ?issuer"""
+
+
+def _kg_sparql_group_concat(spark, sf_dir):
+    """GROUP_CONCAT and SAMPLE aggregates (r8): per-issuer credential
+    roster — GROUP_CONCAT(?c; SEPARATOR=..) compiles to
+    array_join(sort_array(collect_list(..)), ..) (deterministic sorted
+    order, a documented divergence from SPARQL's unspecified order)
+    and SAMPLE to min (a deterministic pick of SPARQL's 'arbitrary
+    value').  Oracle: DuckDB string_agg(.. ORDER BY ..) + min over the
+    replayed bindings — the determinism choices are exactly what make
+    a value-hash oracle possible for these aggregates."""
+    from cbor_ld_spark.operators.sparql import run_sparql
+    from cbor_ld_spark.plans import shared_triples
+
+    return run_sparql(shared_triples(spark, sf_dir),
+                      _SPARQL_GROUP_CONCAT_TEXT)
+
+
 def _kg_path_alt_groups(spark, sf_dir):
     """Alternation of parenthesised path GROUPS (r8, VERDICT r7 #2):
     ``(vc/issuer)|issuer`` evaluates as the UNION of the alternatives'
@@ -1872,14 +1922,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # kg_hex_roundtrip, emb_near_dup, dedup_minhash_pairs,
     # ann_cosine_topk, kg_pagerank_dangling, kg_pagerank_weighted,
     # kg_pred_cooccurrence, ann_pq_topk, kg_degree_distribution,
-    # kg_triangles, kg_neighbor_overlap (21).  Window entries: the 9
-    # NEW r8 queries
+    # kg_triangles, kg_neighbor_overlap, kg_pagerank, events_retention
+    # (23).  Window entries: the 11 NEW r8 queries
     # (kg_sparql_minus — MINUS + OFFSET/LIMIT slice, NOT EXISTS +
     # slice oracle; kg_sparql_subquery — SPARQL 1.1 §12 grouped +
     # scalar + nested subqueries, post-join FILTER, ORDER BY DESC;
     # kg_sparql_exists — FILTER EXISTS left_semi, the complement of
     # kg_sparql_minus; kg_sparql_union_join — UNION composing with
-    # other WHERE members, union-then-join oracle) plus
+    # other WHERE members, union-then-join oracle; kg_sparql_builtins
+    # — §17 built-ins translated to Spark SQL, BOUND over an OPTIONAL
+    # var deferring past the left join; kg_sparql_group_concat —
+    # GROUP_CONCAT/SAMPLE with deterministic order/pick) plus
     # (kg_sparql_bind — BIND derived column; kg_sparql_values —
     # binding-introducing inline data, FROM (VALUES) oracle;
     # kg_sparql_construct — text CONSTRUCT, shares kg_infer_vouches'
@@ -1902,14 +1955,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_compression_stats": _kg_compression_stats,
         "text_length_quantiles": _text_length_quantiles,
         "dedup_incremental": _dedup_incremental,
-        "kg_pagerank": _kg_pagerank,
         "kg_khop": _kg_khop,
         "dedup_clusters": _dedup_clusters,
         "kg_canonical_dedup": _kg_canonical_dedup,
         "stream_sessions_parity": _stream_sessions_parity,
         "stream_windowed_parity": _stream_windowed_parity,
         "stream_dedup_parity": _stream_dedup_parity,
-        "events_retention": _events_retention,
         "kg_path_truage_issuer": _kg_path_truage_issuer,
         "kg_bgp_optional_unbound": _kg_bgp_optional_unbound,
         "kg_bgp_truage": _kg_bgp_truage,
@@ -1933,6 +1984,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_subquery": _kg_sparql_subquery,
         "kg_sparql_exists": _kg_sparql_exists,
         "kg_sparql_union_join": _kg_sparql_union_join,
+        "kg_sparql_builtins": _kg_sparql_builtins,
+        "kg_sparql_group_concat": _kg_sparql_group_concat,
         "kg_infer_vouches": _kg_infer_vouches,
         "dedup_apply": _dedup_apply,
         "text_oov_rate": _text_oov_rate,
@@ -1951,6 +2004,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _ann_lsh_topk,
         "ann_pq_topk": _ann_pq_topk,
         "kg_neighbor_overlap": _kg_neighbor_overlap,
+        "kg_pagerank": _kg_pagerank,
+        "events_retention": _events_retention,
         "kg_degree_distribution": _kg_degree_distribution,
         "kg_triangles": _kg_triangles,
         "ann_ivf_topk": _ann_ivf_topk,
@@ -3544,6 +3599,45 @@ def _sparql_exists_oracle(sf_dir: str | None = None) -> str:
     """
 
 
+def _sparql_builtins_oracle(sf_dir: str | None = None) -> str:
+    """kg_sparql_builtins: the issuer and issuance bindings replayed
+    in Python; STRSTARTS / REGEX / BOUND-over-OPTIONAL stated as
+    starts_with / regexp_matches / EXISTS in actual SQL."""
+    triples = _realized_triples(sf_dir or _oracle_sf_dir())
+    rows = sorted({(s, o) for s, p, o in triples
+                   if p == _IRI_ISSUER})
+    dated = sorted({(s,) for s, p, o in triples if p == _IRI_ISSUED})
+    b = _values_oracle(rows, [("cred", "VARCHAR"),
+                              ("issuer", "VARCHAR")], "cred")
+    d = _values_oracle(dated, [("cred", "VARCHAR")], "cred")
+    return f"""
+    WITH b AS ({b}), d AS ({d})
+    SELECT DISTINCT b.cred, b.issuer FROM b
+    WHERE starts_with(b.issuer, 'did:key:')
+      AND regexp_matches(b.cred, '^urn:uuid:')
+      AND EXISTS (SELECT 1 FROM d WHERE d.cred = b.cred)
+    ORDER BY b.cred, b.issuer
+    """
+
+
+def _sparql_group_concat_oracle(sf_dir: str | None = None) -> str:
+    """kg_sparql_group_concat: string_agg(.. ORDER BY ..) matches the
+    sorted GROUP_CONCAT; min matches the deterministic SAMPLE."""
+    triples = _realized_triples(sf_dir or _oracle_sf_dir())
+    rows = sorted({(s, o) for s, p, o in triples
+                   if p == _IRI_ISSUER})
+    b = _values_oracle(rows, [("cred", "VARCHAR"),
+                              ("issuer", "VARCHAR")], "cred")
+    return f"""
+    WITH b AS ({b})
+    SELECT issuer,
+           string_agg(cred, '|' ORDER BY cred) AS creds,
+           min(cred) AS one,
+           COUNT(cred)::BIGINT AS n
+    FROM b GROUP BY issuer ORDER BY issuer
+    """
+
+
 def _sparql_union_join_oracle(sf_dir: str | None = None) -> str:
     """kg_sparql_union_join: the typed / issuer / subject binding sets
     replayed in Python; the UNION of the two branches and the join on
@@ -4511,6 +4605,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_subquery": _sparql_subquery_oracle(),
         "kg_sparql_exists": _sparql_exists_oracle(),
         "kg_sparql_union_join": _sparql_union_join_oracle(),
+        "kg_sparql_builtins": _sparql_builtins_oracle(),
+        "kg_sparql_group_concat": _sparql_group_concat_oracle(),
         "dedup_clusters": _dedup_clusters_oracle(),
         "dedup_apply": _dedup_apply_oracle(),
         "text_oov_rate": _OOV_SQL.format(norm=_NORM_SQL),

@@ -138,10 +138,14 @@ def match_bgp(triples: DataFrame,
     first-appearance order (required patterns first, then optionals).
 
     ``filters`` are SPARQL-FILTER-style boolean SQL expressions over
-    the bound variables (e.g. ``"cast(age as int) >= 21"``), applied
-    after the required joins and before optionals — a row must satisfy
-    every filter.  They compile to ordinary Catalyst predicates, so a
-    filter on a single pattern's variable is pushed below the joins.
+    the bound variables (e.g. ``"cast(age as int) >= 21"``) — a row
+    must satisfy every filter.  They compile to ordinary Catalyst
+    predicates, so a filter on a single pattern's variable is pushed
+    below the joins.  A filter that references a variable an OPTIONAL
+    introduces defers until after the optional left joins (SPARQL
+    §18.5 group scoping — ``isnotnull(x)`` over an optional var is the
+    BOUND idiom, NULL comparisons give SPARQL's error->false); all
+    other filters apply before the optionals and keep their pushdown.
 
     ``binds`` (r8 — SPARQL BIND): ``(sql_expr, alias)`` pairs computed
     over the bindings after the required patterns/paths join and
@@ -249,8 +253,26 @@ def match_bgp(triples: DataFrame,
                 "(reserved for internal columns)")
         result = result.withColumn(alias, F.expr(expr))
         var_order.append(alias)
+    # SPARQL §18.5 scopes FILTERs to the whole group, AFTER the
+    # OPTIONAL left joins — a filter over a variable an optional will
+    # introduce (the `!BOUND(?x)` negation idiom, or any comparison
+    # with SPARQL's error->false on unbound ≡ SQL NULL) defers past
+    # the optional loop; everything else applies here and keeps its
+    # pushdown
+    import re as _re
+
+    opt_vars: set[str] = set()
+    for pat in optional or []:
+        opt_vars.update(t[1:] for t in pat
+                        if isinstance(t, str) and t.startswith("?")
+                        and t[1:] not in var_order)
+    deferred_filters: list[str] = []
     for expr in filters or []:
-        result = result.filter(F.expr(expr))
+        if any(_re.search(rf"\b{_re.escape(v)}\b", expr)
+               for v in opt_vars):
+            deferred_filters.append(expr)
+        else:
+            result = result.filter(F.expr(expr))
     for how, label, pats in (("left_semi", "exists", exists or []),
                              ("left_anti", "not_exists",
                               not_exists or [])):
@@ -304,6 +326,8 @@ def match_bgp(triples: DataFrame,
         # kept), compat vars remain possibly-unbound (NULL iff still
         # unmatched after coalesce)
         maybe_unbound.update(new_vars)
+    for expr in deferred_filters:
+        result = result.filter(F.expr(expr))
     out = result.select(*var_order)
     return out.distinct() if distinct else out
 

@@ -295,8 +295,14 @@ def parse_path(expr: str) -> list[tuple]:
 # (match_bgp's distinct) — bag semantics is not implemented, so
 # DISTINCT and REDUCED are accepted no-ops and a plain SELECT also
 # dedupes (documented divergence).  Keywords case-insensitive; FILTER
-# and BIND bodies are Spark SQL expressions over the bound variable
-# names (documented subset — not SPARQL's function library).  BINDs
+# / BIND / HAVING / ORDER BY / (AGG AS ?v) bodies accept the SPARQL
+# 1.1 §17 expression subset — '&&'/'||'/prefix-'!', BOUND, REGEX
+# (2-arg), STRSTARTS/STRENDS/CONTAINS, STRLEN, UCASE/LCASE, STR,
+# SUBSTR, sameTerm, GROUP_CONCAT(..; SEPARATOR=..) (deterministic
+# sorted order), SAMPLE (deterministic min) — translated name-for-name
+# to Spark SQL (see _devar), so plain Spark SQL also passes through
+# verbatim; RDF-term introspection (LANG, DATATYPE, isBLANK, ...)
+# is rejected loudly.  BINDs
 # apply after the required patterns/paths join (in member order, each
 # seeing earlier BINDs) and before FILTERs — a BIND over an
 # OPTIONAL-introduced variable is outside this subset; VALUES joins
@@ -437,10 +443,111 @@ def _parse_plain_group(toks: list[str], pos: int) -> tuple[list, int]:
 import re as _re
 
 
-def _devar(expr: str) -> str:
-    """'?name' -> 'name' inside an expression body (SPARQL variables
-    become the binding DataFrame's column names)."""
-    return _re.sub(r"\?(\w+)", r"\1", expr)
+# SPARQL 1.1 §17 built-ins with a direct Spark SQL equivalent over
+# the plain-string triple model (name-for-name rewrite; arguments
+# pass through unchanged).  SAMPLE -> min is a deterministic choice
+# of "an arbitrary value" (documented divergence: SPARQL leaves the
+# pick unspecified).
+_SPARQL_FN_MAP = {
+    "bound": "isnotnull", "regex": "rlike",
+    "strstarts": "startswith", "strends": "endswith",
+    "strlen": "length", "ucase": "upper", "lcase": "lower",
+    "str": "string", "substr": "substring",
+    "sameterm": "equal_null", "sample": "min",
+}
+# RDF-term introspection has no meaning over the realized
+# plain-string triples frame — rejected loudly, never silently wrong
+_SPARQL_FN_UNSUPPORTED = (
+    "lang", "langmatches", "datatype", "isblank", "isliteral",
+    "isnumeric", "bnode", "strdt", "strlang", "struuid",
+    "encode_for_uri")
+
+
+def _quote_segments(body: str):
+    """Yield (segment, is_quoted) pairs — '...'/"..." literals are
+    opaque to every rewrite."""
+    i, n, start = 0, len(body), 0
+    while i < n:
+        c = body[i]
+        if c in "\"'":
+            j = body.find(c, i + 1)
+            if j < 0:
+                raise ValueError(f"unterminated {c} in expression "
+                                 f"{body!r}")
+            if start < i:
+                yield body[start:i], False
+            yield body[i:j + 1], True
+            i = j + 1
+            start = i
+        else:
+            i += 1
+    if start < n:
+        yield body[start:], False
+
+
+def _devar(body: str) -> str:
+    """Translate the SPARQL-expression subset to a Spark SQL
+    expression: '?name' -> column 'name'; '&&'/'||'/prefix-'!' ->
+    AND/OR/NOT; the §17 built-ins in _SPARQL_FN_MAP rename to their
+    Spark equivalents (BOUND->isnotnull, REGEX->rlike,
+    STRSTARTS->startswith, ...); GROUP_CONCAT(?x; SEPARATOR=s) ->
+    array_join(sort_array(collect_list(x)), s) (deterministic sorted
+    order — documented divergence from SPARQL's unspecified order);
+    RDF-term introspection (LANG, DATATYPE, ...) rejected loudly.
+    Quoted literals are opaque throughout, so FILTER(?x = "a?b") and
+    separators containing '!' survive.  Everything already valid
+    Spark SQL passes through unchanged — the surface accepts both."""
+    # GROUP_CONCAT first: its separator is a quoted literal, so the
+    # rewrite must see the whole call before quote-splitting
+    def _gc(m):
+        arg, sep = m.group(1).strip(), m.group(2) or "' '"
+        return (f"array_join(sort_array(collect_list({arg})), {sep})")
+
+    body = _re.sub(
+        r"\bgroup_concat\s*\(\s*([^;()]+?)\s*"
+        r"(?:;\s*separator\s*=\s*('[^']*'|\"[^\"]*\"))?\s*\)",
+        _gc, body, flags=_re.I)
+    if _re.search(r"\bgroup_concat\s*\(", body, _re.I):
+        raise ValueError(
+            "GROUP_CONCAT takes one plain expression and an optional "
+            "SEPARATOR=<literal> in this subset")
+    out = []
+    for seg, quoted in _quote_segments(body):
+        if quoted:
+            out.append(seg)
+            continue
+        for bad in _SPARQL_FN_UNSUPPORTED:
+            if _re.search(rf"\b{bad}\s*\(", seg, _re.I):
+                raise ValueError(
+                    f"SPARQL {bad.upper()}() has no equivalent over "
+                    "the plain-string triple model — outside this "
+                    "subset")
+        seg = seg.replace("&&", " AND ").replace("||", " OR ")
+        seg = _re.sub(r"!(?!=)", " NOT ", seg)
+        for name, repl in _SPARQL_FN_MAP.items():
+            seg = _re.sub(rf"\b{name}\s*\(", repl + "(", seg,
+                          flags=_re.I)
+        seg = _re.sub(r"\?(\w+)", r"\1", seg)
+        out.append(seg)
+    sql = "".join(out)
+    # REGEX's 3-arg flags form would silently become a bad rlike call
+    for m in _re.finditer(r"\brlike\s*\(", sql):
+        depth, commas, j = 1, 0, m.end()
+        while j < len(sql) and depth:
+            if sql[j] in "\"'":
+                j = sql.index(sql[j], j + 1)  # literals are opaque
+            elif sql[j] == "(":
+                depth += 1
+            elif sql[j] == ")":
+                depth -= 1
+            elif sql[j] == "," and depth == 1:
+                commas += 1
+            j += 1
+        if commas > 1:
+            raise ValueError(
+                "REGEX flags (3-argument form) are outside this "
+                "subset — inline them in the pattern, e.g. '(?i)...'")
+    return sql
 
 
 def _parse_values_term(tok: str):
@@ -622,7 +729,8 @@ def parse_sparql(text: str) -> dict:
                                   m.group(2)))
         elif low.startswith("filter("):
             # no space between FILTER and '(' — one word token
-            spec["filters"].append(t[len("filter"):][1:-1].strip())
+            spec["filters"].append(
+                _devar(t[len("filter"):][1:-1].strip()))
             pos += 1
         elif low == "filter":
             pos += 1
@@ -634,7 +742,8 @@ def parse_sparql(text: str) -> dict:
                 pats, pos = _parse_plain_group(toks, pos + 1)
                 spec["exists"].extend(pats)
             elif pos < len(toks) and toks[pos].startswith("("):
-                spec["filters"].append(toks[pos][1:-1].strip())
+                spec["filters"].append(
+                    _devar(toks[pos][1:-1].strip()))
                 pos += 1
             else:
                 raise ValueError("FILTER needs '(expr)' or NOT EXISTS")

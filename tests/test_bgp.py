@@ -1560,3 +1560,52 @@ def test_sparql_union_join(spark):
         run_sparql(t, 'SELECT ?c WHERE { '
                       '{ ?c <subject> ?w } UNION { ?c <issuer> ?w } '
                       'OPTIONAL { ?c <age> ?a } }')
+
+
+def test_sparql_expr_builtins(spark):
+    """SPARQL 1.1 §17 expression subset (r8): &&/||/!, BOUND, REGEX,
+    STRSTARTS, STRLEN, UCASE, ?vars in FILTER — translated to Spark
+    SQL; quoted literals opaque; RDF introspection and REGEX flags
+    rejected loudly."""
+    from cbor_ld_spark.operators.sparql import _devar, run_sparql
+
+    # translation unit checks
+    assert _devar('?a = "x?y" && !BOUND(?b)') == \
+        'a = "x?y"  AND   NOT isnotnull(b)'
+    assert _devar("REGEX(?s, '^ur,n')") == "rlike(s, '^ur,n')"
+    assert _devar("STRSTARTS(STR(?x), 'u')") == \
+        "startswith(string(x), 'u')"
+    assert _devar('GROUP_CONCAT(?c; SEPARATOR=",")') == \
+        'array_join(sort_array(collect_list(c)), ",")'
+    assert _devar("GROUP_CONCAT(?c)") == \
+        "array_join(sort_array(collect_list(c)), ' ')"
+    assert _devar("SAMPLE(?c)") == "min(c)"
+    with pytest.raises(ValueError, match="REGEX flags"):
+        _devar("REGEX(?s, 'p', 'i')")
+    with pytest.raises(ValueError, match="LANG"):
+        _devar("LANG(?s) = 'en'")
+
+    t = _triples(spark, _DATA)
+    q = ('SELECT ?c ?i WHERE { ?c <issuer> ?i . '
+         'OPTIONAL { ?c <subject> ?s } '
+         'FILTER(STRSTARTS(?i, "org") && !BOUND(?s)) }')
+    assert [tuple(r) for r in run_sparql(t, q).collect()] == [
+        ("c3", "org1")]
+    q2 = ('SELECT ?c ?u WHERE { ?c <issuer> ?i . '
+          'BIND(UCASE(?i) AS ?u) FILTER(REGEX(?c, "^c[12]$")) } '
+          'ORDER BY DESC(STRLEN(?c)) ?c')
+    assert [tuple(r) for r in run_sparql(t, q2).collect()] == [
+        ("c1", "ORG1"), ("c2", "ORG2")]
+
+
+def test_sparql_group_concat_sample(spark):
+    """GROUP_CONCAT (sorted, custom separator) and SAMPLE (min)
+    aggregates in the projection."""
+    from cbor_ld_spark.operators.sparql import run_sparql
+
+    t = _triples(spark, _DATA)
+    q = ('SELECT ?i (GROUP_CONCAT(?c; SEPARATOR=",") AS ?creds) '
+         '(SAMPLE(?c) AS ?one) WHERE { ?c <issuer> ?i } '
+         'GROUP BY ?i ORDER BY ?i')
+    assert [tuple(r) for r in run_sparql(t, q).collect()] == [
+        ("org1", "c1,c3", "c1"), ("org2", "c2", "c2")]
