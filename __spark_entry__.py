@@ -974,6 +974,30 @@ def _kg_sparql_group_concat(spark, sf_dir):
                       _SPARQL_GROUP_CONCAT_TEXT)
 
 
+_SPARQL_OPT_PATH_TEXT = f"""
+SELECT ?cred ?issuer ?age WHERE {{
+  ?cred <{_IRI_ISSUER}> ?issuer .
+  OPTIONAL {{ ?cred (<{_IRI_SUBJECT}>/<{_IRI_OVERAGE}>) ?age }}
+}}
+ORDER BY ?cred ?issuer ?age"""
+
+
+def _kg_sparql_optional_path(spark, sf_dir):
+    """Property path inside OPTIONAL (r8): every issued credential,
+    left-joined with the overAge value its credentialSubject carries —
+    the subject/overAge SEQUENCE path evaluates as a path relation and
+    left-joins like an optional pattern frame, so credentials whose
+    subject has no overAge row surface with ?age unbound (NULL)
+    instead of dropping.  Oracle: the issuer / subject / overAge
+    binding sets replayed in Python; the path join and the LEFT JOIN
+    stated in actual SQL."""
+    from cbor_ld_spark.operators.sparql import run_sparql
+    from cbor_ld_spark.plans import shared_triples
+
+    return run_sparql(shared_triples(spark, sf_dir),
+                      _SPARQL_OPT_PATH_TEXT)
+
+
 def _kg_path_alt_groups(spark, sf_dir):
     """Alternation of parenthesised path GROUPS (r8, VERDICT r7 #2):
     ``(vc/issuer)|issuer`` evaluates as the UNION of the alternatives'
@@ -1922,8 +1946,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # kg_hex_roundtrip, emb_near_dup, dedup_minhash_pairs,
     # ann_cosine_topk, kg_pagerank_dangling, kg_pagerank_weighted,
     # kg_pred_cooccurrence, ann_pq_topk, kg_degree_distribution,
-    # kg_triangles, kg_neighbor_overlap, kg_pagerank, events_retention
-    # (23).  Window entries: the 11 NEW r8 queries
+    # kg_triangles, kg_neighbor_overlap, kg_pagerank, events_retention,
+    # kg_khop (24).  Window entries: the 12 NEW r8 queries
     # (kg_sparql_minus — MINUS + OFFSET/LIMIT slice, NOT EXISTS +
     # slice oracle; kg_sparql_subquery — SPARQL 1.1 §12 grouped +
     # scalar + nested subqueries, post-join FILTER, ORDER BY DESC;
@@ -1932,7 +1956,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # other WHERE members, union-then-join oracle; kg_sparql_builtins
     # — §17 built-ins translated to Spark SQL, BOUND over an OPTIONAL
     # var deferring past the left join; kg_sparql_group_concat —
-    # GROUP_CONCAT/SAMPLE with deterministic order/pick) plus
+    # GROUP_CONCAT/SAMPLE with deterministic order/pick;
+    # kg_sparql_optional_path — a sequence path inside OPTIONAL
+    # left-joining as a path relation) plus
     # (kg_sparql_bind — BIND derived column; kg_sparql_values —
     # binding-introducing inline data, FROM (VALUES) oracle;
     # kg_sparql_construct — text CONSTRUCT, shares kg_infer_vouches'
@@ -1955,7 +1981,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_compression_stats": _kg_compression_stats,
         "text_length_quantiles": _text_length_quantiles,
         "dedup_incremental": _dedup_incremental,
-        "kg_khop": _kg_khop,
         "dedup_clusters": _dedup_clusters,
         "kg_canonical_dedup": _kg_canonical_dedup,
         "stream_sessions_parity": _stream_sessions_parity,
@@ -1986,6 +2011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_union_join": _kg_sparql_union_join,
         "kg_sparql_builtins": _kg_sparql_builtins,
         "kg_sparql_group_concat": _kg_sparql_group_concat,
+        "kg_sparql_optional_path": _kg_sparql_optional_path,
         "kg_infer_vouches": _kg_infer_vouches,
         "dedup_apply": _dedup_apply,
         "text_oov_rate": _text_oov_rate,
@@ -2004,6 +2030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _ann_lsh_topk,
         "ann_pq_topk": _ann_pq_topk,
         "kg_neighbor_overlap": _kg_neighbor_overlap,
+        "kg_khop": _kg_khop,
         "kg_pagerank": _kg_pagerank,
         "events_retention": _events_retention,
         "kg_degree_distribution": _kg_degree_distribution,
@@ -3599,6 +3626,32 @@ def _sparql_exists_oracle(sf_dir: str | None = None) -> str:
     """
 
 
+def _sparql_optional_path_oracle(sf_dir: str | None = None) -> str:
+    """kg_sparql_optional_path: issuer / subject / overAge bindings
+    replayed in Python; the subject/overAge sequence path is a JOIN
+    and the OPTIONAL a LEFT JOIN in actual SQL."""
+    triples = _realized_triples(sf_dir or _oracle_sf_dir())
+    iss = sorted({(s, o) for s, p, o in triples if p == _IRI_ISSUER})
+    subj = sorted({(s, o) for s, p, o in triples
+                   if p == _IRI_SUBJECT})
+    over = sorted({(s, o) for s, p, o in triples
+                   if p == _IRI_OVERAGE})
+    b = _values_oracle(iss, [("cred", "VARCHAR"),
+                             ("issuer", "VARCHAR")], "cred")
+    s = _values_oracle(subj, [("cred", "VARCHAR"),
+                              ("node", "VARCHAR")], "cred")
+    o = _values_oracle(over, [("node", "VARCHAR"),
+                              ("age", "VARCHAR")], "node")
+    return f"""
+    WITH b AS ({b}), s AS ({s}), o AS ({o}),
+         p AS (SELECT DISTINCT s.cred, o.age
+               FROM s JOIN o ON s.node = o.node)
+    SELECT DISTINCT b.cred, b.issuer, p.age
+    FROM b LEFT JOIN p ON b.cred = p.cred
+    ORDER BY b.cred, b.issuer, p.age
+    """
+
+
 def _sparql_builtins_oracle(sf_dir: str | None = None) -> str:
     """kg_sparql_builtins: the issuer and issuance bindings replayed
     in Python; STRSTARTS / REGEX / BOUND-over-OPTIONAL stated as
@@ -4607,6 +4660,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_union_join": _sparql_union_join_oracle(),
         "kg_sparql_builtins": _sparql_builtins_oracle(),
         "kg_sparql_group_concat": _sparql_group_concat_oracle(),
+        "kg_sparql_optional_path": _sparql_optional_path_oracle(),
         "dedup_clusters": _dedup_clusters_oracle(),
         "dedup_apply": _dedup_apply_oracle(),
         "text_oov_rate": _OOV_SQL.format(norm=_NORM_SQL),

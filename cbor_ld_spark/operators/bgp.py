@@ -123,6 +123,38 @@ def _path_frame(triples: DataFrame, steps: list[tuple], s: str, o: str,
     return rel.select(*cols).distinct()
 
 
+def _split_conjuncts(expr: str) -> list[str]:
+    """Split a boolean SQL expression on its TOP-LEVEL ``AND``s
+    (quoted literals and parenthesised groups opaque) — the pieces a
+    filter may apply independently."""
+    parts: list[str] = []
+    depth = start = i = 0
+    n = len(expr)
+    while i < n:
+        c = expr[i]
+        if c in "\"'":
+            j = expr.find(c, i + 1)
+            if j < 0:
+                break  # unterminated literal: leave it to F.expr
+            i = j
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif (depth == 0 and expr[i:i + 3].upper() == "AND"
+              and (i == 0 or not (expr[i - 1].isalnum()
+                                  or expr[i - 1] == "_"))
+              and (i + 3 >= n or not (expr[i + 3].isalnum()
+                                      or expr[i + 3] == "_"))):
+            parts.append(expr[start:i])
+            i += 3
+            start = i
+            continue
+        i += 1
+    parts.append(expr[start:])
+    return [p.strip() for p in parts if p.strip()]
+
+
 def match_bgp(triples: DataFrame,
               patterns: list[tuple[str, str, str]],
               optional: list[tuple[str, str, str]] | None = None,
@@ -257,8 +289,11 @@ def match_bgp(triples: DataFrame,
     # OPTIONAL left joins — a filter over a variable an optional will
     # introduce (the `!BOUND(?x)` negation idiom, or any comparison
     # with SPARQL's error->false on unbound ≡ SQL NULL) defers past
-    # the optional loop; everything else applies here and keeps its
-    # pushdown
+    # the optional loop.  Filters split on their TOP-LEVEL AND
+    # conjuncts first (safe: filtering on A AND B ≡ filtering on A
+    # then B under three-valued logic), so in a mixed filter only the
+    # optional-referencing conjuncts defer and the rest still push to
+    # the pattern scans.
     import re as _re
 
     opt_vars: set[str] = set()
@@ -268,11 +303,12 @@ def match_bgp(triples: DataFrame,
                         and t[1:] not in var_order)
     deferred_filters: list[str] = []
     for expr in filters or []:
-        if any(_re.search(rf"\b{_re.escape(v)}\b", expr)
-               for v in opt_vars):
-            deferred_filters.append(expr)
-        else:
-            result = result.filter(F.expr(expr))
+        for part in (_split_conjuncts(expr) if opt_vars else [expr]):
+            if any(_re.search(rf"\b{_re.escape(v)}\b", part)
+                   for v in opt_vars):
+                deferred_filters.append(part)
+            else:
+                result = result.filter(F.expr(part))
     for how, label, pats in (("left_semi", "exists", exists or []),
                              ("left_anti", "not_exists",
                               not_exists or [])):
@@ -290,7 +326,21 @@ def match_bgp(triples: DataFrame,
                                  on=shared, how=how)
     maybe_unbound: set[str] = set()
     for j, pat in enumerate(optional or []):
-        frame = _pattern_frame(triples, pat, len(patterns) + j, var_order)
+        if pat and pat[0] == "__path__":
+            # property path inside OPTIONAL (r8): the path relation
+            # left-joins like any optional pattern frame (seeded tier
+            # when an endpoint is ground)
+            _tag, steps, p_s, p_o = pat
+            if not p_s.startswith("?") and not p_o.startswith("?"):
+                raise ValueError(
+                    "a fully-ground property path inside OPTIONAL is "
+                    "outside this subset (it binds nothing — use a "
+                    "required pattern or FILTER EXISTS)")
+            frame = _path_frame(triples, steps, p_s, p_o,
+                                1000 + j, var_order)
+        else:
+            frame = _pattern_frame(triples, pat, len(patterns) + j,
+                                   var_order)
         fcols = [c for c in frame.columns if not c.startswith("_")]
         shared = [c for c in fcols if c in result.columns]
         if not shared:

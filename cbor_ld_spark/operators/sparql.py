@@ -408,9 +408,13 @@ def _expect(toks: list[str], pos: int, word: str) -> int:
     return pos + 1
 
 
-def _parse_plain_group(toks: list[str], pos: int) -> tuple[list, int]:
+def _parse_plain_group(toks: list[str], pos: int,
+                       allow_paths: bool = False) -> tuple[list, int]:
     """A '{ pattern . pattern }' group containing ONLY triple
-    patterns (used inside OPTIONAL / NOT EXISTS / UNION)."""
+    patterns (used inside OPTIONAL / NOT EXISTS / UNION).  With
+    ``allow_paths`` (OPTIONAL groups, r8) a property-path predicate
+    becomes a ``("__path__", raw, subj, obj)`` entry for the caller
+    to route."""
     pos = _expect(toks, pos, "{")
     pats = []
     while pos < len(toks) and toks[pos] != "}":
@@ -426,10 +430,16 @@ def _parse_plain_group(toks: list[str], pos: int) -> tuple[list, int]:
             raise ValueError("truncated triple pattern")
         raw_pred = toks[pos + 1]
         if not raw_pred.startswith("?") and _has_path_syntax(raw_pred):
-            raise ValueError(
-                "property paths inside OPTIONAL / NOT EXISTS / UNION "
-                "groups are outside this subset")
-        pats.append(tuple(parse_term(t) for t in toks[pos:pos + 3]))
+            if not allow_paths:
+                raise ValueError(
+                    "property paths inside NOT EXISTS / EXISTS / "
+                    "UNION groups are outside this subset")
+            pats.append(("__path__", raw_pred,
+                         parse_term(toks[pos]),
+                         parse_term(toks[pos + 2])))
+        else:
+            pats.append(tuple(parse_term(t)
+                              for t in toks[pos:pos + 3]))
         pos += 3
         if pos < len(toks) and toks[pos] == ".":
             pos += 1
@@ -698,7 +708,8 @@ def parse_sparql(text: str) -> dict:
         t = toks[pos]
         low = t.lower()
         if low == "optional":
-            pats, pos = _parse_plain_group(toks, pos + 1)
+            pats, pos = _parse_plain_group(toks, pos + 1,
+                                           allow_paths=True)
             spec["optional"].extend(pats)
         elif low == "minus":
             # the connected case, where MINUS == FILTER NOT EXISTS
@@ -923,6 +934,12 @@ def parse_sparql(text: str) -> dict:
             and not spec["patterns"] and not spec["path_patterns"] \
             and not spec["subqueries"]:
         raise ValueError("WHERE group has no patterns")
+    # paths inside OPTIONAL (r8): parse the raw step string here so
+    # match_bgp receives ("__path__", steps, subj, obj) entries
+    spec["optional"] = [
+        ("__path__", parse_path(p[1]), p[2], p[3])
+        if p and p[0] == "__path__" else p
+        for p in spec["optional"]]
     return spec
 
 

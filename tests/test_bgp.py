@@ -936,9 +936,11 @@ def test_bgp_path_patterns(spark):
     # loud rejections
     with pytest.raises(ValueError, match="may not start with '_'"):
         match_bgp(t, [], paths=[([("p", "one")], "?_x", "?y")])
-    with pytest.raises(ValueError, match="outside this subset"):
-        run_sparql(t, "SELECT ?x WHERE { ?x <type> ?t . "
-                      "OPTIONAL { ?x <p>+ ?y } }")
+    # paths inside OPTIONAL are supported since r8 (left-join path
+    # relation) — the rejection moved to guard/UNION groups only
+    out = run_sparql(t, "SELECT ?x ?y WHERE { ?x <type> ?t . "
+                        "OPTIONAL { ?x <p>+ ?y } }")
+    assert "y" in out.columns
 
 
 def test_sparql_values_clause(spark):
@@ -1609,3 +1611,61 @@ def test_sparql_group_concat_sample(spark):
          'GROUP BY ?i ORDER BY ?i')
     assert [tuple(r) for r in run_sparql(t, q).collect()] == [
         ("org1", "c1,c3", "c1"), ("org2", "c2", "c2")]
+
+
+def test_filter_conjunct_split(spark):
+    """Mixed filters split on top-level AND: optional-referencing
+    conjuncts defer past the left join, the rest apply below it
+    (plan-ordered), and 'AND' inside literals/parens stays intact."""
+    from cbor_ld_spark.operators.bgp import _split_conjuncts, match_bgp
+    from cbor_ld_spark.operators.sparql import run_sparql
+
+    assert _split_conjuncts("a = 1 AND b = 2") == ["a = 1", "b = 2"]
+    assert _split_conjuncts("(a AND b) OR c") == ["(a AND b) OR c"]
+    assert _split_conjuncts("x = 'p AND q' AND y = 2") == \
+        ["x = 'p AND q'", "y = 2"]
+    assert _split_conjuncts("band = 1 AND sandy = 2") == \
+        ["band = 1", "sandy = 2"]
+
+    t = _triples(spark, _DATA)
+    q = ('SELECT ?c ?i WHERE { ?c <issuer> ?i . '
+         'OPTIONAL { ?c <subject> ?s } '
+         'FILTER(STRSTARTS(?c, "c") && !BOUND(?s)) }')
+    out = run_sparql(t, q)
+    assert [tuple(r) for r in out.collect()] == [("c3", "org1")]
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    lines = plan.splitlines()
+    join_at = next(i for i, ln in enumerate(lines) if "Join" in ln)
+    bound_at = next(i for i, ln in enumerate(lines)
+                    if "Filter isnull(s#" in ln)
+    starts_at = next(i for i, ln in enumerate(lines)
+                     if "StartsWith" in ln)
+    # top-down plan print: the deferred BOUND filter sits ABOVE the
+    # left join, the pushable STRSTARTS conjunct BELOW it
+    assert bound_at < join_at < starts_at, plan
+
+
+def test_sparql_optional_path(spark):
+    """Property paths inside OPTIONAL (r8): the path relation
+    left-joins like an optional pattern frame; !BOUND composes;
+    fully-ground rejected; guards still refuse paths."""
+    from cbor_ld_spark.operators.sparql import run_sparql
+
+    data = [("a", "knows", "b"), ("b", "knows", "c"),
+            ("d", "age", "9"),
+            ("a", "type", "P"), ("b", "type", "P"), ("d", "type", "P")]
+    t = _triples(spark, data)
+    q = ('SELECT ?p ?r WHERE { ?p <type> "P" . '
+         'OPTIONAL { ?p <knows>+ ?r } } ORDER BY ?p ?r')
+    assert [tuple(r) for r in run_sparql(t, q).collect()] == [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("d", None)]
+    q2 = ('SELECT ?p WHERE { ?p <type> "P" . '
+          'OPTIONAL { ?p (<knows>/<knows>) ?r } FILTER(!BOUND(?r)) } '
+          'ORDER BY ?p')
+    assert [r["p"] for r in run_sparql(t, q2).collect()] == ["b", "d"]
+    with pytest.raises(ValueError, match="fully-ground"):
+        run_sparql(t, 'SELECT ?p WHERE { ?p <type> "P" . '
+                      'OPTIONAL { <a> <knows>+ <c> } }')
+    with pytest.raises(ValueError, match="NOT EXISTS / EXISTS"):
+        run_sparql(t, 'SELECT ?p WHERE { ?p <type> "P" . '
+                      'FILTER NOT EXISTS { ?p <knows>+ ?r } }')
