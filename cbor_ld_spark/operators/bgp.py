@@ -314,7 +314,16 @@ def match_bgp(triples: DataFrame,
                               not_exists or [])):
         for m, pat in enumerate(pats):
             guard_vars: list[str] = []
-            guard = _pattern_frame(triples, pat, -(m + 1), guard_vars)
+            if pat and pat[0] == "__path__":
+                # property path guard (r8): the path relation's
+                # endpoint columns semi/anti-join on the shared vars
+                # exactly like a pattern guard (seeded tier when an
+                # endpoint is ground; fresh endpoints existential)
+                guard = _path_frame(triples, pat[1], pat[2], pat[3],
+                                    2000 + m, guard_vars)
+            else:
+                guard = _pattern_frame(triples, pat, -(m + 1),
+                                       guard_vars)
             shared = [c for c in guard.columns
                       if c in result.columns and not c.startswith("_")]
             if not shared:
@@ -390,13 +399,22 @@ def match_union(triples: DataFrame,
     (first-appearance order across groups) with NULL for variables a
     group does not bind — SPARQL's unbound-variable semantics.
 
+    A branch may mix plain patterns with ``("__path__", steps, subj,
+    obj)`` property-path entries (r8) — each branch routes them to its
+    match_bgp plan's ``paths=``.
+
     Plan shape: one match_bgp plan per group (each with its own
     pushed-down scans and join order) plus a zero-shuffle unionByName;
     the optional final distinct is the only added exchange."""
     if not groups:
         raise ValueError("match_union requires at least one group")
-    frames = [match_bgp(triples, pats, distinct=False)
-              for pats in groups]
+    frames = []
+    for pats in groups:
+        plain = [p for p in pats if not (p and p[0] == "__path__")]
+        paths = [(p[1], p[2], p[3]) for p in pats
+                 if p and p[0] == "__path__"]
+        frames.append(match_bgp(triples, plain, distinct=False,
+                                paths=paths or None))
     var_order: list[str] = []
     for fr in frames:
         for c in fr.columns:

@@ -432,8 +432,8 @@ def _parse_plain_group(toks: list[str], pos: int,
         if not raw_pred.startswith("?") and _has_path_syntax(raw_pred):
             if not allow_paths:
                 raise ValueError(
-                    "property paths inside NOT EXISTS / EXISTS / "
-                    "UNION groups are outside this subset")
+                    "a property path is not allowed here (CONSTRUCT "
+                    "templates take plain triple patterns)")
             pats.append(("__path__", raw_pred,
                          parse_term(toks[pos]),
                          parse_term(toks[pos + 2])))
@@ -714,7 +714,8 @@ def parse_sparql(text: str) -> dict:
         elif low == "minus":
             # the connected case, where MINUS == FILTER NOT EXISTS
             # (match_bgp rejects a disconnected group loudly)
-            pats, pos = _parse_plain_group(toks, pos + 1)
+            pats, pos = _parse_plain_group(toks, pos + 1,
+                                           allow_paths=True)
             spec["not_exists"].extend(pats)
         elif low == "values":
             vars_, rows, pos = _parse_values_block(toks, pos + 1)
@@ -747,10 +748,12 @@ def parse_sparql(text: str) -> dict:
             pos += 1
             if pos < len(toks) and toks[pos].lower() == "not":
                 pos = _expect(toks, pos + 1, "exists")
-                pats, pos = _parse_plain_group(toks, pos)
+                pats, pos = _parse_plain_group(toks, pos,
+                                               allow_paths=True)
                 spec["not_exists"].extend(pats)
             elif pos < len(toks) and toks[pos].lower() == "exists":
-                pats, pos = _parse_plain_group(toks, pos + 1)
+                pats, pos = _parse_plain_group(toks, pos + 1,
+                                               allow_paths=True)
                 spec["exists"].extend(pats)
             elif pos < len(toks) and toks[pos].startswith("("):
                 spec["filters"].append(
@@ -789,10 +792,12 @@ def parse_sparql(text: str) -> dict:
                     "only one UNION block per WHERE group in this "
                     "subset")
             groups = []
-            pats, pos = _parse_plain_group(toks, pos)
+            pats, pos = _parse_plain_group(toks, pos,
+                                           allow_paths=True)
             groups.append(pats)
             while pos < len(toks) and toks[pos].lower() == "union":
-                pats, pos = _parse_plain_group(toks, pos + 1)
+                pats, pos = _parse_plain_group(toks, pos + 1,
+                                               allow_paths=True)
                 groups.append(pats)
             if len(groups) < 2:
                 raise ValueError("braced group without UNION")
@@ -934,12 +939,18 @@ def parse_sparql(text: str) -> dict:
             and not spec["patterns"] and not spec["path_patterns"] \
             and not spec["subqueries"]:
         raise ValueError("WHERE group has no patterns")
-    # paths inside OPTIONAL (r8): parse the raw step string here so
-    # match_bgp receives ("__path__", steps, subj, obj) entries
-    spec["optional"] = [
-        ("__path__", parse_path(p[1]), p[2], p[3])
-        if p and p[0] == "__path__" else p
-        for p in spec["optional"]]
+    # paths inside OPTIONAL / guards / UNION branches (r8): parse the
+    # raw step string here so the executors receive
+    # ("__path__", steps, subj, obj) entries
+    def _conv_path(p):
+        return ("__path__", parse_path(p[1]), p[2], p[3]) \
+            if p and p[0] == "__path__" else p
+
+    for key in ("optional", "exists", "not_exists"):
+        spec[key] = [_conv_path(p) for p in spec[key]]
+    if spec["union"] is not None:
+        spec["union"] = [[_conv_path(p) for p in g]
+                         for g in spec["union"]]
     return spec
 
 

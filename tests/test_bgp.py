@@ -1666,6 +1666,40 @@ def test_sparql_optional_path(spark):
     with pytest.raises(ValueError, match="fully-ground"):
         run_sparql(t, 'SELECT ?p WHERE { ?p <type> "P" . '
                       'OPTIONAL { <a> <knows>+ <c> } }')
-    with pytest.raises(ValueError, match="NOT EXISTS / EXISTS"):
-        run_sparql(t, 'SELECT ?p WHERE { ?p <type> "P" . '
-                      'FILTER NOT EXISTS { ?p <knows>+ ?r } }')
+    # guards accept paths since late r8 — NOT EXISTS of the closure
+    out = run_sparql(t, 'SELECT ?p WHERE { ?p <type> "P" . '
+                        'FILTER NOT EXISTS { ?p <knows>+ ?r } } '
+                        'ORDER BY ?p')
+    assert [r["p"] for r in out.collect()] == ["d"]
+
+
+def test_sparql_path_guards_and_union(spark):
+    """Property paths inside EXISTS / NOT EXISTS / MINUS guards and
+    UNION branches (late r8): guard paths semi/anti-join their
+    endpoint columns; union branches route paths to their branch
+    plan's paths=."""
+    from cbor_ld_spark.operators.sparql import run_sparql
+
+    data = [("a", "knows", "b"), ("b", "knows", "c"),
+            ("c", "knows", "a2"),
+            ("a", "type", "P"), ("b", "type", "P"), ("d", "type", "P"),
+            ("d", "likes", "a")]
+    t = _triples(spark, data)
+    base = 'SELECT ?p WHERE { ?p <type> "P" . %s } ORDER BY ?p'
+    assert [r["p"] for r in run_sparql(
+        t, base % 'FILTER EXISTS { ?p <knows>+ ?r }').collect()] == \
+        ["a", "b"]
+    assert [r["p"] for r in run_sparql(
+        t, base % 'FILTER NOT EXISTS { ?p (<knows>/<knows>) ?r }'
+        ).collect()] == ["d"]
+    assert [r["p"] for r in run_sparql(
+        t, base % 'MINUS { ?p <likes>|<knows> ?x }').collect()] == []
+    q = ('SELECT ?p ?x WHERE { ?p <type> "P" . '
+         '{ ?p <knows>+ ?x } UNION { ?p <likes> ?x } } ORDER BY ?p ?x')
+    assert [tuple(r) for r in run_sparql(t, q).collect()] == [
+        ("a", "a2"), ("a", "b"), ("a", "c"),
+        ("b", "a2"), ("b", "c"), ("d", "a")]
+    # CONSTRUCT templates still refuse paths
+    with pytest.raises(ValueError, match="CONSTRUCT templates"):
+        run_sparql(t, 'CONSTRUCT { ?p <knows>+ ?x } '
+                      'WHERE { ?p <type> "P" }')
