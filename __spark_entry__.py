@@ -793,6 +793,8 @@ def _kg_sparql_construct(spark, sf_dir):
 
 
 _IRI_OVERAGE_TYPE = "https://w3id.org/age#OverAgeTokenCredential"
+_IRI_PROOF_PURPOSE = "https://w3id.org/security#proofPurpose"
+_IRI_CREATED = "http://purl.org/dc/terms/created"
 _SPARQL_ASK_TEXT = (f"ASK {{ <{_IRI_OVERAGE_TYPE}> "
                     f"^<{_IRI_RDF_TYPE}>/<{_IRI_ISSUER}> "
                     f"<{_TRUAGE_ISSUER}> }}")
@@ -996,6 +998,31 @@ def _kg_sparql_optional_path(spark, sf_dir):
 
     return run_sparql(shared_triples(spark, sf_dir),
                       _SPARQL_OPT_PATH_TEXT)
+
+
+_SPARQL_GRAPH_TEXT = f"""
+SELECT ?g ?proof ?purp ?created WHERE {{
+  GRAPH ?g {{ ?proof <{_IRI_PROOF_PURPOSE}> ?purp .
+              ?proof <{_IRI_CREATED}> ?created }}
+}}
+ORDER BY ?g ?proof ?purp ?created"""
+
+
+def _kg_sparql_graph(spark, sf_dir):
+    """SPARQL §13.3 GRAPH clause (r8): the credential PROOF graphs —
+    JSON-LD @graph containers realize as NAMED graphs in the triples
+    frame ('' marks the default graph) — with each proof's purpose and
+    creation time CO-LOCATED: both patterns carry the shared ?g quad
+    term, so they must match inside the SAME named graph (the
+    GRAPH-semantics hard signal; the default-graph triples are
+    excluded by construction).  Oracle: the (graph, subj, obj) quad
+    bindings for both predicates replayed in Python; the co-location
+    join stated in actual SQL over (proof, g)."""
+    from cbor_ld_spark.operators.sparql import run_sparql
+    from cbor_ld_spark.plans import shared_triples
+
+    return run_sparql(shared_triples(spark, sf_dir),
+                      _SPARQL_GRAPH_TEXT)
 
 
 def _kg_path_alt_groups(spark, sf_dir):
@@ -1947,7 +1974,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ann_cosine_topk, kg_pagerank_dangling, kg_pagerank_weighted,
     # kg_pred_cooccurrence, ann_pq_topk, kg_degree_distribution,
     # kg_triangles, kg_neighbor_overlap, kg_pagerank, events_retention,
-    # kg_khop (24).  Window entries: the 12 NEW r8 queries
+    # kg_khop, stream_dedup_parity (25).  Window entries: the 13 NEW
+    # r8 queries
     # (kg_sparql_minus — MINUS + OFFSET/LIMIT slice, NOT EXISTS +
     # slice oracle; kg_sparql_subquery — SPARQL 1.1 §12 grouped +
     # scalar + nested subqueries, post-join FILTER, ORDER BY DESC;
@@ -1958,7 +1986,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # var deferring past the left join; kg_sparql_group_concat —
     # GROUP_CONCAT/SAMPLE with deterministic order/pick;
     # kg_sparql_optional_path — a sequence path inside OPTIONAL
-    # left-joining as a path relation) plus
+    # left-joining as a path relation; kg_sparql_graph — §13.3 GRAPH
+    # quads over the named proof graphs, co-location join) plus
     # (kg_sparql_bind — BIND derived column; kg_sparql_values —
     # binding-introducing inline data, FROM (VALUES) oracle;
     # kg_sparql_construct — text CONSTRUCT, shares kg_infer_vouches'
@@ -1985,7 +2014,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_canonical_dedup": _kg_canonical_dedup,
         "stream_sessions_parity": _stream_sessions_parity,
         "stream_windowed_parity": _stream_windowed_parity,
-        "stream_dedup_parity": _stream_dedup_parity,
         "kg_path_truage_issuer": _kg_path_truage_issuer,
         "kg_bgp_optional_unbound": _kg_bgp_optional_unbound,
         "kg_bgp_truage": _kg_bgp_truage,
@@ -2012,6 +2040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_builtins": _kg_sparql_builtins,
         "kg_sparql_group_concat": _kg_sparql_group_concat,
         "kg_sparql_optional_path": _kg_sparql_optional_path,
+        "kg_sparql_graph": _kg_sparql_graph,
         "kg_infer_vouches": _kg_infer_vouches,
         "dedup_apply": _dedup_apply,
         "text_oov_rate": _text_oov_rate,
@@ -2030,6 +2059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _ann_lsh_topk,
         "ann_pq_topk": _ann_pq_topk,
         "kg_neighbor_overlap": _kg_neighbor_overlap,
+        "stream_dedup_parity": _stream_dedup_parity,
         "kg_khop": _kg_khop,
         "kg_pagerank": _kg_pagerank,
         "events_retention": _events_retention,
@@ -3626,6 +3656,28 @@ def _sparql_exists_oracle(sf_dir: str | None = None) -> str:
     """
 
 
+def _sparql_graph_oracle(sf_dir: str | None = None) -> str:
+    """kg_sparql_graph: named-graph quad bindings for the two proof
+    predicates replayed in Python; the same-graph co-location join
+    stated in actual SQL on (proof, g)."""
+    quads = _realized_quads(sf_dir or _oracle_sf_dir())
+    purp = sorted({(q[6], q[0], q[2]) for q in quads
+                   if q[1] == _IRI_PROOF_PURPOSE and q[6]})
+    created = sorted({(q[6], q[0], q[2]) for q in quads
+                      if q[1] == _IRI_CREATED and q[6]})
+    p = _values_oracle(purp, [("g", "VARCHAR"), ("proof", "VARCHAR"),
+                              ("purp", "VARCHAR")], "g")
+    c = _values_oracle(created, [("g", "VARCHAR"),
+                                 ("proof", "VARCHAR"),
+                                 ("created", "VARCHAR")], "g")
+    return f"""
+    WITH p AS ({p}), c AS ({c})
+    SELECT DISTINCT p.g, p.proof, p.purp, c.created
+    FROM p JOIN c ON p.g = c.g AND p.proof = c.proof
+    ORDER BY p.g, p.proof, p.purp, c.created
+    """
+
+
 def _sparql_optional_path_oracle(sf_dir: str | None = None) -> str:
     """kg_sparql_optional_path: issuer / subject / overAge bindings
     replayed in Python; the subject/overAge sequence path is a JOIN
@@ -4661,6 +4713,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_builtins": _sparql_builtins_oracle(),
         "kg_sparql_group_concat": _sparql_group_concat_oracle(),
         "kg_sparql_optional_path": _sparql_optional_path_oracle(),
+        "kg_sparql_graph": _sparql_graph_oracle(),
         "dedup_clusters": _dedup_clusters_oracle(),
         "dedup_apply": _dedup_apply_oracle(),
         "text_oov_rate": _OOV_SQL.format(norm=_NORM_SQL),

@@ -37,14 +37,24 @@ _POSITIONS = ("subj", "pred", "obj")
 
 def _pattern_frame(triples: DataFrame, pat, i: int, var_order: list[str]):
     """Filtered + variable-renamed frame for one triple pattern;
-    appends new variables to var_order (first-appearance order)."""
-    if len(pat) != 3:
+    appends new variables to var_order (first-appearance order).
+
+    A 4-tuple ``(subj, pred, obj, graph)`` is a QUAD pattern (SPARQL
+    §13.3 GRAPH): the 4th term matches the triple's named-graph label
+    — a variable binds it, a constant filters on it — and the pattern
+    is restricted to NAMED graphs (``graph != ''``; '' marks the
+    default graph in the realized triples)."""
+    if len(pat) not in (3, 4):
         raise ValueError(f"pattern {i} must be a (subj, pred, obj) "
-                         f"triple, got {pat!r}")
+                         f"triple or (subj, pred, obj, graph) quad, "
+                         f"got {pat!r}")
     filters = []
+    if len(pat) == 4:
+        filters.append(F.col("graph") != F.lit(""))
     rename: dict[str, str] = {}
     seen: dict[str, str] = {}
-    for pos, term in zip(_POSITIONS, pat):
+    positions = _POSITIONS if len(pat) == 3 else _POSITIONS + ("graph",)
+    for pos, term in zip(positions, pat):
         if term.startswith("?"):
             var = term[1:]
             if not var:

@@ -266,6 +266,17 @@ def parse_path(expr: str) -> list[tuple]:
 #                                                the bindings; ?v must
 #                                                be FRESH; later FILTERs
 #                                                and BINDs may use it)
+#           | 'GRAPH' ('?'var|term) group       (r8, SPARQL §13.3: the
+#                                                group's patterns become
+#                                                QUADS over the NAMED
+#                                                graphs — a var binds
+#                                                the graph label shared
+#                                                across the group
+#                                                (co-location), a
+#                                                constant filters on
+#                                                it; '' = default
+#                                                graph, excluded;
+#                                                patterns-only inside)
 #           | 'VALUES' values-block
 #           | group ('UNION' group)+            (r8: composes with the
 #                                                other members — the
@@ -311,7 +322,7 @@ def parse_path(expr: str) -> list[tuple]:
 
 _KEYWORDS = {"select", "where", "optional", "filter", "union",
              "distinct", "reduced", "not", "exists", "values", "bind",
-             "ask", "construct", "minus", "offset"}
+             "ask", "construct", "minus", "offset", "graph"}
 _PATH_CHARS = set("/|^!+*?()")
 
 
@@ -433,7 +444,8 @@ def _parse_plain_group(toks: list[str], pos: int,
             if not allow_paths:
                 raise ValueError(
                     "a property path is not allowed here (CONSTRUCT "
-                    "templates take plain triple patterns)")
+                    "templates and GRAPH groups take plain triple "
+                    "patterns)")
             pats.append(("__path__", raw_pred,
                          parse_term(toks[pos]),
                          parse_term(toks[pos + 2])))
@@ -707,10 +719,28 @@ def parse_sparql(text: str) -> dict:
     while pos < len(toks) and toks[pos] != "}":
         t = toks[pos]
         low = t.lower()
+        if t == ".":
+            # SPARQL tolerates a statement dot after any group member
+            pos += 1
+            continue
         if low == "optional":
             pats, pos = _parse_plain_group(toks, pos + 1,
                                            allow_paths=True)
             spec["optional"].extend(pats)
+        elif low == "graph":
+            # SPARQL §13.3: GRAPH term { patterns } — each pattern in
+            # the group becomes a QUAD over the named graphs; a
+            # variable term binds the graph label (shared across the
+            # group's patterns, so they co-locate in one graph), a
+            # constant filters on it
+            pos += 1
+            if pos >= len(toks) or toks[pos] == "{":
+                raise ValueError(
+                    "GRAPH needs a term (?var or <iri>) before its "
+                    "group")
+            gterm = parse_term(toks[pos])
+            pats, pos = _parse_plain_group(toks, pos + 1)
+            spec["patterns"].extend((*p, gterm) for p in pats)
         elif low == "minus":
             # the connected case, where MINUS == FILTER NOT EXISTS
             # (match_bgp rejects a disconnected group loudly)

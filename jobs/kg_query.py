@@ -74,11 +74,15 @@ def main(argv=None):
     ap.add_argument("--sparql", default=None,
                     help="a whole SPARQL query string — SELECT, ASK "
                          "or CONSTRUCT (subset: patterns, OPTIONAL, "
-                         "FILTER(sql)/EXISTS/NOT EXISTS, MINUS, "
-                         "BIND, VALUES inline data, UNION, "
-                         "{ SELECT } subqueries, property paths, "
-                         "ORDER BY expr, LIMIT/OFFSET; see "
-                         "operators/sparql.py)")
+                         "FILTER with the SPARQL 1.1 expression "
+                         "built-ins (BOUND/REGEX/STRSTARTS/&&/||/!) "
+                         "or plain Spark SQL, EXISTS/NOT EXISTS, "
+                         "MINUS, BIND, VALUES inline data, UNION "
+                         "composing with other members, { SELECT } "
+                         "subqueries, property paths everywhere incl. "
+                         "OPTIONAL/guard/UNION groups, GROUP_CONCAT/"
+                         "SAMPLE aggregates, ORDER BY expr, "
+                         "LIMIT/OFFSET; see operators/sparql.py)")
     ap.add_argument("--group-by", default=None,
                     help="comma-separated binding variables to GROUP "
                          "BY (requires --agg)")

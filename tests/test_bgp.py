@@ -1703,3 +1703,36 @@ def test_sparql_path_guards_and_union(spark):
     with pytest.raises(ValueError, match="CONSTRUCT templates"):
         run_sparql(t, 'CONSTRUCT { ?p <knows>+ ?x } '
                       'WHERE { ?p <type> "P" }')
+
+
+def test_sparql_graph_clause(spark):
+    """SPARQL §13.3 GRAPH (r8): quad patterns over NAMED graphs — a
+    variable term binds the graph label shared across the group
+    (co-location), a constant filters; default-graph triples ('')
+    excluded; misuse loud."""
+    from cbor_ld_spark.operators.sparql import run_sparql
+
+    rows = [("s1", "p", "o1", "g1"), ("s2", "p", "o2", "g2"),
+            ("s3", "p", "o3", ""),
+            ("s1", "q", "x1", "g1"), ("s2", "q", "x2", "gOTHER"),
+            ("g1", "src", "docA", ""), ("g2", "src", "docB", "")]
+    t = spark.createDataFrame(rows, ["subj", "pred", "obj", "graph"])
+    q = 'SELECT ?g ?s WHERE { GRAPH ?g { ?s <p> ?o } } ORDER BY ?g'
+    assert [tuple(r) for r in run_sparql(t, q).collect()] == [
+        ("g1", "s1"), ("g2", "s2")]
+    # co-location: both patterns must match inside the SAME graph
+    q2 = 'SELECT ?s WHERE { GRAPH ?g { ?s <p> ?o . ?s <q> ?x } }'
+    assert [r["s"] for r in run_sparql(t, q2).collect()] == ["s1"]
+    # constant graph term
+    assert [r["s"] for r in run_sparql(
+        t, 'SELECT ?s WHERE { GRAPH <g2> { ?s <p> ?o } }'
+        ).collect()] == ["s2"]
+    # the graph variable joins ordinary default-graph patterns
+    q3 = ('SELECT ?g ?d WHERE { GRAPH ?g { ?s <p> ?o } . '
+          '?g <src> ?d } ORDER BY ?g')
+    assert [tuple(r) for r in run_sparql(t, q3).collect()] == [
+        ("g1", "docA"), ("g2", "docB")]
+    with pytest.raises(ValueError, match="GRAPH needs a term"):
+        run_sparql(t, 'SELECT ?s WHERE { GRAPH { ?s <p> ?o } }')
+    with pytest.raises(ValueError, match="not allowed here"):
+        run_sparql(t, 'SELECT ?s WHERE { GRAPH ?g { ?s <p>+ ?o } }')
