@@ -1025,6 +1025,32 @@ def _kg_sparql_graph(spark, sf_dir):
                       _SPARQL_GRAPH_TEXT)
 
 
+_SPARQL_OPT_GROUP_TEXT = f"""
+SELECT ?cred ?issuer ?person ?age WHERE {{
+  ?cred <{_IRI_ISSUER}> ?issuer .
+  OPTIONAL {{ ?cred <{_IRI_SUBJECT}> ?person .
+              ?person <{_IRI_OVERAGE}> ?age }}
+}}
+ORDER BY ?cred ?issuer ?person ?age"""
+
+
+def _kg_sparql_optional_group(spark, sf_dir):
+    """OPTIONAL group UNIT semantics (r8, SPARQL §18.5 LeftJoin): each
+    issued credential with its subject AND the subject's overAge value
+    — bound only when the WHOLE two-pattern group matches.  A
+    credential whose subject carries no overAge row binds NEITHER
+    ?person nor ?age (the flattened per-pattern reading would leak
+    ?person — this query is the unit-semantics hard signal, and
+    differs from kg_sparql_optional_path, which projects only the
+    path's endpoint).  Oracle: the three binding sets replayed in
+    Python; the group as a JOIN inside a LEFT JOIN in actual SQL."""
+    from cbor_ld_spark.operators.sparql import run_sparql
+    from cbor_ld_spark.plans import shared_triples
+
+    return run_sparql(shared_triples(spark, sf_dir),
+                      _SPARQL_OPT_GROUP_TEXT)
+
+
 def _kg_path_alt_groups(spark, sf_dir):
     """Alternation of parenthesised path GROUPS (r8, VERDICT r7 #2):
     ``(vc/issuer)|issuer`` evaluates as the UNION of the alternatives'
@@ -1974,8 +2000,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ann_cosine_topk, kg_pagerank_dangling, kg_pagerank_weighted,
     # kg_pred_cooccurrence, ann_pq_topk, kg_degree_distribution,
     # kg_triangles, kg_neighbor_overlap, kg_pagerank, events_retention,
-    # kg_khop, stream_dedup_parity (25).  Window entries: the 13 NEW
-    # r8 queries
+    # kg_khop, stream_dedup_parity, kg_canonical_dedup (26).  Window
+    # entries: the 14 NEW r8 queries
     # (kg_sparql_minus — MINUS + OFFSET/LIMIT slice, NOT EXISTS +
     # slice oracle; kg_sparql_subquery — SPARQL 1.1 §12 grouped +
     # scalar + nested subqueries, post-join FILTER, ORDER BY DESC;
@@ -1987,7 +2013,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # GROUP_CONCAT/SAMPLE with deterministic order/pick;
     # kg_sparql_optional_path — a sequence path inside OPTIONAL
     # left-joining as a path relation; kg_sparql_graph — §13.3 GRAPH
-    # quads over the named proof graphs, co-location join) plus
+    # quads over the named proof graphs, co-location join;
+    # kg_sparql_optional_group — §18.5 LeftJoin UNIT semantics, the
+    # whole group binds or nothing does) plus
     # (kg_sparql_bind — BIND derived column; kg_sparql_values —
     # binding-introducing inline data, FROM (VALUES) oracle;
     # kg_sparql_construct — text CONSTRUCT, shares kg_infer_vouches'
@@ -2011,7 +2039,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_length_quantiles": _text_length_quantiles,
         "dedup_incremental": _dedup_incremental,
         "dedup_clusters": _dedup_clusters,
-        "kg_canonical_dedup": _kg_canonical_dedup,
         "stream_sessions_parity": _stream_sessions_parity,
         "stream_windowed_parity": _stream_windowed_parity,
         "kg_path_truage_issuer": _kg_path_truage_issuer,
@@ -2041,6 +2068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_group_concat": _kg_sparql_group_concat,
         "kg_sparql_optional_path": _kg_sparql_optional_path,
         "kg_sparql_graph": _kg_sparql_graph,
+        "kg_sparql_optional_group": _kg_sparql_optional_group,
         "kg_infer_vouches": _kg_infer_vouches,
         "dedup_apply": _dedup_apply,
         "text_oov_rate": _text_oov_rate,
@@ -2059,6 +2087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _ann_lsh_topk,
         "ann_pq_topk": _ann_pq_topk,
         "kg_neighbor_overlap": _kg_neighbor_overlap,
+        "kg_canonical_dedup": _kg_canonical_dedup,
         "stream_dedup_parity": _stream_dedup_parity,
         "kg_khop": _kg_khop,
         "kg_pagerank": _kg_pagerank,
@@ -3656,6 +3685,33 @@ def _sparql_exists_oracle(sf_dir: str | None = None) -> str:
     """
 
 
+def _sparql_optional_group_oracle(sf_dir: str | None = None) -> str:
+    """kg_sparql_optional_group: issuer / subject / overAge bindings
+    replayed in Python; the OPTIONAL group is a JOIN inside a LEFT
+    JOIN in actual SQL (unit semantics — partial matches bind
+    nothing)."""
+    triples = _realized_triples(sf_dir or _oracle_sf_dir())
+    iss = sorted({(s, o) for s, p, o in triples if p == _IRI_ISSUER})
+    subj = sorted({(s, o) for s, p, o in triples
+                   if p == _IRI_SUBJECT})
+    over = sorted({(s, o) for s, p, o in triples
+                   if p == _IRI_OVERAGE})
+    b = _values_oracle(iss, [("cred", "VARCHAR"),
+                             ("issuer", "VARCHAR")], "cred")
+    s = _values_oracle(subj, [("cred", "VARCHAR"),
+                              ("person", "VARCHAR")], "cred")
+    o = _values_oracle(over, [("person", "VARCHAR"),
+                              ("age", "VARCHAR")], "person")
+    return f"""
+    WITH b AS ({b}), s AS ({s}), o AS ({o}),
+         g AS (SELECT DISTINCT s.cred, s.person, o.age
+               FROM s JOIN o USING (person))
+    SELECT DISTINCT b.cred, b.issuer, g.person, g.age
+    FROM b LEFT JOIN g USING (cred)
+    ORDER BY b.cred, b.issuer, g.person, g.age
+    """
+
+
 def _sparql_graph_oracle(sf_dir: str | None = None) -> str:
     """kg_sparql_graph: named-graph quad bindings for the two proof
     predicates replayed in Python; the same-graph co-location join
@@ -4714,6 +4770,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_group_concat": _sparql_group_concat_oracle(),
         "kg_sparql_optional_path": _sparql_optional_path_oracle(),
         "kg_sparql_graph": _sparql_graph_oracle(),
+        "kg_sparql_optional_group": _sparql_optional_group_oracle(),
         "dedup_clusters": _dedup_clusters_oracle(),
         "dedup_apply": _dedup_apply_oracle(),
         "text_oov_rate": _OOV_SQL.format(norm=_NORM_SQL),

@@ -238,6 +238,12 @@ def match_bgp(triples: DataFrame,
     pattern must share at least one variable with the preceding
     required/optional patterns (an unconnected OPTIONAL would be a
     cross product — rejected loudly instead of silently exploding).
+    An entry may also be ``("__path__", steps, subj, obj)`` (a path
+    relation left-joins like a pattern frame) or ``("__group__",
+    {"patterns", "paths", "filters"})`` — a SPARQL §18.5 LeftJoin
+    UNIT: the whole group evaluates as its own BGP plan (recursive
+    match_bgp) and left-joins as one frame, so a partial match binds
+    nothing; group filters are over group-local variables only.
 
     Semantics note, stated precisely (r7 — VERDICT r6 #4): sequential
     LEFT JOINs implement SPARQL's common case exactly (each OPTIONAL
@@ -308,7 +314,13 @@ def match_bgp(triples: DataFrame,
 
     opt_vars: set[str] = set()
     for pat in optional or []:
-        opt_vars.update(t[1:] for t in pat
+        if pat and pat[0] == "__group__":
+            g = pat[1]
+            terms = [t for pp in g["patterns"] for t in pp] + \
+                    [t for _s, s, o in g["paths"] for t in (s, o)]
+        else:
+            terms = list(pat)
+        opt_vars.update(t[1:] for t in terms
                         if isinstance(t, str) and t.startswith("?")
                         and t[1:] not in var_order)
     deferred_filters: list[str] = []
@@ -345,7 +357,36 @@ def match_bgp(triples: DataFrame,
                                  on=shared, how=how)
     maybe_unbound: set[str] = set()
     for j, pat in enumerate(optional or []):
-        if pat and pat[0] == "__path__":
+        if pat and pat[0] == "__group__":
+            # OPTIONAL group UNIT (r8, SPARQL §18.5 LeftJoin): the
+            # whole group evaluates as its own BGP plan — patterns,
+            # paths, group-local FILTERs — and left-joins as one
+            # frame, so a partial match binds NOTHING.  Group filters
+            # must be over the group's own variables; one that names
+            # an outer-only column would evaluate against the wrong
+            # scope, so reject it loudly here.
+            g = pat[1]
+            g_vars = {t[1:] for pp in g["patterns"] for t in pp
+                      if isinstance(t, str) and t.startswith("?")}
+            g_vars.update(t[1:] for _st, s, o in g["paths"]
+                          for t in (s, o) if t.startswith("?"))
+            import re as _re2
+            for f in g["filters"]:
+                outer = [c for c in result.columns
+                         if c not in g_vars and not c.startswith("_")
+                         and _re2.search(rf"\b{_re2.escape(c)}\b", f)]
+                if outer:
+                    raise ValueError(
+                        f"FILTER inside OPTIONAL references outer "
+                        f"variable(s) {outer} — only group-local "
+                        "variables are supported in this subset")
+            frame = match_bgp(triples, g["patterns"],
+                              paths=g["paths"] or None,
+                              filters=g["filters"] or None)
+            for c in frame.columns:
+                if c not in var_order:
+                    var_order.append(c)
+        elif pat and pat[0] == "__path__":
             # property path inside OPTIONAL (r8): the path relation
             # left-joins like any optional pattern frame (seeded tier
             # when an endpoint is ground)

@@ -235,7 +235,17 @@ def parse_path(expr: str) -> list[tuple]:
 #              keys when aggregates are present)
 # group    := '{' member* '}'
 # member   := pattern '.'?                      (triple pattern)
-#           | 'OPTIONAL' group                  (patterns only inside)
+#           | 'OPTIONAL' group                  (patterns, paths and
+#                                                FILTERs inside; a
+#                                                multi-member group is
+#                                                a SPARQL §18.5
+#                                                LeftJoin UNIT — the
+#                                                whole group binds or
+#                                                nothing does; group
+#                                                FILTERs are over
+#                                                group-local vars only;
+#                                                nested OPTIONAL/UNION
+#                                                rejected)
 #           | 'FILTER' '(' sql-expr ')'         (SQL boolean expr over vars)
 #           | 'FILTER' 'NOT' 'EXISTS' group     (patterns only inside)
 #           | 'FILTER' 'EXISTS' group           (r8: the positive twin —
@@ -460,6 +470,57 @@ def _parse_plain_group(toks: list[str], pos: int,
     if not pats:
         raise ValueError("empty group")
     return pats, pos + 1
+
+
+def _parse_optional_group(toks: list[str], pos: int) -> tuple[dict, int]:
+    """An OPTIONAL group body (r8): triple patterns, property paths,
+    and FILTER(...) clauses — parsed into
+    ``{"patterns": [...], "paths": [raw...], "filters": [...]}``.
+    FILTERs inside the group evaluate over the GROUP's variables
+    before the left join (SPARQL LeftJoin's embedded filter for the
+    group-local case; a filter needing OUTER variables is outside
+    this subset and match_bgp rejects it loudly)."""
+    pos = _expect(toks, pos, "{")
+    g: dict = {"patterns": [], "paths": [], "filters": []}
+    while pos < len(toks) and toks[pos] != "}":
+        t = toks[pos]
+        low = t.lower()
+        if t == ".":
+            pos += 1
+            continue
+        if low.startswith("filter(") and t.endswith(")"):
+            g["filters"].append(_devar(t[len("filter"):][1:-1].strip()))
+            pos += 1
+            continue
+        if low == "filter":
+            pos += 1
+            if pos >= len(toks) or not toks[pos].startswith("("):
+                raise ValueError(
+                    "FILTER inside OPTIONAL needs '(expr)' (EXISTS "
+                    "guards inside OPTIONAL are outside this subset)")
+            g["filters"].append(_devar(toks[pos][1:-1].strip()))
+            pos += 1
+            continue
+        if low.split("(", 1)[0] in _KEYWORDS or t == "{":
+            raise ValueError(
+                f"only triple patterns, paths and FILTER are allowed "
+                f"inside OPTIONAL (got {t!r}) — nested OPTIONAL/UNION "
+                "are outside this subset")
+        if pos + 3 > len(toks):
+            raise ValueError("truncated triple pattern")
+        raw_pred = toks[pos + 1]
+        if not raw_pred.startswith("?") and _has_path_syntax(raw_pred):
+            g["paths"].append((raw_pred, parse_term(toks[pos]),
+                               parse_term(toks[pos + 2])))
+        else:
+            g["patterns"].append(tuple(parse_term(x)
+                                       for x in toks[pos:pos + 3]))
+        pos += 3
+    if pos >= len(toks):
+        raise ValueError("unterminated '{' group")
+    if not g["patterns"] and not g["paths"]:
+        raise ValueError("empty OPTIONAL group")
+    return g, pos + 1
 
 
 import re as _re
@@ -724,9 +785,21 @@ def parse_sparql(text: str) -> dict:
             pos += 1
             continue
         if low == "optional":
-            pats, pos = _parse_plain_group(toks, pos + 1,
-                                           allow_paths=True)
-            spec["optional"].extend(pats)
+            g, pos = _parse_optional_group(toks, pos + 1)
+            if len(g["patterns"]) + len(g["paths"]) == 1 \
+                    and not g["filters"]:
+                # single-member group: keep the flat entry (identical
+                # plan shape to pre-r8 queries)
+                if g["patterns"]:
+                    spec["optional"].extend(g["patterns"])
+                else:
+                    raw, s, o = g["paths"][0]
+                    spec["optional"].append(("__path__", raw, s, o))
+            else:
+                # multi-member / filtered group: SPARQL LeftJoin UNIT
+                # semantics — the whole group matches or the whole
+                # group is unbound (match_bgp "__group__" entries)
+                spec["optional"].append(("__group__", g))
         elif low == "graph":
             # SPARQL §13.3: GRAPH term { patterns } — each pattern in
             # the group becomes a QUAD over the named graphs; a
@@ -973,8 +1046,13 @@ def parse_sparql(text: str) -> dict:
     # raw step string here so the executors receive
     # ("__path__", steps, subj, obj) entries
     def _conv_path(p):
-        return ("__path__", parse_path(p[1]), p[2], p[3]) \
-            if p and p[0] == "__path__" else p
+        if p and p[0] == "__path__":
+            return ("__path__", parse_path(p[1]), p[2], p[3])
+        if p and p[0] == "__group__":
+            return ("__group__", dict(
+                p[1], paths=[(parse_path(raw), s, o)
+                             for raw, s, o in p[1]["paths"]]))
+        return p
 
     for key in ("optional", "exists", "not_exists"):
         spec[key] = [_conv_path(p) for p in spec[key]]
@@ -1051,6 +1129,22 @@ def run_sparql(triples, text: str):
     return _run_spec(triples, spec)
 
 
+def _entry_vars(pat) -> set[str]:
+    """Variable names a group-member entry binds/references — plain
+    patterns and quads, ("__path__", steps, s, o) entries, and
+    ("__group__", {...}) OPTIONAL groups."""
+    if pat and pat[0] == "__group__":
+        out: set[str] = set()
+        for pp in pat[1]["patterns"]:
+            out.update(t[1:] for t in pp
+                       if isinstance(t, str) and t.startswith("?"))
+        for _steps, s, o in pat[1]["paths"]:
+            out.update(t[1:] for t in (s, o) if t.startswith("?"))
+        return out
+    return {t[1:] for t in pat
+            if isinstance(t, str) and t.startswith("?")}
+
+
 def _run_spec(triples, spec: dict):
     """Execute a parsed spec (recursive entry point for subqueries)."""
     from pyspark.sql import functions as F
@@ -1107,9 +1201,7 @@ def _run_spec(triples, spec: dict):
                              ("FILTER NOT EXISTS / MINUS",
                               spec["not_exists"])):
             for pat in group:
-                hit = [t[1:] for t in pat
-                       if isinstance(t, str) and t.startswith("?")
-                       and t[1:] in only_late]
+                hit = [v for v in _entry_vars(pat) if v in only_late]
                 if hit:
                     raise ValueError(
                         f"{label} pattern references variable(s) "

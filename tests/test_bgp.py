@@ -1736,3 +1736,39 @@ def test_sparql_graph_clause(spark):
         run_sparql(t, 'SELECT ?s WHERE { GRAPH { ?s <p> ?o } }')
     with pytest.raises(ValueError, match="not allowed here"):
         run_sparql(t, 'SELECT ?s WHERE { GRAPH ?g { ?s <p>+ ?o } }')
+
+
+def test_sparql_optional_group_unit(spark):
+    """OPTIONAL group UNIT semantics (r8, SPARQL §18.5 LeftJoin):
+    multi-member groups match as a whole or bind nothing — a partial
+    match must NOT leak bindings; group-local FILTERs evaluate before
+    the left join; outer-var filters loud."""
+    from cbor_ld_spark.operators.sparql import run_sparql
+
+    rows = [("x1", "p", "y1"), ("y1", "q", "z1"), ("x2", "p", "y2"),
+            ("x1", "type", "T"), ("x2", "type", "T"),
+            ("x3", "type", "T")]
+    t = _triples(spark, rows)
+    q = ('SELECT ?x ?y ?z WHERE { ?x <type> "T" . '
+         'OPTIONAL { ?x <p> ?y . ?y <q> ?z } } ORDER BY ?x')
+    # x2 has p->y2 but y2 has no q edge: the WHOLE group is unbound
+    assert [tuple(r) for r in run_sparql(t, q).collect()] == [
+        ("x1", "y1", "z1"), ("x2", None, None), ("x3", None, None)]
+    q2 = ('SELECT ?x ?y WHERE { ?x <type> "T" . '
+          'OPTIONAL { ?x <p> ?y FILTER(y != "y2") } } ORDER BY ?x')
+    assert [tuple(r) for r in run_sparql(t, q2).collect()] == [
+        ("x1", "y1"), ("x2", None), ("x3", None)]
+    # paths compose inside the group
+    q3 = ('SELECT ?x ?z ?w WHERE { ?x <type> "T" . '
+          'OPTIONAL { ?x (<p>/<q>) ?z . ?z <missing> ?w } } '
+          'ORDER BY ?x')
+    assert all(r["z"] is None for r in run_sparql(t, q3).collect())
+    with pytest.raises(ValueError, match="outer variable"):
+        run_sparql(t, 'SELECT ?x WHERE { ?x <type> "T" . ?x <p> ?o . '
+                      'OPTIONAL { ?x <p> ?y FILTER(y != o) } }')
+    with pytest.raises(ValueError, match="nested OPTIONAL"):
+        run_sparql(t, 'SELECT ?x WHERE { ?x <type> "T" . '
+                      'OPTIONAL { ?x <p> ?y OPTIONAL { ?y <q> ?z } } }')
+    with pytest.raises(ValueError, match="empty OPTIONAL"):
+        run_sparql(t, 'SELECT ?x WHERE { ?x <type> "T" . '
+                      'OPTIONAL { FILTER(1=1) } }')
