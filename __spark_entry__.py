@@ -1051,6 +1051,28 @@ def _kg_sparql_optional_group(spark, sf_dir):
                       _SPARQL_OPT_GROUP_TEXT)
 
 
+_SPARQL_DESCRIBE_TEXT = f"""
+DESCRIBE ?cred WHERE {{
+  ?cred <{_IRI_RDF_TYPE}> <{_IRI_OVERAGE_TYPE}>
+}}"""
+
+
+def _kg_sparql_describe(spark, sf_dir):
+    """DESCRIBE query form (r8) — completes the SPARQL quartet
+    (SELECT/ASK/CONSTRUCT/DESCRIBE): every outgoing (subj, pred, obj)
+    triple of the OverAgeTokenCredential nodes, via one semi join of
+    the triples frame against the WHERE group's bindings (SPARQL
+    §16.4 leaves the description form implementation-defined; this
+    engine emits one-hop outgoing arcs, documented).  Oracle: the
+    typed set and the full distinct realized triple set replayed in
+    Python; the semi join stated as IN in actual SQL."""
+    from cbor_ld_spark.operators.sparql import run_sparql
+    from cbor_ld_spark.plans import shared_triples
+
+    return run_sparql(shared_triples(spark, sf_dir),
+                      _SPARQL_DESCRIBE_TEXT)
+
+
 def _kg_path_alt_groups(spark, sf_dir):
     """Alternation of parenthesised path GROUPS (r8, VERDICT r7 #2):
     ``(vc/issuer)|issuer`` evaluates as the UNION of the alternatives'
@@ -2000,8 +2022,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ann_cosine_topk, kg_pagerank_dangling, kg_pagerank_weighted,
     # kg_pred_cooccurrence, ann_pq_topk, kg_degree_distribution,
     # kg_triangles, kg_neighbor_overlap, kg_pagerank, events_retention,
-    # kg_khop, stream_dedup_parity, kg_canonical_dedup (26).  Window
-    # entries: the 14 NEW r8 queries
+    # kg_khop, stream_dedup_parity, kg_canonical_dedup,
+    # dedup_incremental (27).  Window entries: the 15 NEW r8 queries
     # (kg_sparql_minus — MINUS + OFFSET/LIMIT slice, NOT EXISTS +
     # slice oracle; kg_sparql_subquery — SPARQL 1.1 §12 grouped +
     # scalar + nested subqueries, post-join FILTER, ORDER BY DESC;
@@ -2015,7 +2037,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # left-joining as a path relation; kg_sparql_graph — §13.3 GRAPH
     # quads over the named proof graphs, co-location join;
     # kg_sparql_optional_group — §18.5 LeftJoin UNIT semantics, the
-    # whole group binds or nothing does) plus
+    # whole group binds or nothing does; kg_sparql_describe — the
+    # DESCRIBE form, outgoing-arc semi join) plus
     # (kg_sparql_bind — BIND derived column; kg_sparql_values —
     # binding-introducing inline data, FROM (VALUES) oracle;
     # kg_sparql_construct — text CONSTRUCT, shares kg_infer_vouches'
@@ -2037,7 +2060,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_roundtrip_violations": _kg_roundtrip_violations,
         "kg_compression_stats": _kg_compression_stats,
         "text_length_quantiles": _text_length_quantiles,
-        "dedup_incremental": _dedup_incremental,
         "dedup_clusters": _dedup_clusters,
         "stream_sessions_parity": _stream_sessions_parity,
         "stream_windowed_parity": _stream_windowed_parity,
@@ -2069,6 +2091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_optional_path": _kg_sparql_optional_path,
         "kg_sparql_graph": _kg_sparql_graph,
         "kg_sparql_optional_group": _kg_sparql_optional_group,
+        "kg_sparql_describe": _kg_sparql_describe,
         "kg_infer_vouches": _kg_infer_vouches,
         "dedup_apply": _dedup_apply,
         "text_oov_rate": _text_oov_rate,
@@ -2087,6 +2110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _ann_lsh_topk,
         "ann_pq_topk": _ann_pq_topk,
         "kg_neighbor_overlap": _kg_neighbor_overlap,
+        "dedup_incremental": _dedup_incremental,
         "kg_canonical_dedup": _kg_canonical_dedup,
         "stream_dedup_parity": _stream_dedup_parity,
         "kg_khop": _kg_khop,
@@ -3685,6 +3709,26 @@ def _sparql_exists_oracle(sf_dir: str | None = None) -> str:
     """
 
 
+def _sparql_describe_oracle(sf_dir: str | None = None) -> str:
+    """kg_sparql_describe: typed nodes + the full distinct realized
+    triples replayed in Python; the describe semi join stated as a
+    WHERE ... IN in actual SQL."""
+    triples = _realized_triples(sf_dir or _oracle_sf_dir())
+    typed = sorted({(s,) for s, p, o in triples
+                    if p == _IRI_RDF_TYPE and o == _IRI_OVERAGE_TYPE})
+    all_t = sorted(set(triples))
+    t = _values_oracle(typed, [("node", "VARCHAR")], "node")
+    a = _values_oracle(all_t, [("subj", "VARCHAR"),
+                               ("pred", "VARCHAR"),
+                               ("obj", "VARCHAR")], "subj")
+    return f"""
+    WITH t AS ({t}), a AS ({a})
+    SELECT DISTINCT subj, pred, obj FROM a
+    WHERE subj IN (SELECT node FROM t)
+    ORDER BY subj, pred, obj
+    """
+
+
 def _sparql_optional_group_oracle(sf_dir: str | None = None) -> str:
     """kg_sparql_optional_group: issuer / subject / overAge bindings
     replayed in Python; the OPTIONAL group is a JOIN inside a LEFT
@@ -4771,6 +4815,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_optional_path": _sparql_optional_path_oracle(),
         "kg_sparql_graph": _sparql_graph_oracle(),
         "kg_sparql_optional_group": _sparql_optional_group_oracle(),
+        "kg_sparql_describe": _sparql_describe_oracle(),
         "dedup_clusters": _dedup_clusters_oracle(),
         "dedup_apply": _dedup_apply_oracle(),
         "text_oov_rate": _OOV_SQL.format(norm=_NORM_SQL),

@@ -764,12 +764,43 @@ def parse_sparql(text: str) -> dict:
     elif form == "construct":
         template, pos = _parse_plain_group(toks, 1)
         pos = _expect(toks, pos, "where")
+    elif form == "describe":
+        # SPARQL §16.4 — the description form is implementation-
+        # defined; this engine emits the nodes' OUTGOING triples
+        # (subj, pred, obj), one hop, no blank-node closure
+        describe: list[str] = []
+        pos = 1
+        while pos < len(toks) and toks[pos].lower() != "where" \
+                and toks[pos] != "{":
+            describe.append(parse_term(toks[pos]))
+            pos += 1
+        if not describe:
+            raise ValueError("DESCRIBE needs at least one term")
+        if pos >= len(toks):
+            # groupless form: DESCRIBE <iri> ... — constants only
+            bad = [t for t in describe if t.startswith("?")]
+            if bad:
+                raise ValueError(
+                    f"DESCRIBE {bad[0]} needs a WHERE group to bind "
+                    "the variable")
+            return {"form": form, "describe": describe,
+                    "select": None, "aggs": [], "template": None,
+                    "patterns": [], "optional": [], "filters": [],
+                    "not_exists": [], "exists": [], "subqueries": [],
+                    "union": None, "path": None, "path_patterns": [],
+                    "binds": [], "values": [], "group_by": [],
+                    "having": [], "order_by": [], "limit": None,
+                    "offset": None}
+        if toks[pos].lower() == "where":
+            pos += 1
     else:
         raise ValueError(
-            f"query must start with SELECT, ASK or CONSTRUCT "
-            f"(got {toks[0]!r})")
+            f"query must start with SELECT, ASK, CONSTRUCT or "
+            f"DESCRIBE (got {toks[0]!r})")
     pos = _expect(toks, pos, "{")
-    spec = {"form": form, "select": select or None, "aggs": aggs,
+    spec = {"form": form,
+            "describe": describe if form == "describe" else None,
+            "select": select or None, "aggs": aggs,
             "template": template, "patterns": [],
             "optional": [], "filters": [], "not_exists": [],
             "exists": [], "subqueries": [],
@@ -1129,6 +1160,35 @@ def run_sparql(triples, text: str):
     return _run_spec(triples, spec)
 
 
+def _describe(triples, terms: list[str], bindings):
+    """DESCRIBE output frame: the OUTGOING (subj, pred, obj) triples
+    of the described nodes — constants plus the bindings of the
+    described variables — via one semi join on subj (Catalyst/AQE
+    broadcasts the node set when it is small, the usual DESCRIBE
+    shape; a huge described set degrades to a shuffled semi join, not
+    a failure)."""
+    from pyspark.sql import functions as F
+
+    consts = [t for t in terms if not t.startswith("?")]
+    vars_ = [t[1:] for t in terms if t.startswith("?")]
+    frames = []
+    if consts:
+        frames.append(triples.sparkSession.createDataFrame(
+            [(c,) for c in consts], "node string"))
+    for v in vars_:
+        if bindings is None or v not in bindings.columns:
+            raise ValueError(
+                f"DESCRIBE ?{v} is not bound by the WHERE group")
+        frames.append(bindings.select(F.col(v).alias("node")))
+    nodes = frames[0]
+    for f in frames[1:]:
+        nodes = nodes.unionByName(f)
+    nodes = nodes.filter(F.col("node").isNotNull()).distinct()
+    return (triples.join(nodes, triples["subj"] == nodes["node"],
+                         "left_semi")
+            .select("subj", "pred", "obj").distinct())
+
+
 def _entry_vars(pat) -> set[str]:
     """Variable names a group-member entry binds/references — plain
     patterns and quads, ("__path__", steps, s, o) entries, and
@@ -1153,6 +1213,11 @@ def _run_spec(triples, spec: dict):
 
     # SUB-SELECTs evaluate bottom-up (SPARQL 1.1 §12) — each becomes a
     # frame whose projected vars join the outer bindings
+    if spec["form"] == "describe" and not spec["patterns"] \
+            and not spec["path_patterns"] and spec["union"] is None \
+            and spec["path"] is None and not spec["subqueries"]:
+        # groupless DESCRIBE <iri> ...: constants only
+        return _describe(triples, spec["describe"], None)
     sub_frames = [_run_spec(triples, s) for s in spec["subqueries"]]
     sub_vars: set[str] = set()
     for f in sub_frames:
@@ -1326,6 +1391,8 @@ def _run_spec(triples, spec: dict):
             result = result.filter(F.expr(f))
     for vars_, rows in spec["values"]:
         result = _apply_values(result, vars_, rows)
+    if spec["form"] == "describe":
+        return _describe(triples, spec["describe"], result)
     if spec["form"] == "ask":
         # one boolean row whether or not anything matched: count over
         # limit(1) — the empty-group aggregate still yields a row

@@ -1146,8 +1146,11 @@ def test_sparql_select_modifiers_and_form_errors():
                      'WHERE { ?c <urn:p> ?i }')
     assert c["form"] == "construct"
     assert c["template"] == [("?c", "urn:q", "?i")]
-    with pytest.raises(ValueError, match="SELECT, ASK or CONSTRUCT"):
-        parse_sparql('DESCRIBE ?x WHERE { ?x <urn:p> ?y }')
+    # DESCRIBE is a supported form since late r8
+    d = parse_sparql('DESCRIBE ?x WHERE { ?x <urn:p> ?y }')
+    assert d["form"] == "describe" and d["describe"] == ["?x"]
+    with pytest.raises(ValueError, match="SELECT, ASK, CONSTRUCT"):
+        parse_sparql('EXPLAIN { ?x <urn:p> ?y }')
 
 
 def test_sparql_values_inside_plain_group_rejected():
@@ -1772,3 +1775,34 @@ def test_sparql_optional_group_unit(spark):
     with pytest.raises(ValueError, match="empty OPTIONAL"):
         run_sparql(t, 'SELECT ?x WHERE { ?x <type> "T" . '
                       'OPTIONAL { FILTER(1=1) } }')
+
+
+def test_sparql_describe(spark):
+    """DESCRIBE (r8, SPARQL §16.4 — implementation-defined form:
+    outgoing one-hop triples): groupless constants, WHERE-bound
+    variables, mixed terms; unbound/groupless-var misuse loud."""
+    from cbor_ld_spark.operators.sparql import run_sparql
+
+    rows = [("a", "p", "1"), ("a", "q", "2"), ("b", "p", "3"),
+            ("c", "r", "a"),
+            ("a", "type", "T"), ("b", "type", "T")]
+    t = _triples(spark, rows)
+    assert sorted(tuple(r) for r in run_sparql(
+        t, 'DESCRIBE <a>').collect()) == [
+        ("a", "p", "1"), ("a", "q", "2"), ("a", "type", "T")]
+    assert len(run_sparql(t, 'DESCRIBE <a> <b>').collect()) == 5
+    got = sorted(tuple(r) for r in run_sparql(
+        t, 'DESCRIBE ?x WHERE { ?x <type> "T" }').collect())
+    assert got == [("a", "p", "1"), ("a", "q", "2"),
+                   ("a", "type", "T"), ("b", "p", "3"),
+                   ("b", "type", "T")]
+    mixed = sorted(tuple(r) for r in run_sparql(
+        t, 'DESCRIBE ?x <c> WHERE { ?x <type> "T" . '
+           'FILTER(x = "a") }').collect())
+    assert ("c", "r", "a") in mixed and len(mixed) == 4
+    with pytest.raises(ValueError, match="needs a WHERE group"):
+        run_sparql(t, 'DESCRIBE ?x')
+    with pytest.raises(ValueError, match="not bound"):
+        run_sparql(t, 'DESCRIBE ?z WHERE { ?x <type> "T" }')
+    with pytest.raises(ValueError, match="at least one term"):
+        run_sparql(t, 'DESCRIBE WHERE { ?x <type> "T" }')
