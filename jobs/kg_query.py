@@ -72,8 +72,10 @@ def main(argv=None):
                          "';' (repeatable; mutually exclusive with "
                          "--pattern/--path)")
     ap.add_argument("--sparql", default=None,
-                    help="a whole SPARQL query string — SELECT, ASK "
-                         "or CONSTRUCT (subset: patterns, OPTIONAL, "
+                    help="a whole SPARQL query string — SELECT, ASK, "
+                         "CONSTRUCT or DESCRIBE (subset: patterns, "
+                         "OPTIONAL groups (unit semantics, local "
+                         "FILTERs), GRAPH groups, "
                          "FILTER with the SPARQL 1.1 expression "
                          "built-ins (BOUND/REGEX/STRSTARTS/&&/||/!) "
                          "or plain Spark SQL, EXISTS/NOT EXISTS, "
