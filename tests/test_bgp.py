@@ -1806,3 +1806,62 @@ def test_sparql_describe(spark):
         run_sparql(t, 'DESCRIBE ?z WHERE { ?x <type> "T" }')
     with pytest.raises(ValueError, match="at least one term"):
         run_sparql(t, 'DESCRIBE WHERE { ?x <type> "T" }')
+
+
+def test_optional_group_python_replay(spark):
+    """Random graphs: OPTIONAL-group unit semantics + !BOUND filter
+    vs a pure-Python SPARQL §18.5 LeftJoin replay."""
+    import random
+
+    from cbor_ld_spark.operators.sparql import run_sparql
+
+    rng = random.Random(20260818)
+    for case in range(4):
+        nodes = [f"n{i}" for i in range(6)]
+        triples = sorted({
+            (rng.choice(nodes), rng.choice(["p", "q", "r"]),
+             rng.choice(nodes)) for _ in range(12)})
+        t = _triples(spark, triples)
+        # required ?a <p> ?b . OPTIONAL { ?b <q> ?c . ?c <r> ?d }
+        outer = [(s, o) for s, p, o in triples if p == "p"]
+        grp = sorted({(b, c, d)
+                      for b2, p2, c in triples if p2 == "q"
+                      for c2, p3, d in triples
+                      if p3 == "r" and c2 == c
+                      for b in [b2]})
+        expect = set()
+        for a, b in outer:
+            hits = [(c, d) for b2, c, d in grp if b2 == b]
+            if hits:
+                expect.update((a, b, c, d) for c, d in hits)
+            else:
+                expect.add((a, b, None, None))
+        q = ('SELECT ?a ?b ?c ?d WHERE { ?a <p> ?b . '
+             'OPTIONAL { ?b <q> ?c . ?c <r> ?d } }')
+        got = {tuple(r) for r in run_sparql(t, q).collect()}
+        assert got == expect, (case, triples)
+        # !BOUND over the group: exactly the padded rows
+        q2 = ('SELECT ?a ?b WHERE { ?a <p> ?b . '
+              'OPTIONAL { ?b <q> ?c . ?c <r> ?d } '
+              'FILTER(!BOUND(?c)) }')
+        got2 = {tuple(r) for r in run_sparql(t, q2).collect()}
+        assert got2 == {(a, b) for a, b, c, _d in expect
+                        if c is None}, case
+
+
+def test_describe_and_graph_plan_shapes(spark):
+    """Plan audits for the late-r8 forms: DESCRIBE compiles to one
+    semi join; a constant GRAPH term reaches the quad scan as a
+    filter (below the joins)."""
+    from cbor_ld_spark.operators.sparql import run_sparql
+
+    rows = [("a", "p", "1", "g1"), ("b", "p", "2", "g2"),
+            ("a", "type", "T", "")]
+    t = spark.createDataFrame(rows, ["subj", "pred", "obj", "graph"])
+    d = run_sparql(t, 'DESCRIBE <a>')
+    assert "LeftSemi" in \
+        d._jdf.queryExecution().executedPlan().toString()
+    g = run_sparql(t, 'SELECT ?s WHERE { GRAPH <g1> { ?s <p> ?o } }')
+    plan = g._jdf.queryExecution().optimizedPlan().toString()
+    assert "graph#" in plan and "g1" in plan  # constant in a Filter
+    assert [r["s"] for r in g.collect()] == ["a"]
