@@ -839,13 +839,15 @@ def test_kg_query_cli_sparql(spark, tmp_path):
     assert lines[0] == "p\ta"
     assert {l.rstrip("\t") for l in lines[1:]} == {"p1\t21", "p2\t65"}
 
-    # r8: ASK and CONSTRUCT forms from the shell
+    # r8: ASK, CONSTRUCT and DESCRIBE forms from the shell
     for q, expect in [
             ("ASK { ?c <issuer> <org1> }", ["ask", "True"]),
             ("ASK { ?c <issuer> <org9> }", ["ask", "False"]),
             ("CONSTRUCT { ?i <urn:of> ?c } WHERE "
              "{ ?c <issuer> ?i . FILTER(i = 'org2') }",
-             ["subj\tpred\tobj", "org2\turn:of\tc2"])]:
+             ["subj\tpred\tobj", "org2\turn:of\tc2"]),
+            ("DESCRIBE <p2>",
+             ["subj\tpred\tobj", "p2\tage\t65"])]:
         buf = io.StringIO()
         _sys.stdout = buf
         try:
