@@ -214,6 +214,14 @@ def parse_path(expr: str) -> list[tuple]:
 # --- SPARQL query text syntax (r7; ASK/CONSTRUCT/BIND/VALUES r8) -----------
 #
 # query    := select-q | ask-q | construct-q
+# query    := ('PREFIX' name ':' '<'iri'>')* (select-q | ask-q |
+#              construct-q | describe-q)
+#              — declared prefixed names expand token-wise to full
+#              <iri>s (patterns, paths, VALUES data; quoted literals
+#              and undeclared colon tokens like urn:/did: untouched;
+#              prefixed names inside FILTER/BIND SQL bodies are NOT
+#              expanded — use full IRIs as string literals there).
+#              'a' in predicate position is rdf:type (SPARQL §4.2.4).
 # select-q := 'SELECT' (('DISTINCT'|'REDUCED')? item+ | '*')
 #             'WHERE' group
 #             ('GROUP' 'BY' '?'var+)? ('HAVING' '(' expr ')')*
@@ -334,6 +342,59 @@ _KEYWORDS = {"select", "where", "optional", "filter", "union",
              "distinct", "reduced", "not", "exists", "values", "bind",
              "ask", "construct", "minus", "offset", "graph"}
 _PATH_CHARS = set("/|^!+*?()")
+
+
+_RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+def _pred_term(tok: str) -> str:
+    """A predicate-position term: the SPARQL keyword ``a`` is
+    rdf:type shorthand; everything else parses normally."""
+    if tok == "a":
+        return _RDF_TYPE
+    return parse_term(tok)
+
+
+def _expand_prefixed(tok: str, prefixes: dict[str, str]) -> str:
+    """Expand DECLARED ``prefix:local`` names inside one token to
+    ``<iri+local>`` — quoted literals and <>-wrapped IRIs inside the
+    token are opaque (a path token like ``cred:a/cred:b+`` expands
+    per-name).  Only names whose prefix was declared expand, so bare
+    tokens with ':' (urn:..., did:...) pass through untouched."""
+    if tok.startswith("?") or (len(tok) >= 2 and tok[0] == '"'):
+        return tok
+    out = []
+    i, n, start = 0, len(tok), 0
+
+    def _flush(seg: str) -> str:
+        return _re.sub(
+            r"\b([A-Za-z_][\w.-]*):([A-Za-z0-9_.%-]*)",
+            lambda m: (f"<{prefixes[m.group(1)]}{m.group(2)}>"
+                       if m.group(1) in prefixes else m.group(0)),
+            seg)
+
+    while i < n:
+        c = tok[i]
+        if c == "<":
+            j = tok.find(">", i)
+            if j < 0:
+                break
+            out.append(_flush(tok[start:i]))
+            out.append(tok[i:j + 1])
+            i = j + 1
+            start = i
+        elif c in "\"'":
+            j = tok.find(c, i + 1)
+            if j < 0:
+                break
+            out.append(_flush(tok[start:i]))
+            out.append(tok[i:j + 1])
+            i = j + 1
+            start = i
+        else:
+            i += 1
+    out.append(_flush(tok[start:]))
+    return "".join(out)
 
 
 def _sparql_tokens(text: str) -> list[str]:
@@ -460,8 +521,9 @@ def _parse_plain_group(toks: list[str], pos: int,
                          parse_term(toks[pos]),
                          parse_term(toks[pos + 2])))
         else:
-            pats.append(tuple(parse_term(t)
-                              for t in toks[pos:pos + 3]))
+            pats.append((parse_term(toks[pos]),
+                         _pred_term(raw_pred),
+                         parse_term(toks[pos + 2])))
         pos += 3
         if pos < len(toks) and toks[pos] == ".":
             pos += 1
@@ -513,8 +575,9 @@ def _parse_optional_group(toks: list[str], pos: int) -> tuple[dict, int]:
             g["paths"].append((raw_pred, parse_term(toks[pos]),
                                parse_term(toks[pos + 2])))
         else:
-            g["patterns"].append(tuple(parse_term(x)
-                                       for x in toks[pos:pos + 3]))
+            g["patterns"].append((parse_term(toks[pos]),
+                                  _pred_term(raw_pred),
+                                  parse_term(toks[pos + 2])))
         pos += 3
     if pos >= len(toks):
         raise ValueError("unterminated '{' group")
@@ -716,6 +779,23 @@ def parse_sparql(text: str) -> dict:
     trailing ``GROUP BY ?v ...``, ``HAVING(expr)``, ``ORDER BY
     ?v | DESC(?v) ...`` and ``LIMIT n`` after the WHERE group."""
     toks = _sparql_tokens(text)
+    # PREFIX declarations (r8): consumed up front, then every
+    # declared prefixed name expands token-wise to its full <iri>
+    # (quoted literals / already-wrapped IRIs opaque — undeclared
+    # colon tokens like urn:/did: pass through)
+    prefixes: dict[str, str] = {}
+    while len(toks) >= 3 and toks[0].lower() == "prefix":
+        name, iri = toks[1], toks[2]
+        if not name.endswith(":") or len(name) < 2:
+            raise ValueError(
+                f"PREFIX needs 'name:' before the IRI, got {name!r}")
+        if not (iri.startswith("<") and iri.endswith(">")):
+            raise ValueError(
+                f"PREFIX {name} needs a '<iri>', got {iri!r}")
+        prefixes[name[:-1]] = iri[1:-1]
+        toks = toks[3:]
+    if prefixes:
+        toks = [_expand_prefixed(t, prefixes) for t in toks]
     if not toks:
         raise ValueError("empty query")
     form = toks[0].lower()
@@ -942,7 +1022,8 @@ def parse_sparql(text: str) -> dict:
             if pos + 3 > len(toks):
                 raise ValueError("truncated triple pattern")
             raw_pred = toks[pos + 1]
-            subj, pred, obj = (parse_term(x) for x in toks[pos:pos + 3])
+            subj, obj = parse_term(toks[pos]), parse_term(toks[pos + 2])
+            pred = _pred_term(raw_pred)
             pos += 3
             if pos < len(toks) and toks[pos] == ".":
                 pos += 1

@@ -1867,3 +1867,38 @@ def test_describe_and_graph_plan_shapes(spark):
     plan = g._jdf.queryExecution().optimizedPlan().toString()
     assert "graph#" in plan and "g1" in plan  # constant in a Filter
     assert [r["s"] for r in g.collect()] == ["a"]
+
+
+def test_sparql_prefix_and_a(spark):
+    """PREFIX declarations (r8): declared prefixed names expand
+    token-wise (patterns, paths); quoted literals and undeclared
+    colon tokens (urn:, did:) untouched; 'a' is rdf:type shorthand
+    in predicate position."""
+    from cbor_ld_spark.operators.sparql import run_sparql
+
+    RT = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    rows = [("c1", "http://ex/issuer", "o1"), ("c1", RT, "http://ex/Cred"),
+            ("c2", "http://ex/issuer", "o2"),
+            ("c2", RT, "http://ex/Other"), ("u", "urn:p", "v")]
+    t = _triples(spark, rows)
+    q = ('PREFIX ex: <http://ex/> '
+         'SELECT ?c ?i WHERE { ?c a ex:Cred . ?c ex:issuer ?i }')
+    assert [tuple(r) for r in run_sparql(t, q).collect()] == [
+        ("c1", "o1")]
+    # prefixed names inside a path alternation
+    q2 = ('PREFIX ex: <http://ex/> '
+          'SELECT ?c WHERE { ?c ex:issuer|ex:missing ?i } ORDER BY ?c')
+    assert [r["c"] for r in run_sparql(t, q2).collect()] == [
+        "c1", "c2"]
+    # undeclared colon tokens pass through; literals opaque
+    assert [r["s"] for r in run_sparql(
+        t, 'SELECT ?s WHERE { ?s <urn:p> ?o }').collect()] == ["u"]
+    q4 = ('PREFIX ex: <http://ex/> SELECT ?c WHERE '
+          '{ ?c ex:issuer ?i . FILTER(?i != "ex:nope") }')
+    assert len(run_sparql(t, q4).collect()) == 2
+    with pytest.raises(ValueError, match="PREFIX needs"):
+        run_sparql(t, "PREFIX ex <http://ex/> "
+                      "SELECT ?c WHERE { ?c a ?t }")
+    with pytest.raises(ValueError, match="needs a '<iri>'"):
+        run_sparql(t, "PREFIX ex: http://ex/ "
+                      "SELECT ?c WHERE { ?c a ?t }")
