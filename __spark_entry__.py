@@ -288,9 +288,9 @@ def _text_length_quantiles(spark, sf_dir):
     p99, hash-verified vs DuckDB quantile_cont) plus the
     percentile_approx sketch asserted within a rank window — the same
     verified-within-tolerance pattern as the HLL sketch."""
-    from cbor_ld_spark.operators.text import _norm
+    from cbor_ld_spark.operators.text import _norm, load_documents
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = load_documents(spark, sf_dir)
     n_tok = F.size(F.split(_norm(F.col("text")), " "))
     per = docs.select(n_tok.alias("n_tokens"))
     agg = per.agg(

@@ -30,7 +30,11 @@ from .text import _norm
 
 
 def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from cbor_ld_spark.plans.partitioning import spread_input
+
+    # single-file scan = one input partition: spread so the shingle/
+    # hash map stages downstream run at machine width (guide §2.5)
+    return spread_input(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def exact_duplicates(docs: DataFrame) -> DataFrame:
@@ -313,9 +317,14 @@ def embedding_near_duplicates(spark: SparkSession, sf_dir: str,
     :func:`embedding_near_duplicates_blocked` (numpy block matmul) or
     the LSH bucketing in operators.similarity to bound candidates.
     """
+    from cbor_ld_spark.plans.partitioning import spread_input
+
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     if max_vectors is not None:
         emb = emb.filter(F.col("vec_id") < max_vectors)
+    # single-file scan = one partition; the all-pairs fold below is the
+    # expensive stage, so spread the vectors first (guide §2.5)
+    emb = spread_input(emb)
     v = F.transform("embedding", lambda x: x.cast("double"))
     emb = emb.select(
         "vec_id", v.alias("v"),

@@ -58,9 +58,18 @@ def process_corpus(repos: DataFrame, registry_id: int = 1,
         .withColumn("content_sha", F.sha2(F.col("content"), 256))
     )
     if dedup_content:
+        from cbor_ld_spark.plans.partitioning import spread_input
+
         fn = kg_process_batches(registry_id=registry_id,
                                 emit_triples=emit_triples)
-        distinct = (candidates.select("content_sha", "content")
+        # hash-repartition on the dedup key with an EXPLICIT count, then
+        # dropDuplicates: one exchange total (the aggregation reuses the
+        # partitioning), and AQE's byte-based coalescer cannot fold the
+        # kernel stage back to one partition — a 1 MB batch of distinct
+        # documents is minutes of Python work, which the coalescer's
+        # sizing cannot see (guide §2.2/§4)
+        distinct = (spread_input(candidates.select("content_sha", "content"),
+                                 by="content_sha")
                     .dropDuplicates(["content_sha"]))
         results = distinct.mapInArrow(fn, schema=KERNEL_RESULT_SCHEMA)
         return candidates.drop("content").join(results, "content_sha") \

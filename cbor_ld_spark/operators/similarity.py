@@ -29,7 +29,13 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 
 def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    from cbor_ld_spark.plans.partitioning import spread_input
+
+    # single-file scan = one input partition: spread so the vector-math
+    # map stages (signature matmuls, rerank dots) downstream run at
+    # machine width instead of one core (guide §2.5)
+    return spread_input(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")).select(
         "vec_id", "label",
         F.col("embedding").cast("array<double>").alias("v"),
     )

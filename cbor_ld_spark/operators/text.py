@@ -30,7 +30,11 @@ LANG_STOPWORDS = (
 
 
 def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from cbor_ld_spark.plans.partitioning import spread_input
+
+    # single-file scan = one input partition: spread so the regex/
+    # explode map stages downstream run at machine width (guide §2.5)
+    return spread_input(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _norm(col):
