@@ -30,11 +30,12 @@ from .text import _norm
 
 
 def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cbor_ld_spark.plans.partitioning import spread_input
+    from cbor_ld_spark.plans.partitioning import parquet_rows, spread_input
 
     # single-file scan = one input partition: spread so the shingle/
     # hash map stages downstream run at machine width (guide §2.5)
-    return spread_input(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    p = f"{sf_dir}/documents.parquet"
+    return spread_input(spark.read.parquet(p), rows=parquet_rows(p))
 
 
 def exact_duplicates(docs: DataFrame) -> DataFrame:
