@@ -1286,26 +1286,35 @@ def _stream_windowed_parity(spark, sf_dir):
         "event_ts",
         F.timestamp_seconds(
             F.lit(_WIN_EPOCH) + (doc_id * 137) % _WIN_SPAN))
+    from cbor_ld_spark.plans.partitioning import parquet_rows
+    from cbor_ld_spark.streaming.tuning import scoped_state_partitions
+
     base = tempfile.mkdtemp(prefix="kgwinparity_")
     inp, out, ckpt = (os.path.join(base, d) for d in ("in", "out", "ckpt"))
     try:
         b1.write.mode("append").parquet(inp)
-        stream_windowed_health(spark, inp, out, ckpt,
-                               window="1 hour",
-                               watermark="2 hours").awaitTermination(600)
-        # sentinel: max event time 12h pushes the watermark to 10h, past
-        # every data window end (<= 4h); its own window never finalizes
-        spark.createDataFrame(
-            [("zz/sentinel", "p", "c", "txt", "x")],
-            "repo string, path string, commit string, lang string, "
-            "content string"
-        ).withColumn(
-            "event_ts",
-            F.timestamp_seconds(F.lit(_WIN_EPOCH + 12 * 3600))
-        ).write.mode("append").parquet(inp)
-        stream_windowed_health(spark, inp, out, ckpt,
-                               window="1 hour",
-                               watermark="2 hours").awaitTermination(600)
+        # state scales with open windows x repos, bounded by corpus
+        # rows: size the state stores to that, not to the core count
+        # (streaming/tuning.py — measured 5.4-9.7 s -> 3.0-3.5 s)
+        n_rows = parquet_rows(f"{sf_dir}/documents.parquet")
+        with scoped_state_partitions(spark, n_rows):
+            stream_windowed_health(spark, inp, out, ckpt,
+                                   window="1 hour",
+                                   watermark="2 hours").awaitTermination(600)
+            # sentinel: max event time 12h pushes the watermark to 10h,
+            # past every data window end (<= 4h); its own window never
+            # finalizes
+            spark.createDataFrame(
+                [("zz/sentinel", "p", "c", "txt", "x")],
+                "repo string, path string, commit string, lang string, "
+                "content string"
+            ).withColumn(
+                "event_ts",
+                F.timestamp_seconds(F.lit(_WIN_EPOCH + 12 * 3600))
+            ).write.mode("append").parquet(inp)
+            stream_windowed_health(spark, inp, out, ckpt,
+                                   window="1 hour",
+                                   watermark="2 hours").awaitTermination(600)
         rows = (spark.read.parquet(out)
                 .filter(F.col("repo") != "zz/sentinel")
                 .select(F.col("window_start").cast("long")
@@ -1717,9 +1726,16 @@ def _stream_sessions_parity(spark, sf_dir):
     base = tempfile.mkdtemp(prefix="kgsessparity_")
     inp, out, ckpt = (os.path.join(base, d) for d in ("in", "out", "ckpt"))
     try:
+        from cbor_ld_spark.plans.partitioning import parquet_rows
+        from cbor_ld_spark.streaming.tuning import scoped_state_partitions
+
         ev.write.parquet(inp)
         stream = spark.readStream.schema(ev.schema).parquet(inp)
-        session_stream(stream, ckpt, out).awaitTermination(600)
+        # state = one entry per user: size the state stores to the
+        # input volume, not the core count (streaming/tuning.py)
+        with scoped_state_partitions(
+                spark, parquet_rows(f"{sf_dir}/events.parquet")):
+            session_stream(stream, ckpt, out).awaitTermination(600)
         closed = spark.read.parquet(out).select(
             "user_id", F.col("session_seq").alias("seq"), "n_events",
             "start_tl", "duration_secs", "value_milli")
@@ -1789,9 +1805,16 @@ def _stream_dedup_parity(spark, sf_dir):
          .write.mode("append").parquet(inp))
         (docs.filter(F.col("doc_id") % 2 == 1).coalesce(1)
          .write.mode("append").parquet(inp))
+        from cbor_ld_spark.plans.partitioning import parquet_rows
+        from cbor_ld_spark.streaming.tuning import scoped_state_partitions
+
         stream = (spark.readStream.schema(docs.schema)
                   .option("maxFilesPerTrigger", "1").parquet(inp))
-        stream_dedup_keep_first(stream, out, ckpt).awaitTermination(600)
+        # dedup state = one hash per distinct content: size the state
+        # stores to the input volume, not the core count
+        with scoped_state_partitions(
+                spark, parquet_rows(f"{sf_dir}/documents.parquet")):
+            stream_dedup_keep_first(stream, out, ckpt).awaitTermination(600)
         kept = spark.read.parquet(out)
         n_total = docs.count()
         n_distinct = (docs.select(F.md5(_norm(F.col("text"))).alias("h"))
