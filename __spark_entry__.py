@@ -45,7 +45,11 @@ def _kg_doc_results(spark, sf_dir):
     from cbor_ld_spark.sources import corpus_from_documents
 
     return (
-        process_corpus(corpus_from_documents(spark, sf_dir))
+        # doc-level flags only: skip triple expansion + the seven array
+        # columns through Arrow and the provenance join (guide §2.3
+        # "shuffle fewer bytes"; result is identical)
+        process_corpus(corpus_from_documents(spark, sf_dir),
+                       emit_triples=False)
         .groupBy("ok", "error_kind")
         .agg(F.count(F.lit(1)).alias("docs"),
              F.sum(F.coalesce(F.col("roundtrip_ok").cast("long"), F.lit(0)))
@@ -269,7 +273,10 @@ def _kg_compression_stats(spark, sf_dir):
     from cbor_ld_spark.operators import process_corpus
     from cbor_ld_spark.sources import corpus_from_documents
 
-    p = process_corpus(corpus_from_documents(spark, sf_dir))
+    # length stats only: skip triple expansion through the kernel and
+    # Arrow (guide §2.3; result is identical)
+    p = process_corpus(corpus_from_documents(spark, sf_dir),
+                       emit_triples=False)
     cls = F.regexp_extract("path", r"/([^/]+)\.jsonld$", 1)
     return (
         p.filter(F.col("ok"))
@@ -1760,9 +1767,14 @@ def _stream_sessions_parity(spark, sf_dir):
                      (F.max("tl") - F.min("tl")).alias("duration_secs"),
                      F.sum("vmilli").alias("value_milli")))
         mx = sess.groupBy("user_id").agg(F.max("seq").alias("max_seq"))
+        # three counts consume these frames: materialize each once so
+        # the sessionization window + joins don't re-run per count
+        # (ContextCleaner reclaims the blocks when the frames are GC'd)
+        closed = closed.localCheckpoint()
         nonfinal = (sess.join(mx, "user_id")
                     .filter(F.col("seq") < F.col("max_seq"))
-                    .drop("max_seq"))
+                    .drop("max_seq")
+                    .localCheckpoint())
         matched = closed.join(
             nonfinal,
             ["user_id", "seq", "n_events", "start_tl", "duration_secs",

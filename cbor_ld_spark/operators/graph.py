@@ -646,12 +646,15 @@ def k_core_decomposition(edges: DataFrame,
              .groupBy("node")
              .agg(F.max(F.least(F.col("val"), F.col("_m")))
                   .alias("h")))
+        # carry the changed flag through the checkpoint: convergence
+        # detection then scans the checkpoint blocks instead of paying
+        # a new-vs-old join job per round
         new = (cur.join(h, "node")
-               .select("node", F.least("c", "h").alias("c"))
+               .select("node", F.least("c", "h").alias("c"),
+                       (F.least("c", "h") != F.col("c")).alias("_chg"))
                .localCheckpoint())
-        n_changed = (new.join(cur.withColumnRenamed("c", "c_old"), "node")
-                     .filter(F.col("c") != F.col("c_old")).count())
-        cur = new
+        n_changed = new.filter(F.col("_chg")).count()
+        cur = new.drop("_chg")
         if n_changed == 0:
             break
     else:
