@@ -52,7 +52,7 @@ def parquet_rows(path: str) -> int | None:
 
 def spread_input(df: DataFrame, by: str | None = None,
                  rows: int | None = None,
-                 rows_per_task: int = 128) -> DataFrame:
+                 rows_per_task: int = 256) -> DataFrame:
     """Round-robin (or hash, with ``by``) repartition of a small scanned
     input to the session's parallelism, so expensive map stages that
     follow are not serialized onto the scan's single input split.
@@ -66,8 +66,11 @@ def spread_input(df: DataFrame, by: str | None = None,
     target is capped at ``ceil(rows / rows_per_task)``: every Python-
     boundary task carries ~15-25 ms of scheduling + worker-roundtrip
     overhead, so fanning 200 rows across 32 tasks is pure loss (measured
-    +2 s on a 3-Python-stage query).  Unbounded inputs spread to full
-    width — the safe direction at scale.
+    +2 s on a 3-Python-stage query), and even pure-JVM consumers pay
+    ~0.3-0.4 s per query for 32 near-empty tasks (measured across the
+    cheap dedup/corpus aggregations).  256 rows/task balances the two
+    at bench scale; unbounded inputs spread to full width — the safe
+    direction at scale.
     """
     target = input_partitions(df.sparkSession)
     if rows is not None:

@@ -43,9 +43,34 @@ def shared_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         for stale in [k for k in _TRIPLES_CACHE if k[0] != key[0]]:
             _TRIPLES_CACHE.pop(stale, None)
         t = triples_table(process_corpus(corpus_from_documents(spark, sf_dir)))
-        df = t.localCheckpoint(eager=True)
+        # narrow the CHECKPOINT, not the kernel: the Python kernel stage
+        # upstream runs at machine width (its own exchange), while the
+        # checkpoint that ~30 downstream queries scan is coalesced to a
+        # row-scaled width — a 32-partition checkpoint of a small tier
+        # taxes every consumer's first stage with per-task overhead
+        # (measured +0.3-0.5 s across the BGP/SPARQL family), while at
+        # larger SFs the target grows with the corpus
+        df = t.coalesce(_tier_partitions(spark, sf_dir)) \
+            .localCheckpoint(eager=True)
         _TRIPLES_CACHE[key] = df
     return df
+
+
+def _tier_partitions(spark: SparkSession, sf_dir: str,
+                     rows_per_part: int = 1024) -> int:
+    """Checkpoint width for the shared tiers: ~1k source docs per
+    partition (each doc yields ~10 triples), clamped to the session
+    parallelism; full width when the row count is unknowable."""
+    from cbor_ld_spark.plans.partitioning import (
+        input_partitions,
+        parquet_rows,
+    )
+
+    cap = input_partitions(spark)
+    n = parquet_rows(f"{sf_dir}/documents.parquet")
+    if n is None:
+        return cap
+    return max(1, min(cap, -(-n // rows_per_part)))
 
 
 _CANONICAL_CACHE: dict[tuple[str, str], DataFrame] = {}
@@ -63,8 +88,13 @@ def shared_canonical_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     if df is None:
         for stale in [k for k in _CANONICAL_CACHE if k[0] != key[0]]:
             _CANONICAL_CACHE.pop(stale, None)
-        df = canonical_triples(
-            shared_triples(spark, sf_dir)).localCheckpoint(eager=True)
+        # same narrow-checkpoint rationale as shared_triples, but via a
+        # real repartition: a coalesce would collapse the (Python-heavy)
+        # canonicalization mapInArrow stage itself, while the shuffle
+        # moves only the small canonical triple rows once
+        df = (canonical_triples(shared_triples(spark, sf_dir))
+              .repartition(_tier_partitions(spark, sf_dir))
+              .localCheckpoint(eager=True))
         _CANONICAL_CACHE[key] = df
     return df
 
