@@ -346,6 +346,23 @@ def match_bgp(triples: DataFrame,
             else:
                 guard = _pattern_frame(triples, pat, -(m + 1),
                                        guard_vars)
+            # A guard variable an OPTIONAL will introduce LATER is a
+            # silent-wrong-answer hazard: guards join before the
+            # OPTIONAL left joins, so the variable would drop out of
+            # the shared keys and be treated as existential ('?s <p> ?o
+            # . OPTIONAL { ?s <q> ?y } FILTER NOT EXISTS { ?s <r> ?y }'
+            # returned [] where SPARQL returns the non-matching rows).
+            # Reject loudly, mirroring the only_late BIND check.
+            hazard = sorted(
+                {c for c in guard.columns if not c.startswith("_")}
+                & (opt_vars - set(result.columns)))
+            if hazard:
+                raise ValueError(
+                    f"{label.upper().replace('_', ' ')} pattern {m} "
+                    f"references OPTIONAL-introduced variable(s) "
+                    f"{hazard}: guards evaluate before OPTIONAL left "
+                    "joins in this subset and would silently treat "
+                    "them as existential — not supported")
             shared = [c for c in guard.columns
                       if c in result.columns and not c.startswith("_")]
             if not shared:

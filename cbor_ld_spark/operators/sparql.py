@@ -319,8 +319,8 @@ def parse_path(expr: str) -> list[tuple]:
 # parens) is a PROPERTY PATH: alone it routes to match_path; mixed
 # with other top-level members it joins into the BGP like a pattern
 # (match_bgp `paths=`) — either way a ground subject/object runs the
-# SEEDED tier.  Paths inside OPTIONAL/NOT EXISTS/UNION groups are
-# outside this subset (rejected loudly).  Set semantics throughout
+# SEEDED tier.  Paths are also accepted inside OPTIONAL / FILTER
+# [NOT] EXISTS / MINUS / UNION groups (r8).  Set semantics throughout
 # (match_bgp's distinct) — bag semantics is not implemented, so
 # DISTINCT and REDUCED are accepted no-ops and a plain SELECT also
 # dedupes (documented divergence).  Keywords case-insensitive; FILTER
@@ -430,14 +430,18 @@ def _sparql_tokens(text: str) -> list[str]:
             elif text[j] == "(":
                 # quoted strings inside the parens are opaque — a
                 # paren INSIDE a literal (FILTER(?name = "a(b")) must
-                # not count toward the depth (ADVICE r7)
+                # not count toward the depth (ADVICE r7); BOTH quote
+                # characters, matching _quote_segments/_devar (a
+                # single-quoted SQL literal containing ')' previously
+                # mis-tokenized)
                 depth, k = 1, j + 1
                 while k < n and depth:
-                    if text[k] == '"':
-                        q = text.find('"', k + 1)
+                    if text[k] in "\"'":
+                        q = text.find(text[k], k + 1)
                         if q < 0:
                             raise ValueError(
-                                f"unterminated '\"' in query at {k}")
+                                f"unterminated {text[k]!r} in query "
+                                f"at {k}")
                         k = q + 1
                         continue
                     if text[k] == "(":
@@ -795,7 +799,26 @@ def parse_sparql(text: str) -> dict:
         prefixes[name[:-1]] = iri[1:-1]
         toks = toks[3:]
     if prefixes:
-        toks = [_expand_prefixed(t, prefixes) for t in toks]
+        # FILTER/BIND/HAVING bodies are SQL expressions, not term
+        # positions: the grammar documents prefixed names there as NOT
+        # expanded, and an expanded '<iri>' inside an expression body
+        # would only surface later as an opaque AnalysisException — so
+        # leave those tokens (and a '(...)' token right after the bare
+        # keyword) untouched
+        _expr_kw = ("filter", "bind", "having")
+        expanded, skip_next = [], False
+        for t in toks:
+            low = t.lower()
+            if skip_next and t.startswith("("):
+                expanded.append(t)
+                skip_next = False
+                continue
+            skip_next = low in _expr_kw
+            if any(low.startswith(k + "(") for k in _expr_kw):
+                expanded.append(t)
+            else:
+                expanded.append(_expand_prefixed(t, prefixes))
+        toks = expanded
     if not toks:
         raise ValueError("empty query")
     form = toks[0].lower()
@@ -1212,9 +1235,17 @@ def _apply_values(result, vars_: list[str], rows: list[tuple]):
         joined = result.join(inline, cond, "inner")
     else:
         joined = result.crossJoin(inline)
-    return joined.select(
+    out = joined.select(
         *[F.col(c) for c in result.columns],
         *[F.col(ren[v]).alias(v) for v in fresh])
+    # A bound var can match BOTH a concrete value row and an UNDEF row
+    # (UNDEF is compatible with anything), duplicating the binding; a
+    # SELECT * query runs no later projection-distinct, so dedupe here
+    # to keep the engine's documented set-semantics invariant.  Only
+    # pay the distinct when an UNDEF actually sits in a bound position.
+    if any(r[vars_.index(v)] is None for v in bound for r in rows):
+        out = out.distinct()
+    return out
 
 
 def run_sparql(triples, text: str):

@@ -1902,3 +1902,68 @@ def test_sparql_prefix_and_a(spark):
     with pytest.raises(ValueError, match="needs a '<iri>'"):
         run_sparql(t, "PREFIX ex: http://ex/ "
                       "SELECT ?c WHERE { ?c a ?t }")
+
+
+def test_guard_over_optional_introduced_var_rejected(spark):
+    """r9 (ADVICE): a NOT EXISTS / EXISTS / MINUS guard that references
+    a variable only an OPTIONAL will introduce used to join BEFORE the
+    optional left joins, silently treating the variable as existential
+    (wrong answers).  The subset now rejects it loudly."""
+    from cbor_ld_spark.operators.bgp import match_bgp
+    from cbor_ld_spark.operators.sparql import run_sparql
+
+    t = _triples(spark, [("s1", "p", "o1"), ("s1", "q", "y1"),
+                         ("s1", "r", "y1")])
+    with pytest.raises(ValueError, match="OPTIONAL-introduced"):
+        match_bgp(t, [("?s", "p", "?o")],
+                  optional=[("?s", "q", "?y")],
+                  not_exists=[("?s", "r", "?y")]).collect()
+    with pytest.raises(ValueError, match="OPTIONAL-introduced"):
+        run_sparql(t, 'SELECT * WHERE { ?s <p> ?o . '
+                      'OPTIONAL { ?s <q> ?y } '
+                      'FILTER NOT EXISTS { ?s <r> ?y } }').collect()
+    # a guard over an ALREADY-BOUND var stays supported
+    ok = match_bgp(t, [("?s", "p", "?o")],
+                   optional=[("?s", "q", "?y")],
+                   not_exists=[("?s", "r", "?o")])
+    assert ok.count() == 1
+
+
+def test_prefixed_names_in_filter_bodies_stay_unexpanded():
+    """r9 (ADVICE): FILTER/BIND/HAVING bodies are SQL expressions — the
+    grammar documents prefixed names there as NOT expanded, but the
+    expander used to rewrite them into '<iri>' anyway."""
+    from cbor_ld_spark.operators.sparql import parse_sparql
+
+    s = parse_sparql('PREFIX ex: <urn:ex:> SELECT * WHERE { '
+                     '?s ex:p ?o . FILTER(?o = ex:Thing) }')
+    assert s["patterns"] == [("?s", "urn:ex:p", "?o")]  # terms expand
+    assert s["filters"] == ["o = ex:Thing"]             # bodies do not
+    # bare-keyword form ('FILTER (...)' with a space) behaves the same
+    s2 = parse_sparql('PREFIX ex: <urn:ex:> SELECT * WHERE { '
+                      '?s ex:p ?o . FILTER (?o = ex:Thing) }')
+    assert s2["filters"] == ["o = ex:Thing"]
+
+
+def test_single_quoted_literal_with_paren_tokenizes():
+    """r9 (ADVICE): the paren scanner treated only double quotes as
+    opaque; a single-quoted SQL literal containing ')' mis-tokenized."""
+    from cbor_ld_spark.operators.sparql import parse_sparql
+
+    s = parse_sparql("SELECT * WHERE { ?s <urn:p> ?o . "
+                     "FILTER(?o = 'a) b') }")
+    assert s["filters"] == ["o = 'a) b'"]
+
+
+def test_values_undef_plus_concrete_no_duplicates(spark):
+    """r9 (ADVICE): a bound var matching both a concrete VALUES row and
+    an UNDEF row duplicated the binding; with SELECT * no projection
+    distinct ran, leaking duplicates past the documented set-semantics
+    invariant."""
+    from cbor_ld_spark.operators.sparql import run_sparql
+
+    t = _triples(spark, [("s1", "p", "x"), ("s2", "p", "z")])
+    out = run_sparql(t, 'SELECT * WHERE { ?s <p> ?o . '
+                        'VALUES (?o) { ("x") (UNDEF) } }')
+    rows = sorted(tuple(r) for r in out.collect())
+    assert rows == [("s1", "x"), ("s2", "z")]
